@@ -1,0 +1,311 @@
+"""Camera models (rectilinear pinhole + equidistant fisheye) as JAX pytrees.
+
+Rebuilds the reference's camera layer:
+
+- ``Camera {model, matrix, distortion_coefficients, size}``
+  (``opencv/FrameSourceWarp.hpp:23-34``).
+- GoPro presets — published FOV and measured intrinsics for the Hero 4 Black
+  (``get_preset_camera``, ``opencv/FrameSourceWarp.cpp:27-86``).
+- Output-camera auto-fit: undistort the 8 extreme points, bound, scale by the
+  diagonal ratio, optional border-crop and zoom (``get_output_camera``,
+  ``opencv/FrameSourceWarp.cpp:88-165``).
+- dfov-based construction for the CLI's ``--input-dfov``/``--output-dfov``
+  options (``src/cli.ts:104-116``).
+
+Projection math matches ``cv2.fisheye`` (equidistant model with theta
+polynomial distortion k1..k4) so the OpenCV implementation can be used as a
+test oracle, and matches ``opencv/createMap.cl:37-39`` in the zero-distortion
+case (``r' = atan(r)``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class CameraModel(enum.Enum):
+    RECTILINEAR = "rectilinear"
+    FISHEYE = "fisheye"
+
+
+class CameraPreset(enum.Enum):
+    """GoPro Hero 4 Black presets (``opencv/FrameSourceWarp.hpp:14-21``)."""
+
+    GOPRO_H4B_WIDE43_PUBLISHED = "gopro_h4b_wide43_published"
+    GOPRO_H4B_WIDE43_MEASURED = "gopro_h4b_wide43_measured"
+    GOPRO_H4B_WIDE43_MEASURED_STABILISATION = "gopro_h4b_wide43_measured_stabilisation"
+    GOPRO_H4B_WIDE169_PUBLISHED = "gopro_h4b_wide169_published"
+    GOPRO_H4B_WIDE169_MEASURED = "gopro_h4b_wide169_measured"
+    GOPRO_H4B_WIDE169_MEASURED_STABILISATION = "gopro_h4b_wide169_measured_stabilisation"
+
+
+# Published GoPro FOV values, degrees
+# (https://community.gopro.com/... via opencv/FrameSourceWarp.cpp:20-25).
+# The reference truncates these to int (they are declared `const int`).
+_GOPRO_FOV_H_43W = int(122.6)
+_GOPRO_FOV_V_43W = int(94.4)
+_GOPRO_FOV_H_169W = int(118.2)
+_GOPRO_FOV_V_169W = int(69.5)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """A camera: intrinsics + lens model + sensor size.
+
+    ``fx, fy, cx, cy`` are the entries of the reference's 3x3 camera matrix;
+    ``dist`` holds the 4 fisheye distortion coefficients (k1..k4, theta
+    polynomial, all zero for the presets — ``opencv/FrameSourceWarp.cpp:35``);
+    ``width``/``height`` are static ints so they can participate in shapes.
+    """
+
+    fx: jax.Array
+    fy: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+    dist: jax.Array  # (4,)
+    width: int = dataclasses.field(metadata=dict(static=True))
+    height: int = dataclasses.field(metadata=dict(static=True))
+    model: CameraModel = dataclasses.field(metadata=dict(static=True))
+
+    @staticmethod
+    def make(
+        fx, fy, cx, cy, width: int, height: int, model: CameraModel, dist=None
+    ) -> "Camera":
+        if dist is None:
+            dist = jnp.zeros((4,), jnp.float32)
+        return Camera(
+            fx=jnp.asarray(fx, jnp.float32),
+            fy=jnp.asarray(fy, jnp.float32),
+            cx=jnp.asarray(cx, jnp.float32),
+            cy=jnp.asarray(cy, jnp.float32),
+            dist=jnp.asarray(dist, jnp.float32),
+            width=int(width),
+            height=int(height),
+            model=model,
+        )
+
+    @property
+    def size(self) -> Tuple[int, int]:
+        return (self.width, self.height)
+
+    def matrix(self) -> jax.Array:
+        """3x3 camera matrix (the reference's ``Camera::matrix``)."""
+        z = jnp.zeros_like(self.fx)
+        o = jnp.ones_like(self.fx)
+        return jnp.stack(
+            [
+                jnp.stack([self.fx, z, self.cx]),
+                jnp.stack([z, self.fy, self.cy]),
+                jnp.stack([z, z, o]),
+            ]
+        )
+
+    # --- projection -------------------------------------------------------
+
+    def project(self, rays: jax.Array) -> jax.Array:
+        """Project (..., 3) camera-frame rays to (..., 2) pixel coordinates.
+
+        Fisheye: equidistant model with theta-polynomial distortion, matching
+        ``cv2.fisheye.projectPoints`` and (with zero coefficients) the map
+        written by ``opencv/createMap.cl:37-48``:
+        ``p = c + f * (atan(r)/r) * xy``.
+        Rectilinear: standard pinhole ``p = c + f * xy / z``.
+        """
+        x, y, z = rays[..., 0], rays[..., 1], rays[..., 2]
+        inv_z = 1.0 / z
+        a = x * inv_z
+        b = y * inv_z
+        if self.model == CameraModel.RECTILINEAR:
+            u = self.fx * a + self.cx
+            v = self.fy * b + self.cy
+            return jnp.stack([u, v], axis=-1)
+        r2 = a * a + b * b
+        r = jnp.sqrt(r2)
+        theta = jnp.arctan(r)
+        theta_d = _distort_theta(theta, self.dist)
+        scale = jnp.where(r > 1e-8, theta_d / jnp.maximum(r, 1e-8), 1.0)
+        u = self.fx * a * scale + self.cx
+        v = self.fy * b * scale + self.cy
+        return jnp.stack([u, v], axis=-1)
+
+    def unproject(self, pixels: jax.Array) -> jax.Array:
+        """Unproject (..., 2) pixels to (..., 3) rays with z == 1.
+
+        The fisheye inverse solves ``theta_d = theta * (1 + k1 th^2 + ...)``
+        for theta by fixed-point iteration (10 steps, like
+        ``cv2.fisheye.undistortPoints``), then applies ``r = tan(theta)``.
+        Used by the output-camera auto-fit (``opencv/FrameSourceWarp.cpp:93``)
+        and by rotation estimation (``opencv/FrameSourceWarp.cpp:322-338``).
+        """
+        xd = (pixels[..., 0] - self.cx) / self.fx
+        yd = (pixels[..., 1] - self.cy) / self.fy
+        if self.model == CameraModel.RECTILINEAR:
+            return jnp.stack([xd, yd, jnp.ones_like(xd)], axis=-1)
+        theta_d = jnp.sqrt(xd * xd + yd * yd)
+        theta = _undistort_theta(theta_d, self.dist)
+        r = jnp.tan(theta)
+        scale = jnp.where(theta_d > 1e-8, r / jnp.maximum(theta_d, 1e-8), 1.0)
+        return jnp.stack([xd * scale, yd * scale, jnp.ones_like(xd)], axis=-1)
+
+    def unproject_unit(self, pixels: jax.Array) -> jax.Array:
+        """Unproject to unit-norm rays (for rotation estimation)."""
+        rays = self.unproject(pixels)
+        return rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+
+
+def _distort_theta(theta: jax.Array, dist: jax.Array) -> jax.Array:
+    t2 = theta * theta
+    poly = 1.0 + t2 * (dist[0] + t2 * (dist[1] + t2 * (dist[2] + t2 * dist[3])))
+    return theta * poly
+
+
+def _undistort_theta(theta_d: jax.Array, dist: jax.Array) -> jax.Array:
+    def body(_, theta):
+        t2 = theta * theta
+        poly = 1.0 + t2 * (dist[0] + t2 * (dist[1] + t2 * (dist[2] + t2 * dist[3])))
+        return theta_d / poly
+
+    return jax.lax.fori_loop(0, 10, body, theta_d)
+
+
+# --- presets ---------------------------------------------------------------
+
+
+def get_preset_camera(preset: CameraPreset, size: Tuple[int, int]) -> Camera:
+    """GoPro preset intrinsics, scaled to ``size = (width, height)``.
+
+    Port of ``get_preset_camera`` (``opencv/FrameSourceWarp.cpp:27-86``): the
+    principal point defaults to the image centre; measured presets override
+    both focal lengths and the principal point, scaled from the calibration
+    resolution (1920x1440 for 4:3, 2704x1520 for 16:9).
+    """
+    w, h = size
+    cx = (w - 1.0) / 2.0
+    cy = (h - 1.0) / 2.0
+
+    if preset == CameraPreset.GOPRO_H4B_WIDE43_PUBLISHED:
+        fx = w / math.radians(_GOPRO_FOV_H_43W)
+        fy = h / math.radians(_GOPRO_FOV_V_43W)
+    elif preset == CameraPreset.GOPRO_H4B_WIDE169_PUBLISHED:
+        fx = w / math.radians(_GOPRO_FOV_H_169W)
+        fy = h / math.radians(_GOPRO_FOV_V_169W)
+    elif preset == CameraPreset.GOPRO_H4B_WIDE43_MEASURED:
+        cx = 967.37 * w / 1920
+        cy = 711.07 * h / 1440
+        fx = 942.96 * h / 1440
+        fy = 942.53 * h / 1440
+    elif preset == CameraPreset.GOPRO_H4B_WIDE43_MEASURED_STABILISATION:
+        cx = 965.90 * w / 1920
+        cy = 712.94 * h / 1440
+        fx = 1045.58 * h / 1440
+        fy = 1045.64 * h / 1440
+    elif preset == CameraPreset.GOPRO_H4B_WIDE169_MEASURED:
+        cx = 1361.80 * w / 2704
+        cy = 745.19 * h / 1520
+        fx = 1392.49 * h / 1520
+        fy = 1383.47 * h / 1520
+    elif preset == CameraPreset.GOPRO_H4B_WIDE169_MEASURED_STABILISATION:
+        cx = 1357.49 * w / 2704
+        cy = 736.74 * h / 1520
+        fx = 1626.67 * h / 1520
+        fy = 1619.46 * h / 1520
+    else:
+        raise ValueError(f"unknown preset {preset}")
+
+    return Camera.make(fx, fy, cx, cy, w, h, CameraModel.FISHEYE)
+
+
+def camera_from_dfov(
+    dfov_degrees: float, size: Tuple[int, int], model: CameraModel
+) -> Camera:
+    """Build a camera from a diagonal field of view.
+
+    This is how the TS planner parameterizes cameras for the dewobble filter
+    (``--input-dfov`` default 145.8, ``src/cli.ts:104-109``; focal derivation
+    in ``getDewobbleProjectionPipeline``, ``src/render.ts:587-628``): for a
+    fisheye (equidistant) lens ``f = (diag/2) / (dfov/2)``; for a rectilinear
+    lens ``f = (diag/2) / tan(dfov/2)``.
+    """
+    w, h = size
+    half_diag = math.hypot(w - 1.0, h - 1.0) / 2.0
+    half_fov = math.radians(dfov_degrees) / 2.0
+    if model == CameraModel.FISHEYE:
+        f = half_diag / half_fov
+    else:
+        f = half_diag / math.tan(half_fov)
+    return Camera.make(f, f, (w - 1.0) / 2.0, (h - 1.0) / 2.0, w, h, model)
+
+
+# --- output-camera auto-fit ------------------------------------------------
+
+
+def get_output_camera(
+    input_camera: Camera,
+    scale: float = 1.0,
+    crop_borders: bool = False,
+    zoom: float = 1.0,
+) -> Camera:
+    """Fit a rectilinear output camera around the undistorted input frame.
+
+    Port of ``get_output_camera`` (``opencv/FrameSourceWarp.cpp:88-165``):
+
+    1. Unproject the 4 corners and 4 edge midpoints of the input frame into
+       the identity camera (z == 1 plane).
+    2. Bound them (corners excluded when ``crop_borders``).
+    3. Scale so the output diagonal matches the input diagonal length (then
+       multiply by ``scale``).
+    4. Apply ``zoom`` to the output size and principal point.
+
+    Runs in plain Python/NumPy at setup time (shapes must be static).
+    """
+    w, h = input_camera.width, input_camera.height
+    cx = float(input_camera.cx)
+    cy = float(input_camera.cy)
+    points = jnp.array(
+        [
+            # corners (opencv/FrameSourceWarp.cpp:96-99)
+            [0.0, 0.0],
+            [0.0, h - 1.0],
+            [w - 1.0, 0.0],
+            [w - 1.0, h - 1.0],
+            # midpoints of edges (opencv/FrameSourceWarp.cpp:102-105)
+            [cx, 0.0],
+            [w - 1.0, cy],
+            [cx, h - 1.0],
+            [0.0, cy],
+        ],
+        jnp.float32,
+    )
+    extreme = jax.device_get(input_camera.unproject(points))[:, :2]
+
+    start = 4 if crop_borders else 0
+    max_x = float(extreme[start:, 0].max())
+    min_x = float(extreme[start:, 0].min())
+    max_y = float(extreme[start:, 1].max())
+    min_y = float(extreme[start:, 1].min())
+
+    # Average scale on the diagonal (opencv/FrameSourceWarp.cpp:141-150).
+    input_diag = math.hypot(w - 1.0, h - 1.0)
+    output_diag = math.hypot(
+        float(extreme[3, 0] - extreme[0, 0]), float(extreme[3, 1] - extreme[0, 1])
+    )
+    scale = scale * input_diag / output_diag
+
+    out_w = int(scale * (max_x - min_x) / zoom)
+    out_h = int(scale * (max_y - min_y) / zoom)
+    return Camera.make(
+        fx=scale,
+        fy=scale,
+        cx=scale * -min_x / zoom,
+        cy=scale * -min_y / zoom,
+        width=out_w,
+        height=out_h,
+        model=CameraModel.RECTILINEAR,
+    )

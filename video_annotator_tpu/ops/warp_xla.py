@@ -1,0 +1,159 @@
+"""Warp map generation + bilinear remap in pure XLA.
+
+This is the reference's per-frame hot path — the ``createMap`` OpenCL kernel
+(``opencv/createMap.cl:1-51``) followed by ``cv::remap`` INTER_LINEAR
+(``opencv/FrameSourceWarp.cpp:306-312``) — expressed as vectorized jnp ops.
+It serves three roles:
+
+1. Correctness oracle for the fused Pallas kernel (``ops/warp_pallas.py``).
+2. CPU path for tests (no TPU needed).
+3. Fallback on any backend where Pallas is unavailable.
+
+Map semantics (``opencv/createMap.cl:15-49``): for every *output* pixel,
+unproject through the rectilinear output camera, rotate the ray by the
+(stabilization + attitude) rotation, perspective-divide, push through the
+input camera's fisheye forward model, and emit the *source* pixel position.
+The remap then gathers with bilinear interpolation, zero outside the frame
+(cv::remap's default BORDER_CONSTANT).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from video_annotator_tpu.camera import Camera, CameraModel
+
+
+def compute_warp_map(
+    out_camera: Camera,
+    in_camera: Camera,
+    rotation: jax.Array,
+    out_size: Tuple[int, int] | None = None,
+) -> jax.Array:
+    """Compute the (H_out, W_out, 2) source-coordinate map (x, y order).
+
+    ``rotation`` is the 3x3 matrix applied to output-camera rays, i.e. the
+    18-scalar-arg rotation handed to the kernel at
+    ``opencv/FrameSourceWarp.cpp:291-299`` (the inverse of the stabilization
+    correction, ``opencv/FrameSourceWarp.cpp:475``).
+    """
+    if out_size is None:
+        out_size = (out_camera.height, out_camera.width)
+    h, w = out_size
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    pixels = jnp.stack([xs, ys], axis=-1)
+    rays = out_camera.unproject(pixels)  # (h, w, 3)
+    rotated = jnp.einsum(
+        "ij,hwj->hwi",
+        rotation.astype(jnp.float32),
+        rays,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return in_camera.project(rotated)  # (h, w, 2)
+
+
+def bilinear_sample(image: jax.Array, coords: jax.Array) -> jax.Array:
+    """Bilinear-sample ``image`` (H, W) at ``coords`` (..., 2) in (x, y) order.
+
+    Out-of-bounds reads contribute zero, matching ``cv::remap``'s default
+    BORDER_CONSTANT border (``opencv/FrameSourceWarp.cpp:306-312``).
+    """
+    h, w = image.shape
+    x = coords[..., 0]
+    y = coords[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    img = image.astype(jnp.float32)
+
+    def tap(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        return jnp.where(valid, img[yc, xc], 0.0)
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+    top = v00 * (1.0 - fx) + v01 * fx
+    bot = v10 * (1.0 - fx) + v11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+@functools.partial(jax.jit, static_argnames=("out_size",))
+def warp_image_xla(
+    image: jax.Array,
+    out_camera: Camera,
+    in_camera: Camera,
+    rotation: jax.Array,
+    out_size: Tuple[int, int] | None = None,
+) -> jax.Array:
+    """Warp a single-channel (H, W) or multi-channel (H, W, C) image.
+
+    Fuses map computation and the gather; equivalent to running ``createMap``
+    then ``cv::remap`` for one frame.
+    """
+    coords = compute_warp_map(out_camera, in_camera, rotation, out_size)
+    if image.ndim == 2:
+        return bilinear_sample(image, coords)
+    return jnp.stack(
+        [bilinear_sample(image[..., c], coords) for c in range(image.shape[-1])],
+        axis=-1,
+    )
+
+
+def _scaled_camera(camera: Camera, factor: float) -> Camera:
+    """Camera for a plane downscaled by ``factor`` (chroma planes = 0.5).
+
+    Pixel centres: a chroma sample (i, j) sits at luma position
+    (2i + 0.5, 2j + 0.5); mapping intrinsics as f' = f*s, c' = (c + 0.5)*s - 0.5
+    keeps projections consistent under that siting.
+    """
+    return Camera(
+        fx=camera.fx * factor,
+        fy=camera.fy * factor,
+        cx=(camera.cx + 0.5) * factor - 0.5,
+        cy=(camera.cy + 0.5) * factor - 0.5,
+        dist=camera.dist,
+        width=int(round(camera.width * factor)),
+        height=int(round(camera.height * factor)),
+        model=camera.model,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("out_size",))
+def warp_yuv420_xla(
+    y: jax.Array,
+    u: jax.Array,
+    v: jax.Array,
+    out_camera: Camera,
+    in_camera: Camera,
+    rotation: jax.Array,
+    out_size: Tuple[int, int] | None = None,
+):
+    """Warp a planar YUV 4:2:0 frame; chroma warped at half resolution.
+
+    The reference converts NV12 to BGR before warping
+    (``opencv/FrameSourceWarp.cpp:401``) and warps 3 full-res channels; we warp
+    Y at full res and U/V at half res instead — 1.5 bytes/px of gather traffic
+    instead of 3 — using half-scaled cameras for the chroma map.
+    """
+    if out_size is None:
+        out_size = (out_camera.height, out_camera.width)
+    oh, ow = out_size
+    y_out = warp_image_xla(y, out_camera, in_camera, rotation, (oh, ow))
+    out_c = _scaled_camera(out_camera, 0.5)
+    in_c = _scaled_camera(in_camera, 0.5)
+    u_out = warp_image_xla(u, out_c, in_c, rotation, (oh // 2, ow // 2))
+    v_out = warp_image_xla(v, out_c, in_c, rotation, (oh // 2, ow // 2))
+    return y_out, u_out, v_out
