@@ -167,12 +167,15 @@ def _distort_theta(theta: jax.Array, dist: jax.Array) -> jax.Array:
 
 
 def _undistort_theta(theta_d: jax.Array, dist: jax.Array) -> jax.Array:
-    def body(_, theta):
+    # Unrolled fixed-point iteration (10 steps, like cv2.fisheye): a Python
+    # loop keeps this usable both under jit and eagerly (an eager
+    # lax.fori_loop triggers a compile per call on remote TPU backends).
+    theta = theta_d
+    for _ in range(10):
         t2 = theta * theta
         poly = 1.0 + t2 * (dist[0] + t2 * (dist[1] + t2 * (dist[2] + t2 * dist[3])))
-        return theta_d / poly
-
-    return jax.lax.fori_loop(0, 10, body, theta_d)
+        theta = theta_d / poly
+    return theta
 
 
 # --- presets ---------------------------------------------------------------
