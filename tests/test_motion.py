@@ -1,0 +1,197 @@
+"""Corner detection / LK flow / rotation RANSAC vs cv2 and synthetic truth."""
+
+import numpy as np
+import pytest
+
+import cv2
+import jax
+import jax.numpy as jnp
+
+from video_annotator_tpu import so3
+from video_annotator_tpu.camera import CameraPreset, get_preset_camera
+from video_annotator_tpu.ops.corners import detect_corners, shi_tomasi_response
+from video_annotator_tpu.ops.lk import build_pyramid, pyramidal_lk
+from video_annotator_tpu.ops.ransac import (
+    estimate_rotation,
+    rotation_with_fallback,
+    RotationEstimate,
+)
+
+
+def _textured_image(h, w, seed=0):
+    """Smooth random texture with good gradients everywhere."""
+    rng = np.random.default_rng(seed)
+    img = rng.normal(size=(h // 8, w // 8)).astype(np.float32)
+    img = cv2.resize(img, (w, h), interpolation=cv2.INTER_CUBIC)
+    img = cv2.GaussianBlur(img, (0, 0), 1.0)
+    img = (img - img.min()) / (img.max() - img.min()) * 255
+    return img.astype(np.float32)
+
+
+# --- corners ---------------------------------------------------------------
+
+
+def test_shi_tomasi_response_peaks_on_corner():
+    img = np.zeros((64, 64), np.float32)
+    img[28:, 28:] = 255.0  # a single corner at (28, 28)
+    resp = np.asarray(shi_tomasi_response(jnp.asarray(img)))
+    py, px = np.unravel_index(resp.argmax(), resp.shape)
+    assert abs(py - 28) <= 2 and abs(px - 28) <= 2
+
+
+def test_detect_corners_finds_grid_dots():
+    img = np.zeros((240, 320), np.float32)
+    truth = []
+    for y in range(40, 240, 50):
+        for x in range(40, 320, 60):
+            cv2.rectangle(img, (x - 4, y - 4), (x + 4, y + 4), 255, -1)
+            truth.append((x, y))
+    pts, valid = detect_corners(jnp.asarray(img), max_corners=64, min_distance=20)
+    pts = np.asarray(pts)[np.asarray(valid)]
+    # Every true blob must have a detection within 8 px.
+    for tx, ty in truth:
+        d = np.sqrt(((pts - [tx, ty]) ** 2).sum(-1)).min()
+        assert d < 8, (tx, ty, d)
+
+
+def test_detect_corners_respects_min_distance():
+    img = _textured_image(240, 320)
+    pts, valid = detect_corners(jnp.asarray(img), max_corners=128, min_distance=30)
+    pts = np.asarray(pts)[np.asarray(valid)]
+    assert len(pts) > 20
+    d = np.sqrt(((pts[None] - pts[:, None]) ** 2).sum(-1))
+    np.fill_diagonal(d, 1e9)
+    # Cell-based suppression guarantees no two corners share a cell; the
+    # minimum pairwise distance can be slightly under min_distance across
+    # cell borders but not collapse to adjacency.
+    assert d.min() > 8
+
+
+# --- LK flow ---------------------------------------------------------------
+
+
+def test_lk_recovers_pure_translation():
+    img = _textured_image(240, 320, seed=1)
+    shift = (7.3, -4.6)  # (dx, dy)
+    M = np.float32([[1, 0, shift[0]], [0, 1, shift[1]]])
+    img2 = cv2.warpAffine(img, M, (320, 240))
+    pts, valid = detect_corners(jnp.asarray(img), max_corners=64, min_distance=25)
+    new_pts, status = pyramidal_lk(
+        jnp.asarray(img), jnp.asarray(img2), pts, valid
+    )
+    new_pts = np.asarray(new_pts)
+    status = np.asarray(status)
+    pts = np.asarray(pts)
+    # Only judge interior points (warp border effects kill edges).
+    interior = (
+        (pts[:, 0] > 30) & (pts[:, 0] < 280) & (pts[:, 1] > 30) & (pts[:, 1] < 205)
+        & status
+    )
+    assert interior.sum() > 10
+    flow = (new_pts - pts)[interior]
+    err = np.abs(flow - np.asarray(shift))
+    assert np.median(err[:, 0]) < 0.25, np.median(err, axis=0)
+    assert np.median(err[:, 1]) < 0.25, np.median(err, axis=0)
+
+
+def test_lk_matches_cv2_on_rotation_warp():
+    img = _textured_image(480, 640, seed=2)
+    M = cv2.getRotationMatrix2D((320, 240), 1.5, 1.0)  # degrees
+    img2 = cv2.warpAffine(img, M, (640, 480))
+    pts, valid = detect_corners(jnp.asarray(img), max_corners=128, min_distance=30)
+    ours_pts, ours_st = pyramidal_lk(jnp.asarray(img), jnp.asarray(img2), pts, valid)
+
+    cv_pts, cv_st, _ = cv2.calcOpticalFlowPyrLK(
+        img.astype(np.uint8), img2.astype(np.uint8),
+        np.asarray(pts).reshape(-1, 1, 2).astype(np.float32), None
+    )
+    both = np.asarray(ours_st) & (cv_st.reshape(-1) == 1) & np.asarray(valid)
+    assert both.sum() > 30
+    diff = np.abs(np.asarray(ours_pts)[both] - cv_pts.reshape(-1, 2)[both])
+    assert np.median(diff) < 0.3, np.median(diff)
+
+
+# --- rotation RANSAC -------------------------------------------------------
+
+
+def _random_rays(n, seed):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, 3))
+    v[:, 2] = np.abs(v[:, 2]) + 1.0
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def test_estimate_rotation_exact():
+    p = _random_rays(200, 3)
+    w_true = np.array([0.02, -0.015, 0.03], np.float32)
+    R_true = np.asarray(so3.exp(jnp.asarray(w_true)))
+    q = p @ R_true.T
+    est = estimate_rotation(
+        jnp.asarray(p, jnp.float32), jnp.asarray(q, jnp.float32),
+        jnp.ones(200, bool), jax.random.PRNGKey(0),
+    )
+    assert int(est.num_inliers) > 190
+    np.testing.assert_allclose(np.asarray(est.rotation), R_true, atol=1e-4)
+
+
+def test_estimate_rotation_with_outliers():
+    rng = np.random.default_rng(4)
+    p = _random_rays(200, 5)
+    R_true = np.asarray(so3.exp(jnp.asarray([0.01, 0.025, -0.02], jnp.float32)))
+    q = p @ R_true.T
+    # 30% gross outliers + small noise on inliers
+    out = rng.random(200) < 0.3
+    q[out] = _random_rays(int(out.sum()), 6)
+    q += rng.normal(size=q.shape) * 5e-4
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    est = estimate_rotation(
+        jnp.asarray(p, jnp.float32), jnp.asarray(q, jnp.float32),
+        jnp.ones(200, bool), jax.random.PRNGKey(1), threshold_rad=0.005,
+    )
+    assert int(est.num_inliers) > 100
+    err = np.asarray(so3.log(jnp.asarray(np.asarray(est.rotation) @ R_true.T)))
+    assert np.linalg.norm(err) < 2e-3
+
+
+def test_rotation_fallback_gate():
+    prev = np.asarray(so3.exp(jnp.asarray([0.01, 0.0, 0.0], jnp.float32)))
+    weak = RotationEstimate(
+        rotation=jnp.eye(3), num_inliers=jnp.int32(10), inliers=jnp.zeros(5, bool)
+    )
+    strong = RotationEstimate(
+        rotation=jnp.eye(3), num_inliers=jnp.int32(80), inliers=jnp.zeros(5, bool)
+    )
+    np.testing.assert_allclose(
+        np.asarray(rotation_with_fallback(weak, jnp.asarray(prev))), prev
+    )
+    np.testing.assert_allclose(
+        np.asarray(rotation_with_fallback(strong, jnp.asarray(prev))), np.eye(3)
+    )
+
+
+def test_rotation_from_projected_corners_end_to_end():
+    """Full chain: project points with fisheye camera, rotate camera,
+    estimate the rotation back from pixel pairs (the consume_frame flow,
+    opencv/FrameSourceWarp.cpp:397-447)."""
+    cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (640, 480))
+    rng = np.random.default_rng(7)
+    pix_prev = rng.uniform([60, 60], [580, 420], size=(150, 2)).astype(np.float32)
+    rays_prev = np.asarray(cam.unproject_unit(jnp.asarray(pix_prev)))
+    R_cam = np.asarray(so3.exp(jnp.asarray([0.008, -0.012, 0.01], jnp.float32)))
+    # Camera rotates by R_cam => observed ray directions rotate by R_cam^T.
+    rays_curr = rays_prev @ R_cam  # == (R_cam^T @ rays^T)^T
+    pix_curr = np.asarray(cam.project(jnp.asarray(rays_curr, jnp.float32)))
+    inside = (
+        (pix_curr[:, 0] > 0) & (pix_curr[:, 0] < 639)
+        & (pix_curr[:, 1] > 0) & (pix_curr[:, 1] < 479)
+    )
+    est = estimate_rotation(
+        cam.unproject_unit(jnp.asarray(pix_prev)),
+        cam.unproject_unit(jnp.asarray(pix_curr)),
+        jnp.asarray(inside),
+        jax.random.PRNGKey(2),
+        threshold_rad=8.0 / float(cam.fx),  # reference's 8 px gate
+    )
+    err = np.asarray(so3.log(jnp.asarray(np.asarray(est.rotation) @ R_cam)))
+    # est.rotation ~= R_cam^T
+    assert np.linalg.norm(err) < 1e-3, err

@@ -1,0 +1,118 @@
+"""SG/Kalman/gyro smoothing tests: polynomial reproduction, jitter removal."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from video_annotator_tpu import so3
+from video_annotator_tpu.smoothing.savgol import (
+    savgol_weights,
+    smooth_rotations,
+    stabilization_corrections,
+)
+from video_annotator_tpu.smoothing.kalman import (
+    kalman_filter_1d,
+    smooth_rotations_kalman,
+)
+from video_annotator_tpu.smoothing.gyro import integrate_gyro
+
+
+def _shaky_trajectory(t=200, seed=0):
+    """Smooth pan + high-frequency jitter, as rotation matrices."""
+    rng = np.random.default_rng(seed)
+    ts = np.arange(t)
+    smooth = np.stack(
+        [
+            0.001 * ts,  # slow pan
+            0.0005 * np.sin(ts / 40.0),
+            np.zeros(t),
+        ],
+        axis=-1,
+    )
+    jitter = rng.normal(size=(t, 3)) * 0.004
+    return smooth.astype(np.float32), (smooth + jitter).astype(np.float32)
+
+
+def test_savgol_weights_sum_to_one():
+    w = savgol_weights(30, 2)
+    assert w.shape == (61,)
+    np.testing.assert_allclose(w.sum(), 1.0, atol=1e-5)
+
+
+def test_savgol_reproduces_quadratic():
+    # Order-2 SG must pass quadratics through unchanged.
+    w = savgol_weights(10, 2).astype(np.float64)
+    t = np.arange(-10, 11, dtype=np.float64)
+    for poly in (np.ones_like(t), t, t**2):
+        # weights are float32; quadratic reproduction holds to f32 rounding
+        np.testing.assert_allclose((w * poly).sum(), poly[10], atol=1e-5)
+
+
+def test_savgol_matches_scipy():
+    from scipy.signal import savgol_coeffs
+
+    w = savgol_weights(15, 2)
+    ref = savgol_coeffs(31, 2, pos=15)[::-1]
+    np.testing.assert_allclose(w, ref, atol=1e-5)
+
+
+def test_smooth_rotations_removes_jitter():
+    smooth_w, noisy_w = _shaky_trajectory()
+    noisy_R = so3.exp(jnp.asarray(noisy_w))
+    out = smooth_rotations(noisy_R, radius=30)
+    out_w = np.asarray(so3.log(out))
+    # Residual vs the true smooth trajectory shrinks a lot (interior only).
+    err_in = np.linalg.norm(noisy_w[40:-40] - smooth_w[40:-40], axis=-1).mean()
+    err_out = np.linalg.norm(out_w[40:-40] - smooth_w[40:-40], axis=-1).mean()
+    assert err_out < err_in * 0.35, (err_in, err_out)
+    # Outputs are valid rotations.
+    R = np.asarray(out)
+    np.testing.assert_allclose(
+        R @ R.transpose(0, 2, 1), np.broadcast_to(np.eye(3), R.shape), atol=1e-5
+    )
+
+
+def test_stabilization_modes():
+    _, noisy_w = _shaky_trajectory(t=100)
+    R = so3.exp(jnp.asarray(noisy_w))
+    none = stabilization_corrections(R, "none")
+    np.testing.assert_allclose(
+        np.asarray(none), np.broadcast_to(np.eye(3), (100, 3, 3)), atol=1e-6
+    )
+    fixed = stabilization_corrections(R, "fixed")
+    np.testing.assert_allclose(np.asarray(fixed), np.asarray(R), atol=1e-6)
+    sm = stabilization_corrections(R, "smooth", radius=20)
+    # Warp rotations should be small (they only cancel the jitter).
+    angles = np.linalg.norm(np.asarray(so3.log(sm)), axis=-1)
+    assert angles.max() < 0.05
+
+
+def test_kalman_tracks_ramp():
+    t = np.arange(200, dtype=np.float32)
+    z = 0.01 * t + np.random.default_rng(1).normal(size=200).astype(np.float32) * 0.05
+    out = np.asarray(kalman_filter_1d(jnp.asarray(z)))
+    # Steady-state tracking of the ramp with reduced noise.
+    resid = out[50:] - 0.01 * t[50:]
+    assert np.abs(resid).mean() < 0.03
+
+
+def test_kalman_rotations_shape_and_validity():
+    _, noisy_w = _shaky_trajectory(t=120)
+    out = smooth_rotations_kalman(so3.exp(jnp.asarray(noisy_w)))
+    R = np.asarray(out)
+    assert R.shape == (120, 3, 3)
+    np.testing.assert_allclose(
+        R @ R.transpose(0, 2, 1), np.broadcast_to(np.eye(3), R.shape), atol=1e-4
+    )
+
+
+def test_integrate_gyro_constant_rate():
+    # Constant angular rate about y: after 1s the camera rotated by w rad.
+    s = 1000
+    ts = np.linspace(0.0, 1.0, s).astype(np.float32)
+    omega = np.tile(np.array([0.0, 0.4, 0.0], np.float32), (s, 1))
+    frame_ts = np.linspace(0.0, 1.0, 31).astype(np.float32)
+    R = integrate_gyro(jnp.asarray(omega), jnp.asarray(ts), jnp.asarray(frame_ts))
+    w_frames = np.asarray(so3.log(R))
+    expected = np.outer(frame_ts, [0.0, 0.4, 0.0])
+    np.testing.assert_allclose(w_frames, expected, atol=2e-3)

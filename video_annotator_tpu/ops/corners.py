@@ -1,0 +1,140 @@
+"""Shi-Tomasi (min-eigenvalue) corner detection, vectorized for TPU.
+
+Replaces ``cv::goodFeaturesToTrack(image, corners, 200, 0.01, 30)``
+(``opencv/FrameSourceWarp.cpp:228-240``). The reference's greedy
+min-distance suppression is inherently sequential; the TPU-native
+formulation gets the same spatial spread with a fixed-shape algorithm:
+
+1. Sobel gradients + 3x3 box-filtered structure tensor (convolutions — MXU
+   work), min-eigenvalue response (VPU), like cv2's ``blockSize=3`` default.
+2. Quality threshold at ``quality_level * max(response)``.
+3. Spatial spread: partition the image into ``min_distance``-sized cells,
+   keep each cell's argmax (one corner per cell ~= pairwise distance >=
+   min_distance), then take the global top-``max_corners`` cells.
+
+Outputs are fixed-shape: ``(max_corners, 2)`` float32 (x, y) positions plus a
+validity mask, so the whole pipeline stays jit-compatible.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _conv2d(img: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Same-padded single-channel 2D convolution."""
+    return jax.lax.conv_general_dilated(
+        img[None, None, :, :],
+        kernel[None, None, :, :],
+        window_strides=(1, 1),
+        padding="SAME",
+        preferred_element_type=jnp.float32,
+    )[0, 0]
+
+
+def shi_tomasi_response(img: jax.Array, block_size: int = 3) -> jax.Array:
+    """Min-eigenvalue corner response map (cv2 ``cornerMinEigenVal``-like).
+
+    ``img`` is (H, W) float32. Uses Sobel gradients and a ``block_size``
+    box window for the structure tensor.
+    """
+    img = img.astype(jnp.float32)
+    sobel_x = jnp.array(
+        [[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], jnp.float32
+    )
+    ix = _conv2d(img, sobel_x)
+    iy = _conv2d(img, sobel_x.T)
+    box = jnp.ones((block_size, block_size), jnp.float32) / (block_size * block_size)
+    a = _conv2d(ix * ix, box)
+    b = _conv2d(ix * iy, box)
+    c = _conv2d(iy * iy, box)
+    # min eigenvalue of [[a, b], [b, c]]
+    return (a + c) * 0.5 - jnp.sqrt(jnp.maximum(((a - c) * 0.5) ** 2 + b * b, 0.0))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_corners", "min_distance", "border")
+)
+def detect_corners(
+    img: jax.Array,
+    max_corners: int = 256,
+    quality_level: float = 0.01,
+    min_distance: int = 30,
+    border: int = 8,
+):
+    """Detect up to ``max_corners`` well-spread corners.
+
+    Returns ``(points, valid)``: points (max_corners, 2) float32 in (x, y)
+    order; valid (max_corners,) bool. Defaults mirror the reference's
+    ``goodFeaturesToTrack`` call (quality 0.01, min distance 30 —
+    ``opencv/FrameSourceWarp.cpp:230``), with a fixed output count.
+    """
+    h, w = img.shape
+    resp = shi_tomasi_response(img)
+
+    # Suppress the border (gradient/window edge effects + LK window room).
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inside = (
+        (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+    )
+    resp = jnp.where(inside, resp, 0.0)
+
+    threshold = jnp.max(resp) * quality_level
+
+    # One corner per min_distance cell: pad to a cell multiple and reduce.
+    cell = max(int(min_distance), 1)
+    ny = -(-h // cell)
+    nx = -(-w // cell)
+    padded = jnp.full((ny * cell, nx * cell), -1.0, jnp.float32)
+    padded = padded.at[:h, :w].set(resp)
+    cells = padded.reshape(ny, cell, nx, cell).transpose(0, 2, 1, 3).reshape(
+        ny, nx, cell * cell
+    )
+    cell_best = jnp.max(cells, axis=-1)
+    cell_arg = jnp.argmax(cells, axis=-1)
+    cy = cell_arg // cell
+    cx = cell_arg % cell
+    py_g = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0) * cell + cy
+    px_g = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1) * cell + cx
+
+    # Cells are disjoint, but winners of adjacent cells can still sit closer
+    # than min_distance across the boundary. Suppress a cell when a stronger
+    # 8-neighbor's winner is within min_distance (ties broken by scan order),
+    # which guarantees the pairwise distance like cv2's greedy suppression.
+    def shift(arr, dy, dx, fill):
+        return jnp.roll(
+            jnp.pad(arr, 1, constant_values=fill), (dy, dx), axis=(0, 1)
+        )[1:-1, 1:-1]
+
+    keep = jnp.ones((ny, nx), bool)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            n_score = shift(cell_best, dy, dx, -jnp.inf)
+            n_py = shift(py_g, dy, dx, -(10 * cell))
+            n_px = shift(px_g, dy, dx, -(10 * cell))
+            d2 = (py_g - n_py) ** 2 + (px_g - n_px) ** 2
+            stronger = (n_score > cell_best) | (
+                (n_score == cell_best) & ((dy < 0) | ((dy == 0) & (dx < 0)))
+            )
+            keep &= ~((d2 < min_distance * min_distance) & stronger)
+
+    py = py_g.reshape(-1)
+    px = px_g.reshape(-1)
+    scores = jnp.where(keep, cell_best, -1.0).reshape(-1)
+
+    k = min(max_corners, scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    points = jnp.stack(
+        [px[top_idx].astype(jnp.float32), py[top_idx].astype(jnp.float32)], axis=-1
+    )
+    valid = top_scores > jnp.maximum(threshold, 0.0)
+    if k < max_corners:
+        points = jnp.pad(points, ((0, max_corners - k), (0, 0)))
+        valid = jnp.pad(valid, (0, max_corners - k))
+    return points, valid

@@ -153,30 +153,35 @@ def plan_warp(
         by = sy.reshape(ny, TILE_H, nx, TILE_W)
         tmin_x = bx.min(axis=(1, 3))
         tmin_y = by.min(axis=(1, 3))
+        tmax_y = by.max(axis=(1, 3))
         max_dx = max(max_dx, float((bx.max(axis=(1, 3)) - tmin_x).max()))
-        max_dy = max(max_dy, float((by.max(axis=(1, 3)) - tmin_y).max()))
-        # Corner-based min (what _tile_origins computes per frame).
-        cgx = sx[:: TILE_H, :: TILE_W]
-        cgy = sy[:: TILE_H, :: TILE_W]
-        cgx = np.pad(cgx, ((0, 1), (0, 1)), mode="edge")
-        cgy = np.pad(cgy, ((0, 1), (0, 1)), mode="edge")
-        cmin_x = np.minimum(
-            np.minimum(cgx[:-1, :-1], cgx[:-1, 1:]),
-            np.minimum(cgx[1:, :-1], cgx[1:, 1:]),
+        max_dy = max(max_dy, float((tmax_y - tmin_y).max()))
+        # Sampled bounds on the same sub-tile grid _tile_origins uses; the
+        # dip is how far the true extremum escapes the sampled one.
+        sw = np.lib.stride_tricks.sliding_window_view
+        sgx = sx[::SUB_Y, ::SUB_X]
+        sgy = sy[::SUB_Y, ::SUB_X]
+        smin_x = sw(sgx, (3, 5))[::2, ::4].min(axis=(2, 3))
+        smin_y = sw(sgy, (3, 5))[::2, ::4].min(axis=(2, 3))
+        smax_y = sw(sgy, (3, 5))[::2, ::4].max(axis=(2, 3))
+        # The in-plan sample grid lacks the far boundary row/col, so it
+        # covers one tile less per axis; compare on the shared region (edge
+        # tiles behave like their neighbors, and the margin adds slack).
+        cy, cx_ = smin_x.shape
+        dip_x = max(dip_x, float((smin_x - tmin_x[:cy, :cx_]).max()))
+        dip_y = max(
+            dip_y,
+            float((smin_y - tmin_y[:cy, :cx_]).max()),
+            float((tmax_y[:cy, :cx_] - smax_y).max()),
         )
-        cmin_y = np.minimum(
-            np.minimum(cgy[:-1, :-1], cgy[:-1, 1:]),
-            np.minimum(cgy[1:, :-1], cgy[1:, 1:]),
-        )
-        dip_x = max(dip_x, float((cmin_x - tmin_x).max()))
-        dip_y = max(dip_y, float((cmin_y - tmin_y).max()))
 
     margin_x = int(math.ceil(dip_x)) + 3
     margin_y = int(math.ceil(dip_y)) + 3
     # Window must cover: margin below the corner min, the tile's true source
-    # extent, and +2 for the upper bilinear tap.
-    wh = _round_up(int(math.ceil(max_dy)) + margin_y + 4, 8)
-    ww = _round_up(int(math.ceil(max_dx)) + margin_x + 4, 128)
+    # extent, +2 for the upper bilinear tap, and the (8, 128) alignment
+    # rounding of the origins.
+    wh = _round_up(int(math.ceil(max_dy)) + margin_y + 4 + 8, 8)
+    ww = _round_up(int(math.ceil(max_dx)) + margin_x + 4 + 128, 128)
     wh = min(wh, _round_up(in_camera.height, 8))
     ww = min(ww, _round_up(in_camera.width, 128))
     return WarpPlan(
@@ -204,56 +209,93 @@ def _rodrigues_np(w: np.ndarray) -> np.ndarray:
     return np.eye(3) + math.sin(theta) * K + (1 - math.cos(theta)) * (K @ K)
 
 
+# Sub-tile sampling steps for the origin pass: each (8, 128) tile is probed
+# at a 3x5 interior grid, so the per-tile min/max bounds are tight (map
+# curvature between samples is well under a pixel) and the safety margin
+# stays small.
+SUB_Y = 4
+SUB_X = 32
+
+
+def _tile_bounds_grid(
+    plan: WarpPlan,
+    out_camera: Camera,
+    in_camera: Camera,
+    rotation: jax.Array,
+):
+    """Per-tile (min, max) source bounds via a dense sampled map."""
+    ny, nx = plan.grid
+    ys = jnp.arange(2 * ny + 1, dtype=jnp.float32) * SUB_Y
+    xs = jnp.arange(4 * nx + 1, dtype=jnp.float32) * SUB_X
+    grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
+    rays = out_camera.unproject(grid)
+    rotated = jnp.einsum(
+        "ij,hwj->hwi", rotation.astype(jnp.float32), rays,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    src = in_camera.project(rotated)  # (2ny+1, 4nx+1, 2)
+    # Clamp wild out-of-image coordinates (see plan_warp) before bounding.
+    sx = jnp.clip(src[..., 0], -8.0, plan.in_w + 8.0)
+    sy = jnp.clip(src[..., 1], -8.0, plan.in_h + 8.0)
+
+    def per_tile(arr, op, init):
+        return jax.lax.reduce_window(
+            arr, init, op, window_dimensions=(3, 5), window_strides=(2, 4),
+            padding="VALID",
+        )
+
+    min_x = per_tile(sx, jax.lax.min, jnp.inf)
+    max_x = per_tile(sx, jax.lax.max, -jnp.inf)
+    min_y = per_tile(sy, jax.lax.min, jnp.inf)
+    max_y = per_tile(sy, jax.lax.max, -jnp.inf)
+    return min_x, max_x, min_y, max_y
+
+
 def _tile_origins(
     plan: WarpPlan,
     out_camera: Camera,
     in_camera: Camera,
     rotation: jax.Array,
 ):
-    """Per-tile window origins for one frame (cheap XLA pass).
-
-    Evaluates the map at tile corners only ((ny+1) x (nx+1) points), takes the
-    per-tile min over the 4 surrounding corners, subtracts a safety margin
-    (interior curvature is far below it) and clamps so windows stay inside
-    the image.
-    """
-    ny, nx = plan.grid
-    ys = jnp.arange(ny + 1, dtype=jnp.float32) * TILE_H
-    xs = jnp.arange(nx + 1, dtype=jnp.float32) * TILE_W
-    grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)  # (ny+1,nx+1,2)
-    rays = out_camera.unproject(grid)
-    rotated = jnp.einsum(
-        "ij,hwj->hwi", rotation.astype(jnp.float32), rays,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    src = in_camera.project(rotated)  # (ny+1, nx+1, 2)
-
-    # Clamp wild out-of-image coordinates (see plan_warp) before bounding.
-    src = jnp.stack(
-        [
-            jnp.clip(src[..., 0], -8.0, plan.in_w + 8.0),
-            jnp.clip(src[..., 1], -8.0, plan.in_h + 8.0),
-        ],
-        axis=-1,
-    )
-    corner_min = jnp.minimum(
-        jnp.minimum(src[:-1, :-1], src[:-1, 1:]),
-        jnp.minimum(src[1:, :-1], src[1:, 1:]),
-    )  # (ny, nx, 2)
-    corner_max = jnp.maximum(
-        jnp.maximum(src[:-1, :-1], src[:-1, 1:]),
-        jnp.maximum(src[1:, :-1], src[1:, 1:]),
-    )
-    ox = jnp.floor(corner_min[..., 0] - plan.margin_x).astype(jnp.int32)
-    oy = jnp.floor(corner_min[..., 1] - plan.margin_y).astype(jnp.int32)
-    ox = jnp.clip(ox, 0, max(plan.in_w - plan.ww, 0))
-    oy = jnp.clip(oy, 0, max(plan.in_h - plan.wh, 0))
+    """Per-tile window origins + active row range for one frame (XLA pass)."""
+    min_x, _, min_y, max_y = _tile_bounds_grid(plan, out_camera, in_camera, rotation)
+    ox = jnp.floor(min_x - plan.margin_x).astype(jnp.int32)
+    oy = jnp.floor(min_y - plan.margin_y).astype(jnp.int32)
+    # HBM->VMEM DMA slices must start on the (8, 128) tile grid; round the
+    # origins down (the plan adds the alignment loss to the window size).
+    ox = (jnp.clip(ox, 0, max(plan.in_w - plan.ww, 0)) // 128) * 128
+    oy = (jnp.clip(oy, 0, max(plan.in_h - plan.wh, 0)) // 8) * 8
     # Row range of the window that can carry nonzero vertical weight: tiles
     # in low-curvature regions span far fewer than ``wh`` rows, and the
     # kernel's row loop runs only over [0, d_hi).
-    d_hi = jnp.ceil(corner_max[..., 1] + plan.margin_y).astype(jnp.int32) - oy + 2
+    d_hi = jnp.ceil(max_y + plan.margin_y).astype(jnp.int32) - oy + 2
     d_hi = jnp.clip(d_hi, 0, plan.wh)
     return oy, ox, d_hi
+
+
+def _atan(x: jax.Array) -> jax.Array:
+    """float32 arctangent via odd minimax polynomial (Mosaic has no atan).
+
+    Max error ~2e-7 on the reduced range; source-coordinate error after
+    multiplying by the focal length is < 1e-3 px — far below the bilinear
+    tolerance. Range-reduces |x| > 1 through atan(x) = pi/2 - atan(1/x).
+    """
+    ax = jnp.abs(x)
+    inv = ax > 1.0
+    z = jnp.where(inv, 1.0 / jnp.maximum(ax, 1e-30), ax)
+    t = z * z
+    # Coefficients of the classic degree-15 odd minimax fit on [0, 1].
+    p = -0.0040540580
+    p = p * t + 0.0218612288
+    p = p * t + -0.0559098861
+    p = p * t + 0.0964200441
+    p = p * t + -0.1390853351
+    p = p * t + 0.1994653599
+    p = p * t + -0.3332985605
+    p = p * t + 0.9999993329
+    r = z * p
+    r = jnp.where(inv, (math.pi / 2) - r, r)
+    return jnp.where(x < 0, -r, r)
 
 
 def _gather_row(seg_rows, idx):
@@ -287,8 +329,8 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera):
     def kernel(rot_ref, oy_ref, ox_ref, dhi_ref, in_hbm, out_ref, win, sem):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
-        oy = oy_ref[ty, tx]
-        ox = ox_ref[ty, tx]
+        oy = pl.multiple_of(oy_ref[ty, tx], 8)
+        ox = pl.multiple_of(ox_ref[ty, tx], 128)
 
         copy = pltpu.make_async_copy(
             in_hbm.at[pl.ds(oy, wh), pl.ds(ox, ww)], win, sem
@@ -311,7 +353,7 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera):
         if in_fisheye:
             r2 = a * a + b * b
             rr = jnp.sqrt(r2)
-            theta = jnp.arctan(rr)
+            theta = _atan(rr)
             if any(abs(k) > 0 for k in (k1, k2, k3, k4)):
                 t2 = theta * theta
                 theta = theta * (1.0 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4))))
@@ -341,24 +383,31 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera):
 
         # Only rows [0, d_hi) of the window can carry nonzero vertical
         # weight for this tile; the prefetch pass computed the tile's span.
+        # Mosaic requires sublane-aligned dynamic loads, so iterate over
+        # aligned 8-row blocks with a static inner unroll.
         d_hi = dhi_ref[ty, tx]
+        n_blocks = (d_hi + 7) // 8
 
-        def body(d, acc):
-            # Vertical hat weight: nonzero only for the 2 bracketing rows.
-            df = d.astype(jnp.float32)
-            wy = jnp.maximum(1.0 - jnp.abs(syr - df), 0.0)
-            segs = [
-                jnp.broadcast_to(
-                    win[pl.ds(d, 1), pl.ds(s * 128, 128)], (TILE_H, TILE_W)
-                )
-                for s in range(nsec)
+        def block_body(i, acc):
+            d8 = pl.multiple_of(i * 8, 8)
+            blocks = [
+                win[pl.ds(d8, 8), pl.ds(s * 128, 128)] for s in range(nsec)
             ]
-            v0 = _gather_row(segs, ix0)
-            v1 = _gather_row(segs, ix0 + 1)
-            return acc + wy * (v0 * (1.0 - fx) + v1 * fx)
+            base = d8.astype(jnp.float32)
+            for r in range(8):
+                # Vertical hat weight: nonzero only for 2 bracketing rows.
+                wy = jnp.maximum(1.0 - jnp.abs(syr - (base + float(r))), 0.0)
+                segs = [
+                    jnp.broadcast_to(b[r : r + 1, :], (TILE_H, TILE_W))
+                    for b in blocks
+                ]
+                v0 = _gather_row(segs, ix0)
+                v1 = _gather_row(segs, ix0 + 1)
+                acc = acc + wy * (v0 * (1.0 - fx) + v1 * fx)
+            return acc
 
         acc = jax.lax.fori_loop(
-            0, d_hi, body, jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            0, n_blocks, block_body, jnp.zeros((TILE_H, TILE_W), jnp.float32)
         )
         out_ref[...] = jnp.where(valid, acc, 0.0)
 

@@ -1,0 +1,122 @@
+"""Savitzky-Golay smoothing of rotation trajectories.
+
+The reference smooths the accumulated camera rotation with
+``gram_sg::RotationFilter(SavitzkyGolayFilterConfig(radius, 0, 2, 0))`` — a
+centered window of ``2*radius + 1`` rotations, polynomial order 2, evaluated
+at the center (``opencv/FrameSourceWarp.cpp:212,444,471``); the correction
+applied per frame is ``(R_smooth * R_measured^-1)^-1``
+(``opencv/FrameSourceWarp.cpp:468-475``).
+
+TPU-native shape: instead of a streaming deque, the whole trajectory (or a
+sharded block of it with halo — see ``parallel/temporal.py``) is smoothed at
+once: the 9 matrix entries are convolved with the SG kernel (one small
+matmul over the time axis) and the results are projected back onto SO(3)
+with a batched polar projection — the chordal-metric weighted rotation mean.
+Endpoints replicate the terminal rotations, matching the reference's EOF
+behavior of replaying the last rotation into the filter
+(``opencv/FrameSourceWarp.cpp:457-460``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import math
+
+import numpy as np
+
+from video_annotator_tpu import so3
+
+
+def savgol_weights(radius: int, order: int = 2, pos: int = 0, deriv: int = 0):
+    """SG kernel over window [-radius, radius], evaluated at ``pos``.
+
+    Least-squares polynomial fit weights (the Gram-polynomial construction
+    used by gram_sg reduces to the same projection). Returns (2*radius+1,)
+    float32, index 0 = t-radius.
+    """
+    t = np.arange(-radius, radius + 1, dtype=np.float64)
+    A = np.stack([t**k for k in range(order + 1)], axis=1)  # (w, order+1)
+    # value (or s-th derivative) of the fitted polynomial at pos:
+    # f^(s)(pos) = sum_k c_k * k!/(k-s)! * pos^(k-s)
+    e = np.zeros(order + 1)
+    for k in range(deriv, order + 1):
+        e[k] = (math.factorial(k) / math.factorial(k - deriv)) * (
+            float(pos) ** (k - deriv)
+        )
+    w = e @ np.linalg.pinv(A)  # (window,)
+    return w.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "order"))
+def smooth_rotations(
+    rotations: jax.Array,  # (T, 3, 3)
+    radius: int,
+    order: int = 2,
+) -> jax.Array:
+    """Smooth a rotation trajectory; returns (T, 3, 3).
+
+    Replicate-pads both ends by ``radius`` (the reference's lookahead
+    warm-up/EOF semantics), convolves entrywise with the SG kernel, and
+    projects each result back to SO(3).
+    """
+    w = jnp.asarray(savgol_weights(radius, order))
+    t = rotations.shape[0]
+    flat = rotations.reshape(t, 9)
+    padded = jnp.concatenate(
+        [
+            jnp.broadcast_to(flat[:1], (radius, 9)),
+            flat,
+            jnp.broadcast_to(flat[-1:], (radius, 9)),
+        ],
+        axis=0,
+    )
+    # (T, window) gather via a strided sliding window expressed as conv:
+    # conv1d over time with the SG kernel, independently per entry.
+    smoothed = jax.lax.conv_general_dilated(
+        padded.T[:, None, :],  # (9, 1, T + 2r)
+        w[None, None, :],  # (1, 1, window)
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )[:, 0, :].T  # (T, 9)
+    return so3.project(smoothed.reshape(t, 3, 3))
+
+
+def stabilization_corrections(
+    measured: jax.Array,  # (T, 3, 3) accumulated camera rotations
+    mode: str,
+    radius: int = 30,
+    order: int = 2,
+) -> jax.Array:
+    """Per-frame warp rotations for a stabilization mode.
+
+    Mirrors the reference's modes (``--stabilise none|fixed|smooth``,
+    ``src/cli.ts:80-85``; libdewobble ``stab: none|fixed|sg``,
+    ``src/render.ts:669-678``):
+
+    - ``none``: identity corrections (reproject only);
+    - ``fixed``: lock the camera to its initial attitude — correction
+      removes the full measured rotation;
+    - ``smooth``: SG-filtered trajectory; correction =
+      ``((R_smooth R_meas^-1)^-1)`` = the rotation handed to the warp
+      (``opencv/FrameSourceWarp.cpp:472-475``).
+    """
+    t = measured.shape[0]
+    if mode == "none":
+        return jnp.broadcast_to(jnp.eye(3, dtype=measured.dtype), (t, 3, 3))
+    if mode == "fixed":
+        # warp rotation = R_meas^-1 inverted twice in the reference's
+        # convention: correction^-1 with correction = (I * R^-1)^-1 = R.
+        return measured
+    if mode == "smooth":
+        smoothed = smooth_rotations(measured, radius, order)
+        # warp rotation = correction^-1 = (R_smooth R_meas^-1)^-1... the
+        # kernel receives rotation_correction.inv()
+        # (opencv/FrameSourceWarp.cpp:475): R_meas R_smooth^-1 ... applied
+        # to output rays.
+        return so3.matmul(measured, jnp.swapaxes(smoothed, -1, -2))
+    raise ValueError(f"unknown stabilisation mode: {mode!r}")
