@@ -1,0 +1,73 @@
+"""Headline benchmark: 4K stabilized-warp throughput per chip.
+
+Measures the encode-phase hot loop — per-frame fused map+warp of a full
+YUV 4:2:0 4K GoPro frame (luma + both chroma planes) with a per-frame
+stabilization rotation — on the real TPU chip, and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+
+Baseline: BASELINE.json north star = 4x real-time 4K60 per chip (240 fps).
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from video_annotator_tpu import so3
+    from video_annotator_tpu.camera import (
+        CameraPreset,
+        get_output_camera,
+        get_preset_camera,
+    )
+    from video_annotator_tpu.pipeline.render import FrameWarper
+
+    w, h = 3840, 2880  # 4K GoPro 4:3
+    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (w, h))
+    out_cam = get_output_camera(in_cam, scale=1.0, crop_borders=True)
+    warper = FrameWarper(in_cam, out_cam, max_correction_deg=6.0)
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
+    u = jnp.asarray(rng.uniform(0, 255, (h // 2, w // 2)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(0, 255, (h // 2, w // 2)).astype(np.float32))
+
+    # Per-frame rotations (small stabilization corrections).
+    rots = so3.exp(jnp.asarray(rng.normal(size=(16, 3)) * 0.01, jnp.float32))
+
+    # Warm up / compile.
+    wy, wu, wv = warper(y, u, v, rots[0])
+    wy.block_until_ready()
+
+    n = 60
+    t0 = time.perf_counter()
+    for i in range(n):
+        wy, wu, wv = warper(y, u, v, rots[i % 16])
+    wy.block_until_ready()
+    wu.block_until_ready()
+    wv.block_until_ready()
+    dt = (time.perf_counter() - t0) / n
+    fps = 1.0 / dt
+
+    baseline_fps = 240.0  # 4x real-time 4K60 per chip (BASELINE.json)
+    print(
+        json.dumps(
+            {
+                "metric": "4k_stabilized_warp_fps_per_chip",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / baseline_fps, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,15 +1,12 @@
 """Test configuration: force CPU with a virtual 8-device mesh.
 
 No TPU is available in CI; multi-device sharding tests use the standard JAX
-fake-cluster trick (``--xla_force_host_platform_device_count``). Must run
-before the first ``import jax`` in any test module.
+fake-cluster trick. NOTE: this environment's axon ``sitecustomize`` imports
+jax at interpreter start and registers the remote TPU, so env vars set here
+are too late — the platform must be forced through ``jax.config``.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

@@ -1,0 +1,95 @@
+"""IO tests: y4m roundtrip, cv2 mp4 roundtrip, synthetic source."""
+
+import numpy as np
+from fractions import Fraction
+
+from video_annotator_tpu.io.video import (
+    VideoMeta,
+    bgr_to_yuv420,
+    open_reader,
+    open_writer,
+    yuv420_to_bgr,
+)
+from video_annotator_tpu.io.y4m import Y4MReader, Y4MWriter
+
+
+def _planes(w, h, seed):
+    rng = np.random.default_rng(seed)
+    return (
+        rng.integers(0, 256, (h, w), np.uint8),
+        rng.integers(0, 256, (h // 2, w // 2), np.uint8),
+        rng.integers(0, 256, (h // 2, w // 2), np.uint8),
+    )
+
+
+def test_y4m_roundtrip(tmp_path):
+    path = str(tmp_path / "t.y4m")
+    wr = Y4MWriter(path, 64, 32, Fraction(24, 1))
+    frames = [_planes(64, 32, i) for i in range(5)]
+    for f in frames:
+        wr.write(*f)
+    wr.close()
+    rd = Y4MReader(path)
+    assert rd.header.width == 64 and rd.header.height == 32
+    assert rd.header.fps == Fraction(24, 1)
+    got = list(rd)
+    assert len(got) == 5
+    for (y, u, v), (y2, u2, v2) in zip(frames, got):
+        np.testing.assert_array_equal(y, y2)
+        np.testing.assert_array_equal(u, u2)
+        np.testing.assert_array_equal(v, v2)
+
+
+def test_reader_writer_roundtrip_y4m(tmp_path):
+    path = str(tmp_path / "rw.y4m")
+    meta = VideoMeta(48, 32, Fraction(30, 1))
+    w = open_writer(path, meta)
+    for i in range(3):
+        w.write(_planes(48, 32, i))
+    w.close()
+    r = open_reader(path)
+    assert r.meta.width == 48 and r.meta.num_frames == 3
+    assert len(list(r)) == 3
+
+
+def test_mp4_roundtrip(tmp_path):
+    path = str(tmp_path / "t.mp4")
+    meta = VideoMeta(64, 48, Fraction(30, 1))
+    w = open_writer(path, meta)
+    for i in range(4):
+        y = np.full((48, 64), 100 + i * 20, np.uint8)
+        u = np.full((24, 32), 128, np.uint8)
+        v = np.full((24, 32), 128, np.uint8)
+        w.write((y, u, v))
+    w.close()
+    r = open_reader(path)
+    frames = list(r)
+    assert len(frames) == 4
+    # lossy codec: luminance preserved within a few levels
+    assert abs(int(frames[0][0].mean()) - 100) < 10
+    assert abs(int(frames[3][0].mean()) - 160) < 12
+
+
+def test_yuv_bgr_roundtrip():
+    y, _, _ = _planes(64, 32, 7)
+    rng = np.random.default_rng(8)
+    # keep chroma near neutral: saturated random UV leaves the RGB gamut
+    # and clips, which would break the roundtrip for non-physical colors
+    u = rng.integers(118, 138, (16, 32), np.uint8)
+    v = rng.integers(118, 138, (16, 32), np.uint8)
+    bgr = yuv420_to_bgr(y, u, v)
+    y2, u2, v2 = bgr_to_yuv420(bgr)
+    # 4:2:0 conversions are lossy; luma roundtrips closely.
+    assert np.abs(y.astype(int) - y2.astype(int)).mean() < 3
+
+
+def test_synthetic_source():
+    r = open_reader("synthetic://shaky?w=128&h=96&n=6&seed=1")
+    assert r.meta.width == 128 and r.meta.num_frames == 6
+    frames = list(r)
+    assert len(frames) == 6
+    y0, u0, v0 = frames[0]
+    assert y0.shape == (96, 128) and u0.shape == (48, 64)
+    assert y0.std() > 20  # textured
+    # consecutive frames differ (camera moves)
+    assert np.abs(frames[1][0].astype(int) - y0.astype(int)).mean() > 0.5

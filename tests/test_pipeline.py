@@ -1,0 +1,114 @@
+"""End-to-end pipeline tests on synthetic ground-truth footage."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from video_annotator_tpu import so3
+from video_annotator_tpu.io.synthetic import SyntheticCamera, SyntheticSource
+from video_annotator_tpu.io.video import open_reader
+from video_annotator_tpu.pipeline.render import (
+    RenderOptions,
+    analyse,
+    compute_corrections,
+    render,
+)
+from video_annotator_tpu.pipeline.trajectory import Trajectory, trajectory_path
+from video_annotator_tpu.camera import CameraPreset
+
+SRC = "synthetic://shaky?w=320&h=240&n=40&seed=3&shake=0.003&pan=0.001"
+OPTS = dict(preset=CameraPreset.GOPRO_H4B_WIDE43_MEASURED)
+
+
+@pytest.fixture(scope="module")
+def traj():
+    return analyse(SRC, RenderOptions(**OPTS))
+
+
+def test_analyse_recovers_ground_truth(traj):
+    cfg = SyntheticSource.from_uri(SRC).config
+    w_true = cfg.rotation_vectors()  # R_t applied to rays; camera C_t = R_t^-1
+    R_true = np.asarray(so3.exp(jnp.asarray(w_true)))
+    # estimated accumulated rotation ~= R_t^-1 R_0
+    R_expect = R_true.transpose(0, 2, 1) @ R_true[0]
+    R_est = traj.rotations()
+    errs = []
+    for t in range(traj.num_frames):
+        errs.append(
+            np.linalg.norm(np.asarray(so3.log(jnp.asarray(R_est[t] @ R_expect[t].T))))
+        )
+    errs = np.degrees(np.asarray(errs))
+    assert errs.max() < 0.35, errs.max()  # < 0.35 degree drift over 40 frames
+
+
+def test_trajectory_roundtrip(tmp_path, traj):
+    p = str(tmp_path / "x.npz")
+    traj.save(p)
+    back = Trajectory.load(p)
+    np.testing.assert_allclose(back.rotvecs, traj.rotvecs)
+    assert back.fps == traj.fps
+
+
+def test_corrections_smooth_less_than_measured(traj):
+    o = RenderOptions(stabilise="smooth", stabilise_radius=10, **OPTS)
+    corr = compute_corrections(traj, o)
+    ang = np.linalg.norm(np.asarray(so3.log(jnp.asarray(corr))), axis=-1)
+    # corrections only cancel jitter: small angles
+    assert np.degrees(ang.max()) < 2.0
+
+
+def test_render_end_to_end_stabilizes(tmp_path):
+    """Full render: the stabilized output should move less frame-to-frame
+    than an unstabilized render of the same shaky clip."""
+    src = "synthetic://shaky?w=256&h=192&n=24&seed=5&shake=0.004&pan=0.0"
+    out_shaky = str(tmp_path / "shaky.y4m")
+    out_smooth = str(tmp_path / "smooth.y4m")
+    render(src, out_shaky, RenderOptions(stabilise="none", **OPTS))
+    render(
+        src,
+        out_smooth,
+        RenderOptions(stabilise="smooth", stabilise_radius=8, **OPTS),
+    )
+
+    def mean_abs_diff(path):
+        r = open_reader(path)
+        prev = None
+        diffs = []
+        for y, _, _ in r:
+            cur = y.astype(np.float32)
+            if prev is not None:
+                # central crop to dodge border in/out effects
+                h, w = cur.shape
+                c = (slice(h // 4, 3 * h // 4), slice(w // 4, 3 * w // 4))
+                diffs.append(np.abs(cur[c] - prev[c]).mean())
+            prev = cur
+        r.close()
+        return np.mean(diffs)
+
+    d_shaky = mean_abs_diff(out_shaky)
+    d_smooth = mean_abs_diff(out_smooth)
+    assert d_smooth < d_shaky * 0.55, (d_shaky, d_smooth)
+
+
+def test_analyse_only_then_encode_only(tmp_path):
+    src = "synthetic://shaky?w=256&h=192&n=12&seed=6"
+    dest = str(tmp_path / "o.y4m")
+    render(src, dest, RenderOptions(stabilise="smooth", analyse_only=True, **OPTS))
+    import os
+
+    assert os.path.exists(trajectory_path(dest))
+    assert not os.path.exists(dest)
+    render(src, dest, RenderOptions(stabilise="smooth", encode_only=True, **OPTS))
+    assert os.path.exists(dest)
+    r = open_reader(dest)
+    assert len(list(r)) == 12
+
+
+def test_encode_only_without_trajectory_errors(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        render(
+            "synthetic://shaky?w=128&h=96&n=4",
+            str(tmp_path / "missing.y4m"),
+            RenderOptions(stabilise="smooth", encode_only=True, **OPTS),
+        )

@@ -1,0 +1,144 @@
+"""Camera intrinsic calibration by differentiable bundle adjustment.
+
+Replaces the reference's OpenCV-sample calibration tool
+(``opencv/camera_calibration/camera_calibration.cpp``: chessboard views ->
+``fisheye::calibrate`` at ``:574`` / ``calibrateCameraRO`` at ``:587-589``,
+reporting RMS reprojection error at ``:488,600-606``). TPU-native approach:
+the projection model is already differentiable JAX code (``camera.py``), so
+calibration is plain gradient-based nonlinear least squares over
+(fx, fy, cx, cy, k1..k4, per-view pose) — no bespoke solver, and the same
+code path that runs in the pipeline is the one being calibrated.
+
+Input: an ``.npz`` with ``object_points`` (N, 3) board coordinates and
+``image_points`` (V, N, 2) detections per view (detections can come from
+``cv2.findChessboardCorners`` or any external tool).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_annotator_tpu import so3
+from video_annotator_tpu.camera import Camera, CameraModel
+
+
+def _project(params, obj_pts, model: CameraModel):
+    """Project board points through pose + intrinsics."""
+    fx, fy, cx, cy = params["fx"], params["fy"], params["cx"], params["cy"]
+    dist = params["dist"]
+    rvecs, tvecs = params["rvec"], params["tvec"]  # (V, 3)
+
+    R = so3.exp(rvecs)  # (V, 3, 3)
+    cam_pts = (
+        jnp.einsum("vij,nj->vni", R, obj_pts, precision=jax.lax.Precision.HIGHEST)
+        + tvecs[:, None, :]
+    )
+    x = cam_pts[..., 0] / cam_pts[..., 2]
+    y = cam_pts[..., 1] / cam_pts[..., 2]
+    if model == CameraModel.FISHEYE:
+        r = jnp.sqrt(x * x + y * y)
+        theta = jnp.arctan(r)
+        t2 = theta * theta
+        theta_d = theta * (
+            1.0 + t2 * (dist[0] + t2 * (dist[1] + t2 * (dist[2] + t2 * dist[3])))
+        )
+        s = jnp.where(r > 1e-9, theta_d / jnp.maximum(r, 1e-9), 1.0)
+        x, y = x * s, y * s
+    u = fx * x + cx
+    v = fy * y + cy
+    return jnp.stack([u, v], axis=-1)  # (V, N, 2)
+
+
+def calibrate(
+    object_points: np.ndarray,  # (N, 3)
+    image_points: np.ndarray,  # (V, N, 2)
+    image_size: Tuple[int, int],
+    model: CameraModel = CameraModel.FISHEYE,
+    steps: int = 4000,
+) -> Tuple[Camera, float]:
+    """Fit intrinsics + per-view poses; returns (camera, rms_error_px)."""
+    v = image_points.shape[0]
+    w, h = image_size
+    obj = jnp.asarray(object_points, jnp.float32)
+    img = jnp.asarray(image_points, jnp.float32)
+
+    # Initialization: principal point at center, focal from a 90-degree
+    # dfov guess, boards roughly 1 board-diagonal in front of the camera.
+    diag = float(np.linalg.norm(object_points.max(0) - object_points.min(0)))
+    params = {
+        "fx": jnp.asarray(0.8 * w, jnp.float32),
+        "fy": jnp.asarray(0.8 * w, jnp.float32),
+        "cx": jnp.asarray((w - 1) / 2.0, jnp.float32),
+        "cy": jnp.asarray((h - 1) / 2.0, jnp.float32),
+        "dist": jnp.zeros(4, jnp.float32),
+        "rvec": jnp.zeros((v, 3), jnp.float32),
+        "tvec": jnp.tile(
+            jnp.asarray([0.0, 0.0, max(diag, 1.0)], jnp.float32), (v, 1)
+        ),
+    }
+
+    def loss(p):
+        pred = _project(p, obj, model)
+        return jnp.mean(jnp.sum((pred - img) ** 2, axis=-1))
+
+    import optax
+
+    # Two-stage schedule: poses+focal first converge fast, distortion after.
+    opt = optax.adam(learning_rate=optax.exponential_decay(0.05, 1000, 0.5))
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        g = jax.grad(loss)(p)
+        updates, s = opt.update(g, s)
+        # Scale pixel-unit params up (adam is scale-free, but keep cx/cy and
+        # focals moving at pixel scale).
+        for k in ("fx", "fy", "cx", "cy"):
+            updates[k] = updates[k] * 100.0
+        p = optax.apply_updates(p, updates)
+        return p, s
+
+    for _ in range(steps):
+        params, state = step(params, state)
+
+    rms = float(jnp.sqrt(loss(params)))
+    cam = Camera.make(
+        params["fx"], params["fy"], params["cx"], params["cy"], w, h, model,
+        dist=params["dist"],
+    )
+    return cam, rms
+
+
+def calibrate_cli(points_path: str, model: str, size: str | None, output: str | None):
+    data = np.load(points_path)
+    obj = data["object_points"]
+    img = data["image_points"]
+    if size:
+        w, h = (int(x) for x in size.lower().split("x"))
+    elif "image_size" in data:
+        w, h = (int(x) for x in data["image_size"])
+    else:
+        w = int(np.ceil(img[..., 0].max())) + 1
+        h = int(np.ceil(img[..., 1].max())) + 1
+    cam, rms = calibrate(
+        obj, img, (w, h),
+        CameraModel.FISHEYE if model == "fisheye" else CameraModel.RECTILINEAR,
+    )
+    result = {
+        "model": cam.model.value,
+        "fx": float(cam.fx), "fy": float(cam.fy),
+        "cx": float(cam.cx), "cy": float(cam.cy),
+        "dist": [float(d) for d in np.asarray(cam.dist)],
+        "width": w, "height": h,
+        "rms_reprojection_error_px": rms,
+    }
+    text = json.dumps(result, indent=2)
+    print(text)
+    if output:
+        with open(output, "w") as f:
+            f.write(text + "\n")

@@ -1,0 +1,195 @@
+"""Command-line interface mirroring the reference's ``video-annotator`` CLI.
+
+Commands and options follow ``src/cli.ts:28-178``: ``join <code>`` merges
+GoPro chaptered segments; ``render <source> <dest>`` runs the two-phase
+stabilize/reproject pipeline. Hardware-plumbing options that made sense for
+VAAPI/OpenCL (``--hw-accel``, ``--vaapi-vendor``, ``--open-cl-platform``,
+``--no-map-open-cl-from-vaapi``, ``--copy-vaapi-frames``) have TPU-native
+equivalents instead: ``--device``, ``--no-pallas``.
+
+Usage::
+
+    python -m video_annotator_tpu render in.mp4 out.mp4 --stabilise smooth
+    python -m video_annotator_tpu join 1234 -o match.mp4
+    python -m video_annotator_tpu compare in.mp4 grid.mp4 --compare none,smooth,fixed
+    python -m video_annotator_tpu calibrate corners.npz --model fisheye
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _parse_time(value: str | None):
+    """Accept seconds ('12.5') or 'hh:mm:ss(.ms)' timecodes."""
+    if value is None:
+        return None
+    if ":" in value:
+        parts = [float(p) for p in value.split(":")]
+        secs = 0.0
+        for p in parts:
+            secs = secs * 60.0 + p
+        return secs
+    return float(value)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="video-annotator-tpu",
+        description="TPU-native action-camera stabilization & reprojection",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    j = sub.add_parser("join", help="Join GoPro chaptered segments into one file")
+    j.add_argument("code", help="4-digit GoPro file code (GOPRxxxx.MP4)")
+    j.add_argument("-o", "--output", required=True, help="Path of resulting video")
+    j.add_argument("--directory", default=".", help="Where to look for segments")
+
+    r = sub.add_parser("render", help="Stabilize/reproject part of a source video")
+    r.add_argument("source")
+    r.add_argument("dest", nargs="?", default=None)
+    r.add_argument("-s", "--start", type=str, default=None,
+                   help="Starting point in the source (seconds or hh:mm:ss)")
+    r.add_argument("-d", "--duration", type=str, default=None)
+    r.add_argument("-e", "--end", type=str, default=None)
+    r.add_argument("-w", "--width", type=int, default=None)
+    r.add_argument("-h2", "--height", type=int, default=None)
+    r.add_argument("-r", "--roll", type=float, default=0.0,
+                   help="Turn camera clockwise by degrees")
+    r.add_argument("-p", "--pitch", type=float, default=0.0,
+                   help="Turn camera up by degrees")
+    r.add_argument("-y", "--yaw", type=float, default=0.0,
+                   help="Turn camera left by degrees")
+    r.add_argument("-u", "--upsample", type=float, default=0.0,
+                   help="Scale video before processing (percent)")
+    r.add_argument("--scale", type=float, default=1.0,
+                   help="Output camera scale relative to auto-fit")
+    r.add_argument("--crop", dest="crop_borders", action="store_true",
+                   help="Crop borders to the fully-covered region")
+    r.add_argument("--filter", default="rotation",
+                   choices=["rotation", "similarity", "deshake", "dewobble",
+                            "vidstab", "deshake_opencl"],
+                   help="Stabilizer family (dewobble->rotation, "
+                        "vidstab->similarity, deshake_opencl->deshake)")
+    r.add_argument("--stabilise", "--stabilize", dest="stabilise",
+                   default="none", choices=["none", "fixed", "smooth"])
+    r.add_argument("--smoother", default="savgol", choices=["savgol", "kalman"])
+    r.add_argument("--stabilise-radius", type=int, default=90,
+                   help="Frames of look-ahead/behind for smoothing")
+    r.add_argument("--interpolate-radius", type=int, default=30)
+    r.add_argument("--stabilise-buffer", type=float, default=20.0,
+                   help="Percent extra canvas to avoid cropping")
+    r.add_argument("--input-dfov", type=float, default=145.8)
+    r.add_argument("--output-dfov", type=float, default=None)
+    r.add_argument("--projection", default="rect", choices=["rect", "fisheye"])
+    r.add_argument("--preset", default=None,
+                   help="GoPro camera preset name (e.g. gopro_h4b_wide43_measured)")
+    r.add_argument("-c", "--encode-only", action="store_true",
+                   help="Skip analyse; use existing trajectory")
+    r.add_argument("-a", "--analyse-only", action="store_true",
+                   help="Generate trajectory only")
+    r.add_argument("--no-output", action="store_true",
+                   help="Run the pipeline but discard output")
+    r.add_argument("--encoder", default="mp4v",
+                   help="fourcc for cv2 encoder (mp4 outputs)")
+    r.add_argument("--frame-rate", type=float, default=None)
+    r.add_argument("--compare", type=str, default=None,
+                   help="Comma-separated stabilise modes to tile side-by-side")
+    r.add_argument("--debug", action="store_true")
+    r.add_argument("-v", "--verbose", action="store_true",
+                   help="Print the per-stage profiler report")
+
+    c = sub.add_parser("compare", help="Render a comparison grid of stabilizers")
+    c.add_argument("source")
+    c.add_argument("dest")
+    c.add_argument("--compare", type=str, default="none,smooth",
+                   help="Comma-separated stabilise modes")
+    c.add_argument("--preset", default=None)
+    c.add_argument("--stabilise-radius", type=int, default=90)
+    c.add_argument("-v", "--verbose", action="store_true")
+
+    k = sub.add_parser("calibrate",
+                       help="Fit fisheye intrinsics from point correspondences")
+    k.add_argument("points", help=".npz with object_points/image_points arrays")
+    k.add_argument("--model", default="fisheye", choices=["fisheye", "rectilinear"])
+    k.add_argument("--size", default=None, help="WxH image size override")
+    k.add_argument("-o", "--output", default=None, help="Write intrinsics JSON here")
+
+    return p
+
+
+def _render_options(args) -> "RenderOptions":
+    from video_annotator_tpu.camera import CameraPreset
+    from video_annotator_tpu.pipeline.render import RenderOptions
+
+    preset = None
+    if args.preset:
+        preset = CameraPreset(args.preset.lower())
+    return RenderOptions(
+        start=_parse_time(args.start) if hasattr(args, "start") else None,
+        duration=_parse_time(getattr(args, "duration", None)),
+        end=_parse_time(getattr(args, "end", None)),
+        width=getattr(args, "width", None),
+        height=getattr(args, "height", None),
+        scale=getattr(args, "scale", 1.0),
+        crop_borders=getattr(args, "crop_borders", False),
+        upsample=getattr(args, "upsample", 0.0),
+        roll=getattr(args, "roll", 0.0),
+        pitch=getattr(args, "pitch", 0.0),
+        yaw=getattr(args, "yaw", 0.0),
+        stabilise=args.stabilise,
+        smoother=getattr(args, "smoother", "savgol"),
+        stabilise_radius=args.stabilise_radius,
+        interpolate_radius=getattr(args, "interpolate_radius", 30),
+        stabilise_buffer=getattr(args, "stabilise_buffer", 20.0),
+        input_dfov=getattr(args, "input_dfov", 145.8),
+        output_dfov=getattr(args, "output_dfov", None),
+        projection=getattr(args, "projection", "rect"),
+        preset=preset,
+        analyse_only=getattr(args, "analyse_only", False),
+        encode_only=getattr(args, "encode_only", False),
+        no_output=getattr(args, "no_output", False),
+        encoder=getattr(args, "encoder", "mp4v"),
+        frame_rate=getattr(args, "frame_rate", None),
+        verbose=getattr(args, "verbose", False),
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        if args.command == "join":
+            from video_annotator_tpu.io.gopro import join
+
+            join(args.code, args.output, directory=args.directory)
+        elif args.command == "render":
+            if args.compare:
+                from video_annotator_tpu.pipeline.compare import render_compare
+
+                modes = [m.strip() for m in args.compare.split(",") if m.strip()]
+                render_compare(args.source, args.dest, modes, _render_options(args))
+            else:
+                from video_annotator_tpu.pipeline.render import render
+
+                render(args.source, args.dest, _render_options(args))
+        elif args.command == "compare":
+            from video_annotator_tpu.pipeline.compare import render_compare
+
+            args.stabilise = "none"
+            modes = [m.strip() for m in args.compare.split(",") if m.strip()]
+            render_compare(args.source, args.dest, modes, _render_options(args))
+        elif args.command == "calibrate":
+            from video_annotator_tpu.calibrate import calibrate_cli
+
+            calibrate_cli(args.points, args.model, args.size, args.output)
+        return 0
+    except Exception as e:  # CLI exits 1 on pipeline errors (src/cli.ts:13-23)
+        if getattr(args, "debug", False):
+            raise
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

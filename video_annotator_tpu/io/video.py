@@ -1,0 +1,169 @@
+"""Video reader/writer front-ends.
+
+Replaces the reference's decode/encode plumbing (VAAPI hardware decode +
+hwframe transfers, ``opencv/AvFrameSourceFileVaapi.cpp``; libx264 encode at
+QP 19, ``src/render.ts:12-19``) with host-side decode streaming planar
+YUV 4:2:0 numpy frames:
+
+- ``.y4m``: pure-Python, lossless raw (no external deps);
+- everything else (``.mp4`` etc.): OpenCV's FFMPEG backend;
+- ``synthetic://...``: the ground-truth generator (``io/synthetic.py``).
+
+All readers yield ``(y, u, v)`` uint8 planes; all writers accept them.
+The TPU feed path (``io/prefetch.py``) double-buffers these into device
+memory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from fractions import Fraction
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from video_annotator_tpu.io import y4m as y4m_mod
+
+Planes = Tuple[np.ndarray, np.ndarray, np.ndarray]
+
+
+@dataclasses.dataclass
+class VideoMeta:
+    """Probe data the planner needs (the ffprobe analogue,
+    ``src/render.ts:1298-1322``)."""
+
+    width: int
+    height: int
+    fps: Fraction
+    num_frames: Optional[int] = None
+
+
+def bgr_to_yuv420(bgr: np.ndarray) -> Planes:
+    import cv2
+
+    h, w = bgr.shape[:2]
+    i420 = cv2.cvtColor(bgr, cv2.COLOR_BGR2YUV_I420)
+    y = i420[:h]
+    u = i420[h : h + h // 4].reshape(h // 2, w // 2)
+    v = i420[h + h // 4 :].reshape(h // 2, w // 2)
+    return y, u, v
+
+
+def yuv420_to_bgr(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    import cv2
+
+    h, w = y.shape
+    i420 = np.concatenate(
+        [y.reshape(-1, w), u.reshape(-1, w), v.reshape(-1, w)], axis=0
+    )
+    return cv2.cvtColor(i420, cv2.COLOR_YUV2BGR_I420)
+
+
+class _Y4MSource:
+    def __init__(self, path: str):
+        self._r = y4m_mod.Y4MReader(path)
+        h = self._r.header
+        # Frame count from the file size (fixed-size frames after the header).
+        header_len = self._r._f.tell()
+        fsz = os.path.getsize(path)
+        frame_bytes = h.width * h.height * 3 // 2 + 6  # + "FRAME\n"
+        self.meta = VideoMeta(
+            h.width, h.height, h.fps, int(max(fsz - header_len, 0) // frame_bytes)
+        )
+
+    def __iter__(self) -> Iterator[Planes]:
+        return iter(self._r)
+
+    def close(self):
+        self._r.close()
+
+
+class _CvSource:
+    def __init__(self, path: str):
+        import cv2
+
+        self._cap = cv2.VideoCapture(path)
+        if not self._cap.isOpened():
+            raise FileNotFoundError(f"cannot open video: {path}")
+        w = int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        fps = self._cap.get(cv2.CAP_PROP_FPS) or 30.0
+        n = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        self.meta = VideoMeta(w, h, Fraction(fps).limit_denominator(1001), n or None)
+
+    def __iter__(self) -> Iterator[Planes]:
+        while True:
+            ok, bgr = self._cap.read()
+            if not ok:
+                return
+            yield bgr_to_yuv420(bgr)
+
+    def close(self):
+        self._cap.release()
+
+
+def open_reader(path: str):
+    """Open a video source; returns an object with ``.meta`` and ``__iter__``
+    yielding (y, u, v) uint8 planes."""
+    if path.startswith("synthetic://"):
+        from video_annotator_tpu.io.synthetic import SyntheticSource
+
+        return SyntheticSource.from_uri(path)
+    if path.endswith(".y4m"):
+        return _Y4MSource(path)
+    return _CvSource(path)
+
+
+class _Y4MSink:
+    def __init__(self, path: str, meta: VideoMeta):
+        self._w = y4m_mod.Y4MWriter(path, meta.width, meta.height, meta.fps)
+
+    def write(self, planes: Planes):
+        self._w.write(*planes)
+
+    def close(self):
+        self._w.close()
+
+
+class _CvSink:
+    """Encode via OpenCV-FFMPEG (mp4v/avc1). The reference's default encoder
+    is libx264 with constant QP 19 (``src/render.ts:12-19``); OpenCV's
+    writer API has no QP knob, so this is bitrate-default — the CLI exposes
+    ``--encoder`` to pick the fourcc."""
+
+    def __init__(self, path: str, meta: VideoMeta, fourcc: str = "mp4v"):
+        import cv2
+
+        self._wr = cv2.VideoWriter(
+            path,
+            cv2.VideoWriter_fourcc(*fourcc),
+            float(meta.fps),
+            (meta.width, meta.height),
+        )
+        if not self._wr.isOpened():
+            raise RuntimeError(f"cannot open encoder for {path} ({fourcc})")
+
+    def write(self, planes: Planes):
+        self._wr.write(yuv420_to_bgr(*planes))
+
+    def close(self):
+        self._wr.release()
+
+
+class _NullSink:
+    """``--no-output`` (``src/cli.ts:123-131``): run the pipeline, discard."""
+
+    def write(self, planes: Planes):
+        pass
+
+    def close(self):
+        pass
+
+
+def open_writer(path: Optional[str], meta: VideoMeta, encoder: str = "mp4v"):
+    if path is None:
+        return _NullSink()
+    if path.endswith(".y4m"):
+        return _Y4MSink(path, meta)
+    return _CvSink(path, meta, fourcc=encoder if len(encoder) == 4 else "mp4v")

@@ -99,6 +99,10 @@ def _lk_level(
     half = WIN // 2
     pad = 6  # iteration search slack around the guess
     wsize = WIN + 2 * pad + 2
+    if h < wsize or w < wsize:
+        # Pyramid level smaller than the tracking window (tiny inputs):
+        # pass the guess through unchanged.
+        return guess, jnp.bool_(True)
 
     # Window around the point in prev; template patch is at its center.
     win_prev, px0, py0 = _extract_window(prev_img, point, wsize)
@@ -173,8 +177,9 @@ def pyramidal_lk(
     pyr_prev = build_pyramid(prev_img, levels)
     pyr_next = build_pyramid(next_img, levels)
 
-    n = points.shape[0]
-    flow = jnp.zeros((n, 2), jnp.float32)
+    # Derive the zero init from the input so sharding metadata (shard_map
+    # varying-axes tracking) follows the data.
+    flow = points * 0.0
     status = valid
 
     for lvl in range(levels - 1, -1, -1):

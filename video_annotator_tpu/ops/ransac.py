@@ -60,9 +60,13 @@ def _triad(p1, p2, q1, q2):
 
 
 def _kabsch(p, q, w):
-    """Weighted least-squares rotation R minimizing sum w |q - R p|^2."""
+    """Weighted least-squares rotation R minimizing sum w |q - R p|^2.
+
+    Solved via the q-method (fixed-iteration, no SVD) so the whole estimator
+    is shard_map/vmap-safe.
+    """
     B = jnp.einsum("ni,nj,n->ij", q, p, w, precision=jax.lax.Precision.HIGHEST)
-    return so3.project(B)
+    return so3.rotation_from_correlation(B)
 
 
 @functools.partial(jax.jit, static_argnames=("num_hypotheses",))

@@ -1,0 +1,416 @@
+"""Two-phase render orchestration: analyse (motion) then encode (warp).
+
+The TPU-native unification of the reference's two engines: the TS planner's
+two-phase ``analyse()``/``encode()`` flow with persisted motion data and
+``--analyse-only``/``--encode-only`` gating (``src/render.ts:1225-1399``),
+executing the C++ engine's actual math (``opencv/FrameSourceWarp.cpp``)
+natively on device instead of delegating to FFmpeg filters.
+
+Phase 1 (analyse) is the ``consume_frame`` loop — corner tracking with
+key-frame refresh (age > 20 or < 150 corners,
+``opencv/FrameSourceWarp.cpp:415-419``), rotation RANSAC with the
+low-inlier fallback, rotation accumulation — producing a persisted
+trajectory (the ``.trf`` analogue). Phase 2 (encode) smooths the trajectory
+(whole-sequence SG/Kalman instead of a streaming lookahead buffer: the
+two-phase design makes the reference's ``smooth_radius`` frame buffering
+unnecessary) and warps every frame with the fused Pallas kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from fractions import Fraction
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_annotator_tpu import so3
+from video_annotator_tpu.camera import (
+    Camera,
+    CameraModel,
+    CameraPreset,
+    camera_from_dfov,
+    get_output_camera,
+    get_preset_camera,
+)
+from video_annotator_tpu.io.video import VideoMeta, open_reader, open_writer
+from video_annotator_tpu.ops.corners import detect_corners
+from video_annotator_tpu.ops.lk import pyramidal_lk
+from video_annotator_tpu.ops.ransac import estimate_rotation, rotation_with_fallback
+from video_annotator_tpu.ops.warp_pallas import plan_warp, warp_frame_pallas
+from video_annotator_tpu.ops.warp_xla import _scaled_camera, warp_image_xla
+from video_annotator_tpu.pipeline.profiler import StageProfiler
+from video_annotator_tpu.pipeline.trajectory import Trajectory, trajectory_path
+from video_annotator_tpu.smoothing.kalman import smooth_rotations_kalman
+from video_annotator_tpu.smoothing.savgol import smooth_rotations
+
+# Key-frame refresh policy (opencv/FrameSourceWarp.cpp:415).
+KEY_FRAME_MAX_AGE = 20
+KEY_FRAME_MIN_CORNERS = 150
+MAX_CORNERS = 256  # reference tracks 200 (FrameSourceWarp.cpp:230); padded
+
+
+@dataclasses.dataclass
+class RenderOptions:
+    """Mirror of the CLI's render options (``src/cli.ts:34-178``)."""
+
+    # trim (seconds)
+    start: Optional[float] = None
+    duration: Optional[float] = None
+    end: Optional[float] = None
+    # output geometry
+    width: Optional[int] = None
+    height: Optional[int] = None
+    scale: float = 1.0
+    crop_borders: bool = False
+    upsample: float = 0.0  # percent
+    # camera attitude (degrees; src/cli.ts:46-63)
+    roll: float = 0.0
+    pitch: float = 0.0
+    yaw: float = 0.0
+    # stabilization
+    stabilise: str = "none"  # none | fixed | smooth
+    smoother: str = "savgol"  # savgol | kalman
+    stabilise_radius: int = 90
+    interpolate_radius: int = 30
+    stabilise_buffer: float = 20.0  # percent extra canvas while stabilising
+    # lens
+    input_dfov: float = 145.8
+    output_dfov: Optional[float] = None
+    projection: str = "rect"  # rect | fisheye
+    preset: Optional[CameraPreset] = None
+    # phases
+    analyse_only: bool = False
+    encode_only: bool = False
+    no_output: bool = False
+    # encoding
+    encoder: str = "mp4v"
+    frame_rate: Optional[float] = None
+    # engine
+    max_correction_deg: float = 8.0
+    verbose: bool = False
+
+
+def _frame_range(meta: VideoMeta, o: RenderOptions):
+    fps = float(meta.fps)
+    first = int(round((o.start or 0.0) * fps))
+    last = meta.num_frames if meta.num_frames else 1 << 30
+    if o.end is not None:
+        last = min(last, int(round(o.end * fps)))
+    if o.duration is not None:
+        last = min(last, first + int(round(o.duration * fps)))
+    return first, last
+
+
+def build_cameras(meta: VideoMeta, o: RenderOptions):
+    """Input camera from preset/dfov; output camera auto-fit or explicit.
+
+    Follows the dewobble parameterization (``src/render.ts:630-692``): input
+    is a fisheye camera with ``--input-dfov`` (or a GoPro preset); output is
+    ``--projection`` with ``--output-dfov`` (default: auto-fit). The
+    stabilise-buffer expands the canvas while stabilising so corrections
+    don't crop (``src/cli.ts:98-103``).
+    """
+    size = (meta.width, meta.height)
+    if o.upsample:
+        size = (
+            int(round(meta.width * (1 + o.upsample / 100.0))),
+            int(round(meta.height * (1 + o.upsample / 100.0))),
+        )
+    if o.preset is not None:
+        in_cam = get_preset_camera(o.preset, size)
+    else:
+        in_cam = camera_from_dfov(o.input_dfov, size, CameraModel.FISHEYE)
+
+    zoom = 1.0
+    if o.stabilise != "none" and o.stabilise_buffer:
+        zoom = 1.0 / (1.0 + o.stabilise_buffer / 100.0)
+
+    out_model = (
+        CameraModel.FISHEYE if o.projection == "fisheye" else CameraModel.RECTILINEAR
+    )
+    if o.width and o.height and o.output_dfov:
+        out_cam = camera_from_dfov(o.output_dfov, (o.width, o.height), out_model)
+    else:
+        out_cam = get_output_camera(
+            in_cam, scale=o.scale, crop_borders=o.crop_borders, zoom=zoom
+        )
+        if o.width and o.height:
+            # Rescale the auto-fit camera onto the requested canvas.
+            sx = o.width / out_cam.width
+            out_cam = Camera.make(
+                out_cam.fx * sx, out_cam.fy * sx, out_cam.cx * sx, out_cam.cy * sx,
+                o.width, o.height, out_cam.model,
+            )
+    return in_cam, out_cam
+
+
+# --- phase 1: analyse ------------------------------------------------------
+
+
+def analyse(
+    source: str,
+    options: RenderOptions,
+    profiler: Optional[StageProfiler] = None,
+) -> Trajectory:
+    """Estimate the per-frame accumulated camera rotation trajectory."""
+    prof = profiler or StageProfiler()
+    reader = open_reader(source)
+    meta = reader.meta
+    in_cam_full = (
+        get_preset_camera(options.preset, (meta.width, meta.height))
+        if options.preset is not None
+        else camera_from_dfov(
+            options.input_dfov, (meta.width, meta.height), CameraModel.FISHEYE
+        )
+    )
+    threshold = 8.0 / float(in_cam_full.fx)  # reference's 8 px gate, in rays
+
+    @jax.jit
+    def track_step(prev_gray, gray, pts, valid, prev_delta, key):
+        new_pts, status = pyramidal_lk(prev_gray, gray, pts, valid)
+        rays_p = in_cam_full.unproject_unit(pts)
+        rays_c = in_cam_full.unproject_unit(new_pts)
+        est = estimate_rotation(
+            rays_p, rays_c, status, key, threshold_rad=threshold
+        )
+        delta = rotation_with_fallback(est, prev_delta)
+        return new_pts, status, delta, est.num_inliers
+
+    @jax.jit
+    def detect_step(gray):
+        return detect_corners(gray, max_corners=MAX_CORNERS)
+
+    first, last = _frame_range(meta, options)
+    rotvecs = []
+    R_acc = np.eye(3)
+    prev_delta = jnp.eye(3)
+    prev_gray = None
+    pts = valid = None
+    age = 0
+    idx = -1
+    for y, _, _ in prof.wrap_iter("decode", iter(reader)):
+        idx += 1
+        if idx < first:
+            continue
+        if idx >= last:
+            break
+        gray = jnp.asarray(y, jnp.float32)
+        if prev_gray is None:
+            with prof.stage("detect"):
+                pts, valid = detect_step(gray)
+            rotvecs.append(np.zeros(3))
+        else:
+            with prof.stage("track"):
+                key = jax.random.fold_in(jax.random.PRNGKey(7), idx)
+                pts, valid, delta, _ = track_step(
+                    prev_gray, gray, pts, valid, prev_delta, key
+                )
+                prev_delta = delta
+                # R_t = dR . R_{t-1} (opencv/FrameSourceWarp.cpp:441), in
+                # float64 on host to avoid drift over long clips.
+                R_acc = np.asarray(delta, np.float64) @ R_acc
+                rotvecs.append(_log_np(R_acc))
+            age += 1
+            n_valid = int(jnp.sum(valid))
+            if age > KEY_FRAME_MAX_AGE or n_valid < KEY_FRAME_MIN_CORNERS:
+                with prof.stage("detect"):
+                    pts, valid = detect_step(gray)
+                age = 0
+        prev_gray = gray
+    reader.close()
+
+    return Trajectory(
+        rotvecs=np.asarray(rotvecs, np.float64),
+        fps=meta.fps,
+        width=meta.width,
+        height=meta.height,
+        source=source,
+    )
+
+
+def _log_np(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> vector in float64 numpy (host accumulation)."""
+    cos = np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    theta = np.arccos(cos)
+    if theta < 1e-8:
+        return np.zeros(3)
+    v = (
+        np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+        / (2.0 * np.sin(theta))
+    )
+    return v * theta
+
+
+# --- phase 2: encode -------------------------------------------------------
+
+
+def compute_corrections(traj: Trajectory, options: RenderOptions) -> np.ndarray:
+    """Per-frame warp rotations: stabilization correction + attitude."""
+    measured = jnp.asarray(traj.rotations())
+    t = measured.shape[0]
+    if options.stabilise == "none":
+        corr = jnp.broadcast_to(jnp.eye(3), (t, 3, 3))
+    elif options.stabilise == "fixed":
+        corr = measured
+    elif options.stabilise == "smooth":
+        if options.smoother == "kalman":
+            smoothed = smooth_rotations_kalman(measured)
+        else:
+            smoothed = smooth_rotations(
+                measured, radius=min(options.stabilise_radius, max(t - 1, 1))
+            )
+        corr = so3.matmul(measured, jnp.swapaxes(smoothed, -1, -2))
+    else:
+        raise ValueError(f"unknown stabilise mode {options.stabilise!r}")
+
+    attitude = so3.from_euler(
+        np.radians(options.roll), np.radians(options.pitch), np.radians(options.yaw)
+    )
+    return np.asarray(so3.matmul(corr, attitude[None]))
+
+
+class FrameWarper:
+    """Per-frame YUV warp with the best available backend.
+
+    Pallas on TPU; pure-XLA gather on CPU (tests / no-accelerator hosts).
+    """
+
+    def __init__(self, in_cam: Camera, out_cam: Camera, max_correction_deg: float):
+        self.in_cam = in_cam
+        self.out_cam = out_cam
+        # Even output dims for 4:2:0 chroma.
+        self.out_w = out_cam.width - out_cam.width % 2
+        self.out_h = out_cam.height - out_cam.height % 2
+        self.in_half = _scaled_camera(in_cam, 0.5)
+        self.out_half = _scaled_camera(out_cam, 0.5)
+        self._use_pallas = jax.default_backend() not in ("cpu",)
+        if self._use_pallas:
+            self.plan_y = plan_warp(
+                out_cam, in_cam, max_correction_deg, (self.out_h, self.out_w)
+            )
+            self.plan_c = plan_warp(
+                self.out_half, self.in_half, max_correction_deg,
+                (self.out_h // 2, self.out_w // 2),
+            )
+
+    def __call__(self, y, u, v, rotation):
+        # Chroma is warped centered on 128 so out-of-image regions come out
+        # neutral (black video), not green (U=V=0).
+        u = u - 128.0
+        v = v - 128.0
+        if self._use_pallas:
+            wy = warp_frame_pallas(y, rotation, self.plan_y, self.out_cam, self.in_cam)
+            wu = warp_frame_pallas(u, rotation, self.plan_c, self.out_half, self.in_half)
+            wv = warp_frame_pallas(v, rotation, self.plan_c, self.out_half, self.in_half)
+        else:
+            wy = warp_image_xla(y, self.out_cam, self.in_cam, rotation,
+                                (self.out_h, self.out_w))
+            wu = warp_image_xla(u, self.out_half, self.in_half, rotation,
+                                (self.out_h // 2, self.out_w // 2))
+            wv = warp_image_xla(v, self.out_half, self.in_half, rotation,
+                                (self.out_h // 2, self.out_w // 2))
+        return wy, wu + 128.0, wv + 128.0
+
+
+def encode(
+    source: str,
+    dest: Optional[str],
+    traj: Trajectory,
+    options: RenderOptions,
+    profiler: Optional[StageProfiler] = None,
+) -> VideoMeta:
+    """Smooth + warp + write. Returns the output metadata."""
+    prof = profiler or StageProfiler()
+    reader = open_reader(source)
+    meta = reader.meta
+    in_cam, out_cam = build_cameras(meta, options)
+    corrections = compute_corrections(traj, options)
+
+    warper = FrameWarper(in_cam, out_cam, options.max_correction_deg)
+    out_meta = VideoMeta(
+        width=warper.out_w,
+        height=warper.out_h,
+        fps=Fraction(options.frame_rate).limit_denominator(1001)
+        if options.frame_rate
+        else meta.fps,
+        num_frames=traj.num_frames,
+    )
+    writer = open_writer(None if options.no_output else dest, out_meta,
+                         encoder=options.encoder)
+
+    @jax.jit
+    def to_uint8(wy, wu, wv):
+        cast = lambda p: jnp.clip(jnp.round(p), 0, 255).astype(jnp.uint8)
+        return cast(wy), cast(wu), cast(wv)
+
+    first, last = _frame_range(meta, options)
+    idx = -1
+    t = 0
+    for y, u, v in prof.wrap_iter("decode", iter(reader)):
+        idx += 1
+        if idx < first:
+            continue
+        if idx >= last or t >= corrections.shape[0]:
+            break
+        with prof.stage("warp"):
+            rot = jnp.asarray(corrections[t], jnp.float32)
+            wy, wu, wv = warper(
+                jnp.asarray(y, jnp.float32),
+                jnp.asarray(u, jnp.float32),
+                jnp.asarray(v, jnp.float32),
+                rot,
+            )
+            wy, wu, wv = to_uint8(wy, wu, wv)
+        with prof.stage("encode"):
+            writer.write((np.asarray(wy), np.asarray(wu), np.asarray(wv)))
+        t += 1
+    writer.close()
+    reader.close()
+    return out_meta
+
+
+def render(
+    source: str,
+    dest: Optional[str],
+    options: RenderOptions | None = None,
+    profiler: Optional[StageProfiler] = None,
+) -> None:
+    """Two-phase render with trajectory checkpoint/resume
+    (``src/render.ts:1387-1399``)."""
+    options = options or RenderOptions()
+    prof = profiler or StageProfiler()
+    needs_motion = options.stabilise != "none"
+    tpath = trajectory_path(dest) if dest else None
+
+    if needs_motion and not options.encode_only:
+        traj = analyse(source, options, prof)
+        if tpath:
+            traj.save(tpath)
+    elif needs_motion and options.encode_only:
+        if not (tpath and os.path.exists(tpath)):
+            raise FileNotFoundError(
+                f"--encode-only but no trajectory at {tpath}; run analyse first"
+            )
+        traj = Trajectory.load(tpath)
+    else:
+        # No stabilization: identity trajectory sized to the clip.
+        reader = open_reader(source)
+        meta = reader.meta
+        first, last = _frame_range(meta, options)
+        n = (last - first) if meta.num_frames else 0
+        if not meta.num_frames:
+            n = sum(1 for _ in reader) - first
+        reader.close()
+        traj = Trajectory(
+            rotvecs=np.zeros((max(n, 0), 3)), fps=meta.fps,
+            width=meta.width, height=meta.height, source=source,
+        )
+
+    if not options.analyse_only:
+        encode(source, dest, traj, options, prof)
+    if options.verbose:
+        print(prof.report())

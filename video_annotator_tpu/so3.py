@@ -134,6 +134,65 @@ def project(M: jax.Array) -> jax.Array:
     return matmul(u * d[..., None, :], vt)
 
 
+def quat_to_matrix(q: jax.Array) -> jax.Array:
+    """Unit quaternion (..., 4) as (w, x, y, z) -> rotation matrix."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    return jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], axis=-1),
+            jnp.stack([r10, r11, r12], axis=-1),
+            jnp.stack([r20, r21, r22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def rotation_from_correlation(B: jax.Array, iters: int = 30) -> jax.Array:
+    """Wahba solution from correlation B = sum_i w_i q_i p_i^T: the proper
+    rotation R maximizing tr(R B^T) — i.e. nearest rotation in the weighted
+    least-squares sense, like :func:`project` of B but guaranteed det=+1 and
+    free of data-dependent while loops (Davenport q-method; the dominant
+    eigenvector of the 4x4 K matrix found with a fixed-iteration shifted
+    power method). Safe inside ``shard_map``/``vmap`` where SVD's internal
+    while_loop is problematic.
+    """
+    b00, b01, b02 = B[..., 0, 0], B[..., 0, 1], B[..., 0, 2]
+    b10, b11, b12 = B[..., 1, 0], B[..., 1, 1], B[..., 1, 2]
+    b20, b21, b22 = B[..., 2, 0], B[..., 2, 1], B[..., 2, 2]
+    tr = b00 + b11 + b22
+    z1 = b21 - b12
+    z2 = b02 - b20
+    z3 = b10 - b01
+    K = jnp.stack(
+        [
+            jnp.stack([tr, z1, z2, z3], axis=-1),
+            jnp.stack([z1, b00 - b11 - b22, b01 + b10, b02 + b20], axis=-1),
+            jnp.stack([z2, b01 + b10, b11 - b00 - b22, b12 + b21], axis=-1),
+            jnp.stack([z3, b02 + b20, b12 + b21, b22 - b00 - b11], axis=-1),
+        ],
+        axis=-2,
+    )
+    # Shift so the maximum eigenvalue dominates in magnitude.
+    shift = 2.0 * jnp.linalg.norm(B, axis=(-2, -1), keepdims=True) + 1e-6
+    Ks = K + shift * jnp.broadcast_to(jnp.eye(4, dtype=B.dtype), K.shape)
+    v = jnp.ones(K.shape[:-1], B.dtype)
+    for _ in range(iters):
+        v = jnp.einsum(
+            "...ij,...j->...i", Ks, v, precision=jax.lax.Precision.HIGHEST
+        )
+        v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + _EPS)
+    return quat_to_matrix(v)
+
+
 def from_euler(roll: jax.Array, pitch: jax.Array, yaw: jax.Array) -> jax.Array:
     """Rotation from the CLI's camera-attitude angles, in radians.
 
