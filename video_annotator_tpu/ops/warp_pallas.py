@@ -182,6 +182,9 @@ def plan_warp(
     # rounding of the origins.
     wh = _round_up(int(math.ceil(max_dy)) + margin_y + 4 + 8, 8)
     ww = _round_up(int(math.ceil(max_dx)) + margin_x + 4 + 128, 128)
+    # The frame is zero-padded up to the (8, 128) grid before the kernel
+    # (zero padding reproduces the BORDER_CONSTANT edge exactly), so the
+    # window may cover the padded extent but no more.
     wh = min(wh, _round_up(in_camera.height, 8))
     ww = min(ww, _round_up(in_camera.width, 128))
     return WarpPlan(
@@ -263,8 +266,10 @@ def _tile_origins(
     oy = jnp.floor(min_y - plan.margin_y).astype(jnp.int32)
     # HBM->VMEM DMA slices must start on the (8, 128) tile grid; round the
     # origins down (the plan adds the alignment loss to the window size).
-    ox = (jnp.clip(ox, 0, max(plan.in_w - plan.ww, 0)) // 128) * 128
-    oy = (jnp.clip(oy, 0, max(plan.in_h - plan.wh, 0)) // 8) * 8
+    in_h_pad = _round_up(plan.in_h, 8)
+    in_w_pad = _round_up(plan.in_w, 128)
+    ox = (jnp.clip(ox, 0, max(in_w_pad - plan.ww, 0)) // 128) * 128
+    oy = (jnp.clip(oy, 0, max(in_h_pad - plan.wh, 0)) // 8) * 8
     # Row range of the window that can carry nonzero vertical weight: tiles
     # in low-curvature regions span far fewer than ``wh`` rows, and the
     # kernel's row loop runs only over [0, d_hi).
@@ -442,7 +447,7 @@ def _build_warp_fn(plan: WarpPlan, out_key, in_key, interpret: bool):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(ny, nx),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (TILE_H, TILE_W),
             # index_map also receives the scalar-prefetch refs; ignore them.
@@ -461,11 +466,20 @@ def _build_warp_fn(plan: WarpPlan, out_key, in_key, interpret: bool):
         interpret=interpret,
     )
 
+    in_h_pad = _round_up(plan.in_h, 8)
+    in_w_pad = _round_up(plan.in_w, 128)
+
     @jax.jit
     def run(frame: jax.Array, rotation: jax.Array) -> jax.Array:
         oy, ox, d_hi = _tile_origins(plan, out_camera, in_camera, rotation)
         rot9 = jnp.reshape(rotation.astype(jnp.float32), (9,))
-        out = call(rot9, oy, ox, d_hi, frame.astype(jnp.float32))
+        frame = frame.astype(jnp.float32)
+        if (in_h_pad, in_w_pad) != frame.shape:
+            frame = jnp.pad(
+                frame,
+                ((0, in_h_pad - frame.shape[0]), (0, in_w_pad - frame.shape[1])),
+            )
+        out = call(rot9, oy, ox, d_hi, frame)
         return out[: plan.crop_h, : plan.crop_w]
 
     return run

@@ -51,6 +51,7 @@ from video_annotator_tpu.smoothing.savgol import smooth_rotations
 KEY_FRAME_MAX_AGE = 20
 KEY_FRAME_MIN_CORNERS = 150
 MAX_CORNERS = 256  # reference tracks 200 (FrameSourceWarp.cpp:230); padded
+MIN_INLIERS_FULL = 40  # reference gate at full resolution (cpp:432)
 
 
 @dataclasses.dataclass
@@ -168,6 +169,13 @@ def analyse(
         )
     )
     threshold = 8.0 / float(in_cam_full.fx)  # reference's 8 px gate, in rays
+    # The reference's corner parameters (200 corners, 30 px min distance,
+    # inlier gate 40) are tuned for 1920-wide footage; scale with resolution
+    # so smaller inputs keep a comparable corner density.
+    res_scale = max(meta.width / 1920.0, 0.15)
+    min_distance = max(6, int(round(30 * res_scale)))
+    min_inliers = max(10, min(MIN_INLIERS_FULL, int(round(40 * res_scale))))
+    min_refresh = max(20, int(round(KEY_FRAME_MIN_CORNERS * res_scale)))
 
     @jax.jit
     def track_step(prev_gray, gray, pts, valid, prev_delta, key):
@@ -177,12 +185,14 @@ def analyse(
         est = estimate_rotation(
             rays_p, rays_c, status, key, threshold_rad=threshold
         )
-        delta = rotation_with_fallback(est, prev_delta)
+        delta = rotation_with_fallback(est, prev_delta, min_inliers=min_inliers)
         return new_pts, status, delta, est.num_inliers
 
     @jax.jit
     def detect_step(gray):
-        return detect_corners(gray, max_corners=MAX_CORNERS)
+        return detect_corners(
+            gray, max_corners=MAX_CORNERS, min_distance=min_distance
+        )
 
     first, last = _frame_range(meta, options)
     rotvecs = []
@@ -216,7 +226,7 @@ def analyse(
                 rotvecs.append(_log_np(R_acc))
             age += 1
             n_valid = int(jnp.sum(valid))
-            if age > KEY_FRAME_MAX_AGE or n_valid < KEY_FRAME_MIN_CORNERS:
+            if age > KEY_FRAME_MAX_AGE or n_valid < min_refresh:
                 with prof.stage("detect"):
                     pts, valid = detect_step(gray)
                 age = 0

@@ -156,7 +156,7 @@ def quat_to_matrix(q: jax.Array) -> jax.Array:
     )
 
 
-def rotation_from_correlation(B: jax.Array, iters: int = 30) -> jax.Array:
+def rotation_from_correlation(B: jax.Array, iters: int = 120) -> jax.Array:
     """Wahba solution from correlation B = sum_i w_i q_i p_i^T: the proper
     rotation R maximizing tr(R B^T) — i.e. nearest rotation in the weighted
     least-squares sense, like :func:`project` of B but guaranteed det=+1 and
