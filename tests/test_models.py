@@ -1,0 +1,119 @@
+"""Similarity (vidstab) and deshake model family tests."""
+
+import numpy as np
+import pytest
+
+import cv2
+import jax
+import jax.numpy as jnp
+
+from video_annotator_tpu.ops.affine import (
+    compose_similarity,
+    fit_similarity,
+    invert_similarity,
+    warp_similarity,
+)
+from video_annotator_tpu.ops.phasecorr import phase_correlate
+from video_annotator_tpu.pipeline.render import RenderOptions, render
+from video_annotator_tpu.io.video import open_reader
+from video_annotator_tpu.camera import CameraPreset
+
+
+def _textured(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.normal(size=(h // 8, w // 8)).astype(np.float32)
+    img = cv2.resize(img, (w, h), interpolation=cv2.INTER_CUBIC)
+    img = (img - img.min()) / (img.max() - img.min()) * 255
+    return img.astype(np.float32)
+
+
+def test_fit_similarity_exact():
+    rng = np.random.default_rng(0)
+    p = rng.uniform(0, 500, (100, 2)).astype(np.float32)
+    ang, s, dx, dy = 0.03, 1.02, 4.5, -2.5
+    R = np.array([[np.cos(ang), -np.sin(ang)], [np.sin(ang), np.cos(ang)]])
+    c = (s * (p @ R.T) + [dx, dy]).astype(np.float32)
+    params, inliers = fit_similarity(
+        jnp.asarray(p), jnp.asarray(c), jnp.ones(100, bool)
+    )
+    params = np.asarray(params)
+    assert int(inliers) == 100
+    np.testing.assert_allclose(params, [dx, dy, ang, np.log(s)], atol=1e-3)
+
+
+def test_fit_similarity_with_outliers():
+    rng = np.random.default_rng(1)
+    p = rng.uniform(0, 500, (100, 2)).astype(np.float32)
+    c = (p + [7.0, -3.0]).astype(np.float32)
+    out = rng.random(100) < 0.25
+    c[out] += rng.uniform(-80, 80, (int(out.sum()), 2))
+    params, inliers = fit_similarity(
+        jnp.asarray(p), jnp.asarray(c), jnp.ones(100, bool)
+    )
+    params = np.asarray(params)
+    assert int(inliers) > 60
+    np.testing.assert_allclose(params[:2], [7.0, -3.0], atol=0.25)
+
+
+def test_compose_invert_similarity():
+    a = jnp.asarray([3.0, -2.0, 0.1, 0.05])
+    ident = np.asarray(compose_similarity(a, invert_similarity(a)))
+    np.testing.assert_allclose(ident, [0, 0, 0, 0], atol=1e-5)
+
+
+def test_warp_similarity_matches_cv2():
+    img = _textured(240, 320, seed=2)
+    params = jnp.asarray([5.0, -3.0, 0.02, 0.01])
+    ours = np.asarray(warp_similarity(jnp.asarray(img), params))
+    s = np.exp(0.01)
+    M = np.array(
+        [
+            [s * np.cos(0.02), -s * np.sin(0.02), 5.0],
+            [s * np.sin(0.02), s * np.cos(0.02), -3.0],
+        ]
+    )
+    ref = cv2.warpAffine(
+        img, M, (320, 240),
+        flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        borderMode=cv2.BORDER_CONSTANT,
+    )
+    interior = np.s_[20:-20, 20:-20]
+    err = np.abs(ours[interior] - ref[interior])
+    assert np.median(err) < 0.5
+
+
+def test_phase_correlate_recovers_shift():
+    img = _textured(256, 256, seed=3)
+    d_true = (6.0, -9.0)
+    M = np.float32([[1, 0, d_true[0]], [0, 1, d_true[1]]])
+    img2 = cv2.warpAffine(img, M, (256, 256))
+    # img2(x) = img(x - d): phase_correlate(img2, img) finds d
+    d, peak = phase_correlate(jnp.asarray(img2), jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(d), d_true, atol=0.2)
+
+
+@pytest.mark.parametrize("filt", ["similarity", "deshake"])
+def test_2d_families_end_to_end(tmp_path, filt):
+    src = "synthetic://shaky?w=256&h=192&n=20&seed=9&shake=0.004&pan=0.0"
+    out_shaky = str(tmp_path / "a.y4m")
+    out_smooth = str(tmp_path / "b.y4m")
+    opts = dict(preset=CameraPreset.GOPRO_H4B_WIDE43_MEASURED, filter=filt)
+    render(src, out_shaky, RenderOptions(stabilise="none", **opts))
+    render(src, out_smooth, RenderOptions(stabilise="smooth", stabilise_radius=7, **opts))
+
+    def motion(path):
+        r = open_reader(path)
+        prev, diffs = None, []
+        for y, _, _ in r:
+            cur = y.astype(np.float32)
+            if prev is not None:
+                c = np.s_[48:144, 64:192]
+                diffs.append(np.abs(cur[c] - prev[c]).mean())
+            prev = cur
+        r.close()
+        return np.mean(diffs)
+
+    m_shaky = motion(out_shaky)
+    m_smooth = motion(out_smooth)
+    # 2D models can't fully cancel rotational fisheye shake, but must help.
+    assert m_smooth < m_shaky * 0.9, (filt, m_shaky, m_smooth)

@@ -127,6 +127,7 @@ def _render_options(args) -> "RenderOptions":
     if args.preset:
         preset = CameraPreset(args.preset.lower())
     return RenderOptions(
+        filter=getattr(args, "filter", "rotation"),
         start=_parse_time(args.start) if hasattr(args, "start") else None,
         duration=_parse_time(getattr(args, "duration", None)),
         end=_parse_time(getattr(args, "end", None)),

@@ -1,0 +1,146 @@
+"""The deshake-family stabilizer: global translation + blurred-edge fill.
+
+Equivalent of ffmpeg's ``deshake`` (block-matching global motion,
+``src/render.ts:730-771``) and ``deshake_opencl`` (same model with a
+``smooth_window_multiplier`` and the edge-blur treatment the reference
+builds from a ``geq`` alpha ramp + blur, ``getBlurEdgesPipeline``,
+``src/render.ts:773-855``). Motion comes from FFT phase correlation
+(branch-free, TPU-dense); borders revealed by the correction are filled
+with a blurred copy instead of black.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_annotator_tpu.io.video import open_reader
+from video_annotator_tpu.ops.phasecorr import phase_correlate
+from video_annotator_tpu.pipeline.profiler import StageProfiler
+from video_annotator_tpu.pipeline.trajectory import Trajectory
+from video_annotator_tpu.smoothing.savgol import savgol_weights
+
+
+def analyse_deshake(
+    source: str,
+    options,
+    profiler: Optional[StageProfiler] = None,
+) -> Trajectory:
+    """Accumulated global translation per frame via phase correlation."""
+    from video_annotator_tpu.pipeline.render import _frame_range
+
+    prof = profiler or StageProfiler()
+    reader = open_reader(source)
+    meta = reader.meta
+
+    first, last = _frame_range(meta, options)
+    acc = np.zeros(2)
+    out = []
+    prev_gray = None
+    idx = -1
+    for y, _, _ in prof.wrap_iter("decode", iter(reader)):
+        idx += 1
+        if idx < first:
+            continue
+        if idx >= last:
+            break
+        gray = jnp.asarray(y, jnp.float32)
+        if prev_gray is None:
+            out.append(np.zeros(2))
+        else:
+            with prof.stage("track"):
+                # d such that curr(x) ~= prev(x - d): camera moved by +d.
+                d, _peak = phase_correlate(gray, prev_gray)
+                acc = acc + np.asarray(d, np.float64)
+                out.append(acc.copy())
+        prev_gray = gray
+    reader.close()
+    return Trajectory(
+        params=np.asarray(out, np.float64),
+        kind="translation",
+        fps=meta.fps,
+        width=meta.width,
+        height=meta.height,
+        source=source,
+    )
+
+
+def deshake_corrections(traj: Trajectory, options) -> np.ndarray:
+    """Per-frame sampling offsets (output px -> source px), (T, 2)."""
+    t = traj.num_frames
+    acc = jnp.asarray(traj.params, jnp.float32)
+    if options.stabilise == "none":
+        return np.zeros((t, 2), np.float32)
+    if options.stabilise == "fixed":
+        smooth = jnp.zeros_like(acc)
+    else:
+        radius = min(options.stabilise_radius, max(t - 1, 1))
+        w = jnp.asarray(savgol_weights(radius, 2))
+        padded = jnp.concatenate(
+            [
+                jnp.broadcast_to(acc[:1], (radius, 2)),
+                acc,
+                jnp.broadcast_to(acc[-1:], (radius, 2)),
+            ],
+            axis=0,
+        )
+        smooth = jax.lax.conv_general_dilated(
+            padded.T[:, None, :], w[None, None, :], (1,), "VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32,
+        )[:, 0, :].T
+    # sample at x_out + (acc - smooth): remove the jitter component.
+    return np.asarray(acc - smooth)
+
+
+def _gauss_blur(img: jax.Array, sigma: float = 8.0) -> jax.Array:
+    radius = int(3 * sigma)
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    k = k / jnp.sum(k)
+    img_p = jnp.pad(img, ((radius, radius), (0, 0)), mode="edge")
+    # vertical pass: columns as the conv batch axis
+    v = jax.lax.conv_general_dilated(
+        img_p.T[:, None, :], k[None, None, :], (1,), "VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )[:, 0, :].T
+    v_p = jnp.pad(v, ((0, 0), (radius, radius)), mode="edge")
+    return jax.lax.conv_general_dilated(
+        v_p[:, None, :], k[None, None, :], (1,), "VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )[:, 0, :]
+
+
+@jax.jit
+def warp_frame_deshake(y, u, v, offset, blur_edges: bool = True):
+    """Translate YUV planes by ``offset`` (x, y), blurred-edge fill."""
+
+    def shift(img, off, fill_blur):
+        h, w = img.shape
+        ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + off[1]
+        xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + off[0]
+        from video_annotator_tpu.ops.warp_xla import bilinear_sample
+
+        out = bilinear_sample(img, jnp.stack([xs, ys], axis=-1))
+        if fill_blur:
+            inside = (
+                (xs >= 0) & (xs <= w - 1) & (ys >= 0) & (ys <= h - 1)
+            ).astype(jnp.float32)
+            bg = _gauss_blur(img)
+            # clamp coordinates => replicate-edge sample of the blur
+            xc = jnp.clip(xs, 0, w - 1)
+            yc = jnp.clip(ys, 0, h - 1)
+            bg_s = bilinear_sample(bg, jnp.stack([xc, yc], axis=-1))
+            out = inside * out + (1.0 - inside) * bg_s
+        return out
+
+    half = offset * 0.5
+    wy = shift(y, offset, blur_edges)
+    wu = shift(u - 128.0, half, False) + 128.0
+    wv = shift(v - 128.0, half, False) + 128.0
+    return wy, wu, wv

@@ -60,7 +60,7 @@ def render_compare(
         from video_annotator_tpu.pipeline.trajectory import Trajectory
 
         n = meta.num_frames or 0
-        traj = Trajectory(np.zeros((n, 3)), meta.fps, meta.width, meta.height, source)
+        traj = Trajectory(np.zeros((n, 3)), "so3", meta.fps, meta.width, meta.height, source)
 
     in_cam, out_cam = build_cameras(meta, options)
     warper = FrameWarper(in_cam, out_cam, options.max_correction_deg)

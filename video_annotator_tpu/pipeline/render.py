@@ -72,6 +72,9 @@ class RenderOptions:
     roll: float = 0.0
     pitch: float = 0.0
     yaw: float = 0.0
+    # stabilizer family (--filter, src/cli.ts:74-78; aliases: dewobble ->
+    # rotation, vidstab -> similarity, deshake_opencl -> deshake)
+    filter: str = "rotation"
     # stabilization
     stabilise: str = "none"  # none | fixed | smooth
     smoother: str = "savgol"  # savgol | kalman
@@ -234,7 +237,8 @@ def analyse(
     reader.close()
 
     return Trajectory(
-        rotvecs=np.asarray(rotvecs, np.float64),
+        params=np.asarray(rotvecs, np.float64),
+        kind="so3",
         fps=meta.fps,
         width=meta.width,
         height=meta.height,
@@ -383,6 +387,70 @@ def encode(
     return out_meta
 
 
+def encode_2d(
+    source: str,
+    dest: Optional[str],
+    traj: Trajectory,
+    options: RenderOptions,
+    profiler: Optional[StageProfiler] = None,
+) -> VideoMeta:
+    """Encode phase for the 2D families (similarity / deshake)."""
+    from video_annotator_tpu.models.deshake import (
+        deshake_corrections,
+        warp_frame_deshake,
+    )
+    from video_annotator_tpu.models.similarity import (
+        similarity_corrections,
+        warp_frame_similarity,
+    )
+
+    prof = profiler or StageProfiler()
+    reader = open_reader(source)
+    meta = reader.meta
+    if traj.kind == "similarity":
+        corrections = similarity_corrections(traj, options)
+        warp = jax.jit(warp_frame_similarity)
+    elif traj.kind == "translation":
+        corrections = deshake_corrections(traj, options)
+        warp = lambda y, u, v, p: warp_frame_deshake(y, u, v, p)  # noqa: E731
+    else:
+        raise ValueError(f"encode_2d cannot handle kind {traj.kind!r}")
+
+    out_meta = VideoMeta(
+        width=meta.width - meta.width % 2,
+        height=meta.height - meta.height % 2,
+        fps=Fraction(options.frame_rate).limit_denominator(1001)
+        if options.frame_rate
+        else meta.fps,
+        num_frames=traj.num_frames,
+    )
+    writer = open_writer(None if options.no_output else dest, out_meta,
+                         encoder=options.encoder)
+    first, last = _frame_range(meta, options)
+    idx = -1
+    t = 0
+    for y, u, v in prof.wrap_iter("decode", iter(reader)):
+        idx += 1
+        if idx < first:
+            continue
+        if idx >= last or t >= corrections.shape[0]:
+            break
+        with prof.stage("warp"):
+            wy, wu, wv = warp(
+                jnp.asarray(y[: out_meta.height, : out_meta.width], jnp.float32),
+                jnp.asarray(u[: out_meta.height // 2, : out_meta.width // 2], jnp.float32),
+                jnp.asarray(v[: out_meta.height // 2, : out_meta.width // 2], jnp.float32),
+                jnp.asarray(corrections[t], jnp.float32),
+            )
+            cast = lambda p: np.clip(np.round(np.asarray(p)), 0, 255).astype(np.uint8)  # noqa: E731
+        with prof.stage("encode"):
+            writer.write((cast(wy), cast(wu), cast(wv)))
+        t += 1
+    writer.close()
+    reader.close()
+    return out_meta
+
+
 def render(
     source: str,
     dest: Optional[str],
@@ -391,13 +459,30 @@ def render(
 ) -> None:
     """Two-phase render with trajectory checkpoint/resume
     (``src/render.ts:1387-1399``)."""
+    from video_annotator_tpu.models import FILTER_ALIASES
+
     options = options or RenderOptions()
     prof = profiler or StageProfiler()
+    family = FILTER_ALIASES.get(options.filter)
+    if family is None:
+        raise ValueError(
+            f"unknown --filter {options.filter!r}; choose from "
+            f"{sorted(FILTER_ALIASES)}"
+        )
     needs_motion = options.stabilise != "none"
     tpath = trajectory_path(dest) if dest else None
 
     if needs_motion and not options.encode_only:
-        traj = analyse(source, options, prof)
+        if family == "similarity":
+            from video_annotator_tpu.models.similarity import analyse_similarity
+
+            traj = analyse_similarity(source, options, prof)
+        elif family == "deshake":
+            from video_annotator_tpu.models.deshake import analyse_deshake
+
+            traj = analyse_deshake(source, options, prof)
+        else:
+            traj = analyse(source, options, prof)
         if tpath:
             traj.save(tpath)
     elif needs_motion and options.encode_only:
@@ -415,12 +500,19 @@ def render(
         if not meta.num_frames:
             n = sum(1 for _ in reader) - first
         reader.close()
+        kind = {"rotation": "so3", "similarity": "similarity",
+                "deshake": "translation"}[family]
+        from video_annotator_tpu.pipeline.trajectory import KIND_DIMS
+
         traj = Trajectory(
-            rotvecs=np.zeros((max(n, 0), 3)), fps=meta.fps,
-            width=meta.width, height=meta.height, source=source,
+            params=np.zeros((max(n, 0), KIND_DIMS[kind])), kind=kind,
+            fps=meta.fps, width=meta.width, height=meta.height, source=source,
         )
 
     if not options.analyse_only:
-        encode(source, dest, traj, options, prof)
+        if traj.kind == "so3":
+            encode(source, dest, traj, options, prof)
+        else:
+            encode_2d(source, dest, traj, options, prof)
     if options.verbose:
         print(prof.report())

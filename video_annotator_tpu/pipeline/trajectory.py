@@ -1,11 +1,16 @@
-"""Persisted camera trajectories — the two-phase checkpoint.
+"""Persisted motion trajectories — the two-phase checkpoint.
 
 The reference checkpoints motion analysis as a ``.trf`` file written by
 ``vidstabdetect`` and consumed by ``vidstabtransform``
 (``src/render.ts:349-359,568``), letting ``--encode-only`` /
 ``--analyse-only`` resume without re-analysis (``src/render.ts:1387-1399``).
-Here the analogue is the estimated per-frame camera rotation trajectory,
-stored as rotation vectors in an ``.npz`` next to the destination file.
+Here the analogue is the estimated per-frame motion trajectory, stored as an
+``.npz`` next to the destination file. Each stabilizer family has its own
+parameterization:
+
+- ``so3``: (T, 3) rotation vectors (the rotation/dewobble family);
+- ``similarity``: (T, 4) = (dx, dy, angle, log_scale) (vidstab family);
+- ``translation``: (T, 2) = (dx, dy) (deshake family).
 """
 
 from __future__ import annotations
@@ -17,33 +22,47 @@ import numpy as np
 
 from video_annotator_tpu import so3
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
+
+KIND_DIMS = {"so3": 3, "similarity": 4, "translation": 2}
 
 
 @dataclasses.dataclass
 class Trajectory:
-    """Per-frame accumulated camera rotations + probe metadata."""
+    """Per-frame accumulated motion parameters + probe metadata."""
 
-    rotvecs: np.ndarray  # (T, 3) float64, frame t's accumulated rotation
+    params: np.ndarray  # (T, K) float64, accumulated motion at frame t
+    kind: str = "so3"
     fps: Fraction = Fraction(30, 1)
     width: int = 0
     height: int = 0
     source: str = ""
 
+    def __post_init__(self):
+        if self.kind not in KIND_DIMS:
+            raise ValueError(f"unknown trajectory kind {self.kind!r}")
+
     @property
     def num_frames(self) -> int:
-        return int(self.rotvecs.shape[0])
+        return int(self.params.shape[0])
+
+    @property
+    def rotvecs(self) -> np.ndarray:
+        assert self.kind == "so3", self.kind
+        return self.params
 
     def rotations(self) -> np.ndarray:
         import jax.numpy as jnp
 
-        return np.asarray(so3.exp(jnp.asarray(self.rotvecs, jnp.float32)))
+        assert self.kind == "so3", self.kind
+        return np.asarray(so3.exp(jnp.asarray(self.params, jnp.float32)))
 
     def save(self, path: str):
         np.savez(
             path,
             version=FORMAT_VERSION,
-            rotvecs=self.rotvecs,
+            kind=self.kind,
+            params=self.params,
             fps_num=self.fps.numerator,
             fps_den=self.fps.denominator,
             width=self.width,
@@ -54,10 +73,18 @@ class Trajectory:
     @staticmethod
     def load(path: str) -> "Trajectory":
         with np.load(path, allow_pickle=False) as z:
-            if int(z["version"]) != FORMAT_VERSION:
-                raise ValueError(f"unsupported trajectory version {z['version']}")
+            version = int(z["version"])
+            if version == 1:
+                params = z["rotvecs"]
+                kind = "so3"
+            elif version == FORMAT_VERSION:
+                params = z["params"]
+                kind = str(z["kind"])
+            else:
+                raise ValueError(f"unsupported trajectory version {version}")
             return Trajectory(
-                rotvecs=z["rotvecs"],
+                params=params,
+                kind=kind,
                 fps=Fraction(int(z["fps_num"]), int(z["fps_den"])),
                 width=int(z["width"]),
                 height=int(z["height"]),
