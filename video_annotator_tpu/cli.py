@@ -85,6 +85,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--projection", default="rect", choices=["rect", "fisheye"])
     r.add_argument("--preset", default=None,
                    help="GoPro camera preset name (e.g. gopro_h4b_wide43_measured)")
+    r.add_argument("--gyro", action="store_true",
+                   help="Use the GPMF gyro track for motion analysis")
     r.add_argument("-c", "--encode-only", action="store_true",
                    help="Skip analyse; use existing trajectory")
     r.add_argument("-a", "--analyse-only", action="store_true",
@@ -148,6 +150,7 @@ def _render_options(args) -> "RenderOptions":
         output_dfov=getattr(args, "output_dfov", None),
         projection=getattr(args, "projection", "rect"),
         preset=preset,
+        gyro=getattr(args, "gyro", False),
         analyse_only=getattr(args, "analyse_only", False),
         encode_only=getattr(args, "encode_only", False),
         no_output=getattr(args, "no_output", False),

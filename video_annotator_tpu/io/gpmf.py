@@ -1,0 +1,152 @@
+"""GPMF (GoPro Metadata Format) parser: gyro streams for stabilization.
+
+The reference shipped this as dead code (``opencv/gpmf.cpp:5-11,82-105``,
+entirely commented out but declared in the build): walk GPMF nodes, find
+``STRM`` containers with ``GYRO`` payloads, apply ``SCAL`` scaling, and
+interpolate per-sample timestamps across each packet. This is the live
+implementation: a pure-Python KLV parser (a native C++ fast path is not
+needed — telemetry is ~KB/s) feeding :func:`smoothing.gyro.integrate_gyro`.
+
+GPMF KLV layout: 4-byte FourCC key, 1-byte type char, 1-byte sample size,
+2-byte big-endian repeat count, then ``size*repeat`` payload bytes padded to
+4-byte alignment. Type 0x00 marks a nested container.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+_TYPE_FMT = {
+    ord("b"): "b", ord("B"): "B", ord("s"): "h", ord("S"): "H",
+    ord("l"): "i", ord("L"): "I", ord("f"): "f", ord("d"): "d",
+    ord("j"): "q", ord("J"): "Q",
+}
+
+
+def iter_klv(buf: bytes, start: int = 0, end: Optional[int] = None):
+    """Yield (fourcc, type_char, sample_size, repeat, payload_start, payload_end)."""
+    end = len(buf) if end is None else end
+    pos = start
+    while pos + 8 <= end:
+        key = buf[pos : pos + 4]
+        typ = buf[pos + 4]
+        size = buf[pos + 5]
+        repeat = struct.unpack_from(">H", buf, pos + 6)[0]
+        payload = size * repeat
+        ps = pos + 8
+        pe = ps + payload
+        if pe > end:
+            return
+        yield key, typ, size, repeat, ps, pe
+        pos = ps + ((payload + 3) & ~3)
+
+
+def _decode_array(buf: bytes, typ: int, size: int, repeat: int, ps: int):
+    fmt = _TYPE_FMT.get(typ)
+    if fmt is None:
+        return None
+    unit = struct.calcsize(fmt)
+    per_sample = size // unit
+    count = repeat * per_sample
+    vals = struct.unpack_from(f">{count}{fmt}", buf, ps)
+    arr = np.asarray(vals, np.float64)
+    return arr.reshape(repeat, per_sample) if per_sample > 1 else arr
+
+
+@dataclasses.dataclass
+class GyroPacket:
+    samples: np.ndarray  # (N, 3) rad/s, raw sensor axis order
+    timestamp: float  # packet start time (seconds)
+
+
+def parse_gyro_packet(payload: bytes, timestamp: float) -> List[GyroPacket]:
+    """Extract GYRO samples (scaled by SCAL) from one GPMF payload."""
+    packets: List[GyroPacket] = []
+
+    def walk(start, end):
+        scal: Optional[np.ndarray] = None
+        for key, typ, size, repeat, ps, pe in iter_klv(payload, start, end):
+            if typ == 0:  # nested container (DEVC / STRM)
+                walk(ps, pe)
+            elif key == b"SCAL":
+                scal = _decode_array(payload, typ, size, repeat, ps)
+            elif key == b"GYRO":
+                arr = _decode_array(payload, typ, size, repeat, ps)
+                if arr is None or arr.ndim != 2 or arr.shape[1] != 3:
+                    continue
+                if scal is not None:
+                    s = np.asarray(scal, np.float64).reshape(-1)
+                    arr = arr / (s if s.size in (1, 3) else s[:1])
+                packets.append(GyroPacket(arr, timestamp))
+
+    walk(0, len(payload))
+    return packets
+
+
+# GoPro gyro sample axis order is (z, x, y) in the camera's IMU frame; map
+# into the camera frame used by the vision pipeline (x right, y down,
+# z forward). This default matches HERO4/5-era firmware; override per rig.
+DEFAULT_AXIS_MAP = ((1, 1.0), (2, -1.0), (0, -1.0))
+
+
+def gyro_to_camera(samples: np.ndarray, axis_map=DEFAULT_AXIS_MAP) -> np.ndarray:
+    """(N, 3) raw sensor samples -> (N, 3) camera-frame angular rates."""
+    out = np.empty_like(samples)
+    for i, (src, sign) in enumerate(axis_map):
+        out[:, i] = samples[:, src] * sign
+    return out
+
+
+def extract_gyro(path: str, axis_map=DEFAULT_AXIS_MAP):
+    """(omega (S, 3) rad/s camera-frame, timestamps (S,) seconds) from an MP4.
+
+    Per-sample timestamps are interpolated across each packet's duration
+    (the design sketched in ``opencv/gpmf.cpp:82-105``).
+    """
+    from video_annotator_tpu.io.mp4 import find_gpmf_track, read_track_samples
+
+    track = find_gpmf_track(path)
+    if track is None:
+        raise ValueError(f"no GoPro MET track in {path}")
+
+    all_omega: List[np.ndarray] = []
+    all_ts: List[np.ndarray] = []
+    samples = list(read_track_samples(path, track))
+    for i, (payload, ts) in enumerate(samples):
+        next_ts = samples[i + 1][1] if i + 1 < len(samples) else None
+        for pkt in parse_gyro_packet(payload, ts):
+            n = pkt.samples.shape[0]
+            if next_ts is not None and next_ts > ts:
+                t = ts + (next_ts - ts) * np.arange(n) / max(n, 1)
+            else:
+                # assume ~400 Hz for the tail packet
+                t = ts + np.arange(n) / 400.0
+            all_omega.append(gyro_to_camera(pkt.samples, axis_map))
+            all_ts.append(t)
+    if not all_omega:
+        raise ValueError(f"GoPro MET track has no GYRO stream in {path}")
+    return np.concatenate(all_omega), np.concatenate(all_ts)
+
+
+# --- writer (tests / synthetic footage) ------------------------------------
+
+
+def build_gpmf_payload(gyro: np.ndarray, scale: int = 939) -> bytes:
+    """Serialize a minimal DEVC/STRM/SCAL+GYRO payload (int16 samples)."""
+
+    def klv(key: bytes, typ: int, size: int, repeat: int, payload: bytes) -> bytes:
+        head = key + bytes([typ, size]) + struct.pack(">H", repeat)
+        pad = (-len(payload)) % 4
+        return head + payload + b"\x00" * pad
+
+    raw = np.clip(np.round(gyro * scale), -32768, 32767).astype(">i2")
+    gyro_klv = klv(b"GYRO", ord("s"), 6, raw.shape[0], raw.tobytes())
+    scal_klv = klv(b"SCAL", ord("s"), 2, 1, struct.pack(">h", scale))
+    strm = scal_klv + gyro_klv
+    strm_klv = klv(b"STRM", 0, 1, len(strm), strm)
+    devc = klv(b"DEVC", 0, 1, len(strm_klv), strm_klv)
+    return devc

@@ -86,6 +86,8 @@ class RenderOptions:
     output_dfov: Optional[float] = None
     projection: str = "rect"  # rect | fisheye
     preset: Optional[CameraPreset] = None
+    # gyro-assisted analysis (GPMF telemetry instead of visual tracking)
+    gyro: bool = False
     # phases
     analyse_only: bool = False
     encode_only: bool = False
@@ -242,6 +244,78 @@ def analyse(
         fps=meta.fps,
         width=meta.width,
         height=meta.height,
+        source=source,
+    )
+
+
+def analyse_gyro(
+    source: str,
+    options: RenderOptions,
+    profiler: Optional[StageProfiler] = None,
+) -> Trajectory:
+    """Trajectory from the GPMF gyro track instead of visual tracking.
+
+    The design the reference sketched but never wired up
+    (``opencv/gpmf.cpp:82-105``; demux hook TODO at
+    ``opencv/AvFrameSourceFileVaapi.cpp:121-125``): integrate angular-rate
+    samples on SO(3) and resample at frame timestamps. Massively cheaper
+    than vision (no decode needed for analysis at all) and immune to
+    texture-poor footage.
+    """
+    prof = profiler or StageProfiler()
+    from video_annotator_tpu.io.gpmf import extract_gyro
+    from video_annotator_tpu.io.mp4 import parse_tracks
+    from video_annotator_tpu.smoothing.gyro import integrate_gyro
+
+    with prof.stage("gyro-parse"):
+        omega, ts = extract_gyro(source)
+
+    # Frame timestamps from the video track when available.
+    frame_ts = None
+    meta_w = meta_h = 0
+    fps = Fraction(30, 1)
+    try:
+        for track in parse_tracks(source):
+            if track.handler_type == b"vide" and track.sample_times:
+                frame_ts = np.asarray(track.sample_times)
+                if len(frame_ts) > 1:
+                    fps = Fraction(
+                        1.0 / float(np.median(np.diff(frame_ts)))
+                    ).limit_denominator(1001)
+                break
+    except Exception:
+        pass
+    if frame_ts is None:
+        try:
+            reader = open_reader(source)
+            meta = reader.meta
+            reader.close()
+            fps = meta.fps
+            meta_w, meta_h = meta.width, meta.height
+            n = meta.num_frames or int((ts[-1] - ts[0]) * float(fps)) + 1
+        except Exception:
+            # telemetry-only file: frame grid from the gyro span at 30 fps
+            n = int((ts[-1] - ts[0]) * 30.0) + 1
+        frame_ts = ts[0] + np.arange(n) / float(fps)
+
+    with prof.stage("gyro-integrate"):
+        import jax.numpy as jnp_
+
+        R = integrate_gyro(
+            jnp_.asarray(omega, jnp_.float32),
+            jnp_.asarray(ts, jnp_.float32),
+            jnp_.asarray(frame_ts, jnp_.float32),
+        )
+        # integrate_gyro returns attitude R_t (world-from-camera increments);
+        # the measured trajectory convention is C_t C_0^-1 = R_t^-1.
+        rotvecs = -np.asarray(so3.log(R), np.float64)
+
+    return Trajectory(
+        params=rotvecs,
+        kind="so3",
+        fps=fps,
+        width=meta_w,
+        height=meta_h,
         source=source,
     )
 
@@ -481,6 +555,8 @@ def render(
             from video_annotator_tpu.models.deshake import analyse_deshake
 
             traj = analyse_deshake(source, options, prof)
+        elif options.gyro:
+            traj = analyse_gyro(source, options, prof)
         else:
             traj = analyse(source, options, prof)
         if tpath:
