@@ -1,0 +1,224 @@
+// Native video loader: threaded libav decode -> planar YUV 4:2:0 ring buffer.
+//
+// TPU-native counterpart of the reference's decode stack
+// (opencv/AvFrameSourceFileVaapi.cpp: demux + decode;
+// opencv/AvFrameSourceMapOpenCl.cpp + FrameSourceFfmpegOpenCl.cpp: surface
+// transfer into the compute runtime's memory). Here the "device interop" is
+// a lock-free-enough pinned ring of host frames that the Python feeder
+// overlaps with jax.device_put, and decoding runs on a dedicated thread
+// (plus libavcodec's internal frame threading) so the TPU never waits on
+// the demuxer.
+//
+// C ABI (consumed via ctypes — no pybind11 in this image):
+//   void* va_open(const char* path, int ring_frames);
+//   int   va_meta(void* h, int* w, int* h_, int* fps_num, int* fps_den,
+//                 long* nframes);
+//   int   va_next(void* h, uint8_t* y, uint8_t* u, uint8_t* v);  // 1 ok, 0 eof, <0 err
+//   long  va_frame_index(void* h);
+//   void  va_close(void* h);
+//   const char* va_error(void* h);
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+namespace {
+
+struct Frame {
+    std::vector<uint8_t> y, u, v;
+    bool eof = false;
+};
+
+struct Loader {
+    AVFormatContext* fmt = nullptr;
+    AVCodecContext* dec = nullptr;
+    SwsContext* sws = nullptr;
+    int stream_index = -1;
+    int width = 0, height = 0;
+    AVRational fps{30, 1};
+    int64_t nframes = 0;
+
+    std::thread worker;
+    std::mutex mu;
+    std::condition_variable cv_push, cv_pop;
+    std::vector<Frame> ring;
+    size_t head = 0, tail = 0, count = 0;
+    std::atomic<bool> stop{false};
+    std::atomic<long> frame_index{-1};
+    std::string error;
+
+    ~Loader() {
+        stop = true;
+        cv_push.notify_all();
+        cv_pop.notify_all();
+        if (worker.joinable()) worker.join();
+        if (sws) sws_freeContext(sws);
+        if (dec) avcodec_free_context(&dec);
+        if (fmt) avformat_close_input(&fmt);
+    }
+};
+
+void push_frame(Loader* L, AVFrame* frame) {
+    std::unique_lock<std::mutex> lock(L->mu);
+    L->cv_push.wait(lock, [&] { return L->count < L->ring.size() || L->stop; });
+    if (L->stop) return;
+    Frame& slot = L->ring[L->head];
+    if (frame == nullptr) {
+        slot.eof = true;
+    } else {
+        slot.eof = false;
+        const int w = L->width, h = L->height;
+        uint8_t* dst[3] = {slot.y.data(), slot.u.data(), slot.v.data()};
+        int dst_stride[3] = {w, w / 2, w / 2};
+        sws_scale(L->sws, frame->data, frame->linesize, 0, h, dst, dst_stride);
+    }
+    L->head = (L->head + 1) % L->ring.size();
+    ++L->count;
+    L->cv_pop.notify_one();
+}
+
+void decode_loop(Loader* L) {
+    AVPacket* pkt = av_packet_alloc();
+    AVFrame* frame = av_frame_alloc();
+    bool flushing = false;
+    while (!L->stop) {
+        if (!flushing) {
+            int r = av_read_frame(L->fmt, pkt);
+            if (r < 0) {
+                flushing = true;
+                avcodec_send_packet(L->dec, nullptr);
+            } else {
+                if (pkt->stream_index == L->stream_index) {
+                    avcodec_send_packet(L->dec, pkt);
+                }
+                av_packet_unref(pkt);
+            }
+        }
+        while (!L->stop) {
+            int r = avcodec_receive_frame(L->dec, frame);
+            if (r == AVERROR(EAGAIN)) break;
+            if (r == AVERROR_EOF) {
+                push_frame(L, nullptr);
+                goto done;
+            }
+            if (r < 0) {
+                std::lock_guard<std::mutex> g(L->mu);
+                L->error = "decode error";
+                push_frame(L, nullptr);
+                goto done;
+            }
+            push_frame(L, frame);
+            av_frame_unref(frame);
+        }
+    }
+done:
+    av_packet_free(&pkt);
+    av_frame_free(&frame);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* va_open(const char* path, int ring_frames) {
+    auto* L = new Loader();
+    if (avformat_open_input(&L->fmt, path, nullptr, nullptr) < 0) {
+        delete L;
+        return nullptr;
+    }
+    if (avformat_find_stream_info(L->fmt, nullptr) < 0) {
+        delete L;
+        return nullptr;
+    }
+    const AVCodec* codec = nullptr;
+    L->stream_index =
+        av_find_best_stream(L->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &codec, 0);
+    if (L->stream_index < 0 || codec == nullptr) {
+        delete L;
+        return nullptr;
+    }
+    AVStream* st = L->fmt->streams[L->stream_index];
+    L->dec = avcodec_alloc_context3(codec);
+    avcodec_parameters_to_context(L->dec, st->codecpar);
+    L->dec->thread_count = 0;  // auto frame/slice threading
+    if (avcodec_open2(L->dec, codec, nullptr) < 0) {
+        delete L;
+        return nullptr;
+    }
+    L->width = L->dec->width;
+    L->height = L->dec->height;
+    L->fps = st->avg_frame_rate.num ? st->avg_frame_rate : AVRational{30, 1};
+    L->nframes = st->nb_frames;
+
+    L->sws = sws_getContext(L->width, L->height, L->dec->pix_fmt, L->width,
+                            L->height, AV_PIX_FMT_YUV420P, SWS_BILINEAR,
+                            nullptr, nullptr, nullptr);
+    if (!L->sws) {
+        delete L;
+        return nullptr;
+    }
+
+    const size_t ysz = (size_t)L->width * L->height;
+    const size_t csz = ysz / 4;
+    int n = ring_frames > 0 ? ring_frames : 8;
+    L->ring.resize(n);
+    for (auto& f : L->ring) {
+        f.y.resize(ysz);
+        f.u.resize(csz);
+        f.v.resize(csz);
+    }
+    L->worker = std::thread(decode_loop, L);
+    return L;
+}
+
+int va_meta(void* h, int* w, int* ht, int* fps_num, int* fps_den,
+            long* nframes) {
+    auto* L = static_cast<Loader*>(h);
+    *w = L->width;
+    *ht = L->height;
+    *fps_num = L->fps.num;
+    *fps_den = L->fps.den;
+    *nframes = (long)L->nframes;
+    return 0;
+}
+
+int va_next(void* h, uint8_t* y, uint8_t* u, uint8_t* v) {
+    auto* L = static_cast<Loader*>(h);
+    std::unique_lock<std::mutex> lock(L->mu);
+    L->cv_pop.wait(lock, [&] { return L->count > 0 || L->stop; });
+    if (L->stop && L->count == 0) return 0;
+    Frame& slot = L->ring[L->tail];
+    if (slot.eof) return 0;
+    std::memcpy(y, slot.y.data(), slot.y.size());
+    std::memcpy(u, slot.u.data(), slot.u.size());
+    std::memcpy(v, slot.v.data(), slot.v.size());
+    L->tail = (L->tail + 1) % L->ring.size();
+    --L->count;
+    L->frame_index.fetch_add(1);
+    L->cv_push.notify_one();
+    return 1;
+}
+
+long va_frame_index(void* h) {
+    return static_cast<Loader*>(h)->frame_index.load();
+}
+
+const char* va_error(void* h) {
+    return static_cast<Loader*>(h)->error.c_str();
+}
+
+void va_close(void* h) { delete static_cast<Loader*>(h); }
+
+}  // extern "C"

@@ -103,15 +103,30 @@ class _CvSource:
         self._cap.release()
 
 
-def open_reader(path: str):
+def open_reader(path: str, prefer_native: bool = True):
     """Open a video source; returns an object with ``.meta`` and ``__iter__``
-    yielding (y, u, v) uint8 planes."""
+    yielding (y, u, v) uint8 planes.
+
+    Compressed files prefer the threaded C++/libav loader
+    (``io/native.py``) when built, falling back to OpenCV's reader.
+    """
     if path.startswith("synthetic://"):
         from video_annotator_tpu.io.synthetic import SyntheticSource
 
         return SyntheticSource.from_uri(path)
     if path.endswith(".y4m"):
         return _Y4MSource(path)
+    if prefer_native:
+        try:
+            from video_annotator_tpu.io.native import (
+                NativeVideoSource,
+                native_available,
+            )
+
+            if native_available():
+                return NativeVideoSource(path)
+        except (FileNotFoundError, RuntimeError, OSError):
+            pass
     return _CvSource(path)
 
 

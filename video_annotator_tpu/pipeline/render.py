@@ -436,9 +436,12 @@ def encode(
         return cast(wy), cast(wu), cast(wv)
 
     first, last = _frame_range(meta, options)
+    from video_annotator_tpu.io.prefetch import DevicePrefetcher
+
+    pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)))
     idx = -1
     t = 0
-    for y, u, v in prof.wrap_iter("decode", iter(reader)):
+    for y, u, v in pre:
         idx += 1
         if idx < first:
             continue
@@ -446,16 +449,11 @@ def encode(
             break
         with prof.stage("warp"):
             rot = jnp.asarray(corrections[t], jnp.float32)
-            wy, wu, wv = warper(
-                jnp.asarray(y, jnp.float32),
-                jnp.asarray(u, jnp.float32),
-                jnp.asarray(v, jnp.float32),
-                rot,
-            )
-            wy, wu, wv = to_uint8(wy, wu, wv)
+            wy, wu, wv = to_uint8(*warper(y, u, v, rot))
         with prof.stage("encode"):
             writer.write((np.asarray(wy), np.asarray(wu), np.asarray(wv)))
         t += 1
+    pre.close()
     writer.close()
     reader.close()
     return out_meta
