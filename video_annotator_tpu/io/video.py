@@ -44,9 +44,14 @@ def bgr_to_yuv420(bgr: np.ndarray) -> Planes:
 
     h, w = bgr.shape[:2]
     i420 = cv2.cvtColor(bgr, cv2.COLOR_BGR2YUV_I420)
-    y = i420[:h]
-    u = i420[h : h + h // 4].reshape(h // 2, w // 2)
-    v = i420[h + h // 4 :].reshape(h // 2, w // 2)
+    # Parse via the flat buffer: per-plane row alignment in the stacked
+    # I420 image only works when h % 4 == 0, but the data layout is always
+    # plane-contiguous.
+    flat = i420.reshape(-1)
+    cs = (h // 2) * (w // 2)
+    y = flat[: h * w].reshape(h, w)
+    u = flat[h * w : h * w + cs].reshape(h // 2, w // 2)
+    v = flat[h * w + cs :].reshape(h // 2, w // 2)
     return y, u, v
 
 
@@ -54,9 +59,10 @@ def yuv420_to_bgr(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
     import cv2
 
     h, w = y.shape
-    i420 = np.concatenate(
-        [y.reshape(-1, w), u.reshape(-1, w), v.reshape(-1, w)], axis=0
+    flat = np.concatenate(
+        [np.ascontiguousarray(p, np.uint8).reshape(-1) for p in (y, u, v)]
     )
+    i420 = flat.reshape(h * 3 // 2, w)
     return cv2.cvtColor(i420, cv2.COLOR_YUV2BGR_I420)
 
 
