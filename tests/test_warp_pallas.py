@@ -26,7 +26,7 @@ def test_pallas_matches_xla_oracle(crop_borders):
     plan = plan_warp(out_cam, in_cam, max_correction_deg=6.0)
 
     rng = np.random.default_rng(0)
-    img = rng.uniform(0, 255, size=(240, 320)).astype(np.float32)
+    img = np.round(rng.uniform(0, 255, size=(240, 320))).astype(np.float32)
     rot = so3.exp(jnp.array([0.03, -0.02, 0.04]))
 
     ours = np.asarray(
@@ -43,7 +43,7 @@ def test_pallas_rotation_extremes_within_plan():
     out_cam = get_output_camera(in_cam, scale=1.0, crop_borders=True)
     plan = plan_warp(out_cam, in_cam, max_correction_deg=5.0)
     rng = np.random.default_rng(1)
-    img = rng.uniform(0, 255, size=(240, 320)).astype(np.float32)
+    img = np.round(rng.uniform(0, 255, size=(240, 320))).astype(np.float32)
     for w in ([0.08, 0, 0], [0, -0.08, 0], [0, 0, 0.08]):
         rot = so3.exp(jnp.asarray(w, jnp.float32))
         ours = np.asarray(

@@ -10,22 +10,28 @@ gather.
 TPU-native design
 -----------------
 Remap is a scattered gather, which TPUs have no native instruction for over a
-full HBM image. The kernel exploits the warp's *smoothness*:
+full HBM image. The kernel exploits the warp's *smoothness* and the 8-bit
+pixel depth:
 
-1. The output is processed in (8, 128) tiles. For each tile, the source
-   pixels live in a small axis-aligned window whose per-tile origin is
-   computed per frame by a cheap XLA pass over tile-corner coordinates
-   (rotations between frames only shift the windows; their static size is
-   chosen by the host-side planner from the cameras + a correction bound).
-2. The window (static shape ``(wh, ww)``) is DMA'd HBM -> VMEM per tile.
-3. Bilinear sampling runs as a loop over the window's ``wh`` rows: the two
-   horizontal taps are fetched with Mosaic's *lane-axis dynamic gather*
-   (``jnp.take_along_axis(..., axis=1)`` on (8, 128) operands — the only
-   gather shape the TPU supports natively), using per-128-column sections
-   with masked select when ``ww > 128``. The vertical hat weight
-   ``max(0, 1 - |sy - row|)`` zeroes all but the two relevant rows, so the
-   accumulation is exact 2x2 bilinear, bit-matching the XLA oracle to float
-   rounding.
+1. The frame is re-packed once per frame (cheap XLA bitcast) into
+   "quad-row words": an int32 array of shape (H/4, W) whose word (r, x)
+   holds rows 4r..4r+3 of column x. Gathers and DMAs then move 4 vertical
+   pixels per element — 4x fewer gathers and 4x less window DMA than a
+   float32 kernel.
+2. The output is processed in (8, 128) tiles. Each tile's source pixels
+   live in a small window whose per-tile origin is computed per frame by a
+   cheap XLA pass over a dense sub-tile sample of the map (the plan's
+   static window shape comes from probing worst-case correction rotations).
+3. The window is DMA'd HBM -> VMEM, and bilinear sampling loops over the
+   window's *word* rows: the two horizontal taps come from Mosaic's
+   lane-axis dynamic gather (``take_along_axis(..., axis=1)`` on (8, 128)
+   operands — the only gather shape the TPU supports natively) with
+   128-wide sections; the four packed rows are unpacked with static shifts
+   and weighted by the vertical hat function, which zeroes all but the two
+   relevant rows. The accumulation is exact 2x2 bilinear on the uint8
+   data, matching the XLA oracle to float rounding.
+4. A per-tile active word-row range [wr_lo, wr_hi) from the origin pass
+   keeps the loop proportional to the tile's true source span.
 
 Out-of-image sources produce 0 (cv::remap BORDER_CONSTANT semantics).
 """
@@ -57,13 +63,12 @@ class WarpPlan:
     out_w: int  # padded output width (multiple of TILE_W)
     crop_h: int  # true output height
     crop_w: int
-    wh: int  # window height (rows DMA'd per tile)
-    ww: int  # window width; multiple of 128
+    wh: int  # window height in pixels; multiple of 32
+    ww: int  # window width in pixels; multiple of 128
     in_h: int
     in_w: int
-    # Safety margins subtracted from the corner-based per-tile origin
-    # estimate, measured by the planner (interior map curvature can dip
-    # below the tile-corner minimum).
+    # Safety margins subtracted from the sampled per-tile minimum (map
+    # curvature between samples), measured by the planner.
     margin_x: int = 3
     margin_y: int = 3
 
@@ -74,6 +79,10 @@ class WarpPlan:
     @property
     def sections(self) -> int:
         return self.ww // 128
+
+    @property
+    def wh_words(self) -> int:
+        return self.wh // 4
 
 
 def _round_up(x: int, m: int) -> int:
@@ -111,96 +120,6 @@ def _warp_map_np(out_camera: Camera, in_camera: Camera, rot: np.ndarray, out_siz
     return np.stack([sx, sy], axis=-1)
 
 
-def plan_warp(
-    out_camera: Camera,
-    in_camera: Camera,
-    max_correction_deg: float = 6.0,
-    out_size: Tuple[int, int] | None = None,
-) -> WarpPlan:
-    """Choose static window sizes by probing the map over worst-case rotations.
-
-    Evaluates the warp map on a coarse grid for a set of extreme rotations
-    (attitude already folded into ``out_camera`` usage is the caller's concern;
-    ``max_correction_deg`` bounds the per-frame stabilization correction) and
-    measures the maximum source extent of any (8, 128) output tile.
-    """
-    if out_size is None:
-        out_size = (out_camera.height, out_camera.width)
-    crop_h, crop_w = out_size
-    out_h = _round_up(crop_h, TILE_H)
-    out_w = _round_up(crop_w, TILE_W)
-
-    ang = math.radians(max_correction_deg)
-    probes = [np.eye(3)]
-    for axis in ([ang, 0, 0], [0, ang, 0], [0, 0, ang],
-                 [-ang, 0, 0], [0, -ang, 0], [0, 0, -ang],
-                 [ang / 1.7, ang / 1.7, ang / 1.7]):
-        probes.append(_rodrigues_np(np.asarray(axis, np.float64)))
-
-    ny, nx = out_h // TILE_H, out_w // TILE_W
-    max_dx = 0.0
-    max_dy = 0.0
-    dip_x = 0.0  # how far the interior min dips below the corner min
-    dip_y = 0.0
-    for rot in probes:
-        cmap = _warp_map_np(out_camera, in_camera, rot, (out_h, out_w))
-        # Out-of-image sources render as 0 and never need real window
-        # coverage; clamp them so corner tiles (where the fisheye forward
-        # model stretches wildly outside the frame) don't inflate the plan.
-        sx = np.clip(cmap[..., 0], -8.0, in_camera.width + 8.0)
-        sy = np.clip(cmap[..., 1], -8.0, in_camera.height + 8.0)
-        bx = sx.reshape(ny, TILE_H, nx, TILE_W)
-        by = sy.reshape(ny, TILE_H, nx, TILE_W)
-        tmin_x = bx.min(axis=(1, 3))
-        tmin_y = by.min(axis=(1, 3))
-        tmax_y = by.max(axis=(1, 3))
-        max_dx = max(max_dx, float((bx.max(axis=(1, 3)) - tmin_x).max()))
-        max_dy = max(max_dy, float((tmax_y - tmin_y).max()))
-        # Sampled bounds on the same sub-tile grid _tile_origins uses; the
-        # dip is how far the true extremum escapes the sampled one.
-        sw = np.lib.stride_tricks.sliding_window_view
-        sgx = sx[::SUB_Y, ::SUB_X]
-        sgy = sy[::SUB_Y, ::SUB_X]
-        smin_x = sw(sgx, (3, 5))[::2, ::4].min(axis=(2, 3))
-        smin_y = sw(sgy, (3, 5))[::2, ::4].min(axis=(2, 3))
-        smax_y = sw(sgy, (3, 5))[::2, ::4].max(axis=(2, 3))
-        # The in-plan sample grid lacks the far boundary row/col, so it
-        # covers one tile less per axis; compare on the shared region (edge
-        # tiles behave like their neighbors, and the margin adds slack).
-        cy, cx_ = smin_x.shape
-        dip_x = max(dip_x, float((smin_x - tmin_x[:cy, :cx_]).max()))
-        dip_y = max(
-            dip_y,
-            float((smin_y - tmin_y[:cy, :cx_]).max()),
-            float((tmax_y[:cy, :cx_] - smax_y).max()),
-        )
-
-    margin_x = int(math.ceil(dip_x)) + 3
-    margin_y = int(math.ceil(dip_y)) + 3
-    # Window must cover: margin below the corner min, the tile's true source
-    # extent, +2 for the upper bilinear tap, and the (8, 128) alignment
-    # rounding of the origins.
-    wh = _round_up(int(math.ceil(max_dy)) + margin_y + 4 + 8, 8)
-    ww = _round_up(int(math.ceil(max_dx)) + margin_x + 4 + 128, 128)
-    # The frame is zero-padded up to the (8, 128) grid before the kernel
-    # (zero padding reproduces the BORDER_CONSTANT edge exactly), so the
-    # window may cover the padded extent but no more.
-    wh = min(wh, _round_up(in_camera.height, 8))
-    ww = min(ww, _round_up(in_camera.width, 128))
-    return WarpPlan(
-        out_h=out_h,
-        out_w=out_w,
-        crop_h=crop_h,
-        crop_w=crop_w,
-        wh=wh,
-        ww=ww,
-        in_h=in_camera.height,
-        in_w=in_camera.width,
-        margin_x=margin_x,
-        margin_y=margin_y,
-    )
-
-
 def _rodrigues_np(w: np.ndarray) -> np.ndarray:
     theta = float(np.linalg.norm(w))
     if theta < 1e-12:
@@ -220,6 +139,94 @@ SUB_Y = 4
 SUB_X = 32
 
 
+def plan_warp(
+    out_camera: Camera,
+    in_camera: Camera,
+    max_correction_deg: float = 6.0,
+    out_size: Tuple[int, int] | None = None,
+) -> WarpPlan:
+    """Choose static window sizes by probing the map over worst-case rotations.
+
+    Evaluates the warp map on a coarse grid for a set of extreme rotations
+    (``max_correction_deg`` bounds the per-frame stabilization correction)
+    and measures the maximum source extent of any (8, 128) output tile plus
+    how far true extrema escape the sub-tile sampled bounds.
+    """
+    if out_size is None:
+        out_size = (out_camera.height, out_camera.width)
+    crop_h, crop_w = out_size
+    out_h = _round_up(crop_h, TILE_H)
+    out_w = _round_up(crop_w, TILE_W)
+
+    ang = math.radians(max_correction_deg)
+    probes = [np.eye(3)]
+    for axis in ([ang, 0, 0], [0, ang, 0], [0, 0, ang],
+                 [-ang, 0, 0], [0, -ang, 0], [0, 0, -ang],
+                 [ang / 1.7, ang / 1.7, ang / 1.7]):
+        probes.append(_rodrigues_np(np.asarray(axis, np.float64)))
+
+    ny, nx = out_h // TILE_H, out_w // TILE_W
+    max_dx = 0.0
+    max_dy = 0.0
+    dip_x = 0.0  # how far the true extremum escapes the sampled bound
+    dip_y = 0.0
+    for rot in probes:
+        cmap = _warp_map_np(out_camera, in_camera, rot, (out_h, out_w))
+        # Out-of-image sources render as 0 and never need real window
+        # coverage; clamp them so corner tiles (where the fisheye forward
+        # model stretches wildly outside the frame) don't inflate the plan.
+        sx = np.clip(cmap[..., 0], -8.0, in_camera.width + 8.0)
+        sy = np.clip(cmap[..., 1], -8.0, in_camera.height + 8.0)
+        bx = sx.reshape(ny, TILE_H, nx, TILE_W)
+        by = sy.reshape(ny, TILE_H, nx, TILE_W)
+        tmin_x = bx.min(axis=(1, 3))
+        tmin_y = by.min(axis=(1, 3))
+        tmax_y = by.max(axis=(1, 3))
+        max_dx = max(max_dx, float((bx.max(axis=(1, 3)) - tmin_x).max()))
+        max_dy = max(max_dy, float((tmax_y - tmin_y).max()))
+        sw = np.lib.stride_tricks.sliding_window_view
+        sgx = sx[::SUB_Y, ::SUB_X]
+        sgy = sy[::SUB_Y, ::SUB_X]
+        smin_x = sw(sgx, (3, 5))[::2, ::4].min(axis=(2, 3))
+        smin_y = sw(sgy, (3, 5))[::2, ::4].min(axis=(2, 3))
+        smax_y = sw(sgy, (3, 5))[::2, ::4].max(axis=(2, 3))
+        # The in-plan sample grid lacks the far boundary row/col, so it
+        # covers one tile less per axis; compare on the shared region (edge
+        # tiles behave like their neighbors, and the margin adds slack).
+        cy, cx_ = smin_x.shape
+        dip_x = max(dip_x, float((smin_x - tmin_x[:cy, :cx_]).max()))
+        dip_y = max(
+            dip_y,
+            float((smin_y - tmin_y[:cy, :cx_]).max()),
+            float((tmax_y[:cy, :cx_] - smax_y).max()),
+        )
+
+    margin_x = int(math.ceil(dip_x)) + 3
+    margin_y = int(math.ceil(dip_y)) + 3
+    # Window must cover: margin below the sampled min, the tile's true
+    # source extent, +2 for the upper bilinear tap, and the origin
+    # alignment rounding (32 rows / 128 cols).
+    wh = _round_up(int(math.ceil(max_dy)) + margin_y + 4 + 32, 32)
+    ww = _round_up(int(math.ceil(max_dx)) + margin_x + 4 + 128, 128)
+    # The frame is zero-padded up to the packing/DMA grid before the
+    # kernel (zero padding reproduces the BORDER_CONSTANT edge exactly),
+    # so the window may cover the padded extent but no more.
+    wh = min(wh, _round_up(in_camera.height, 32))
+    ww = min(ww, _round_up(in_camera.width, 128))
+    return WarpPlan(
+        out_h=out_h,
+        out_w=out_w,
+        crop_h=crop_h,
+        crop_w=crop_w,
+        wh=wh,
+        ww=ww,
+        in_h=in_camera.height,
+        in_w=in_camera.width,
+        margin_x=margin_x,
+        margin_y=margin_y,
+    )
+
+
 def _tile_bounds_grid(
     plan: WarpPlan,
     out_camera: Camera,
@@ -237,7 +244,6 @@ def _tile_bounds_grid(
         precision=jax.lax.Precision.HIGHEST,
     )
     src = in_camera.project(rotated)  # (2ny+1, 4nx+1, 2)
-    # Clamp wild out-of-image coordinates (see plan_warp) before bounding.
     sx = jnp.clip(src[..., 0], -8.0, plan.in_w + 8.0)
     sy = jnp.clip(src[..., 1], -8.0, plan.in_h + 8.0)
 
@@ -260,22 +266,44 @@ def _tile_origins(
     in_camera: Camera,
     rotation: jax.Array,
 ):
-    """Per-tile window origins + active row range for one frame (XLA pass)."""
-    min_x, _, min_y, max_y = _tile_bounds_grid(plan, out_camera, in_camera, rotation)
+    """Per-tile window origins + active word-row range (cheap XLA pass).
+
+    Origins are aligned to the DMA grid of the quad-row word array:
+    32 pixel rows (= 8 word rows) and 128 columns.
+    """
+    min_x, max_x, min_y, max_y = _tile_bounds_grid(
+        plan, out_camera, in_camera, rotation
+    )
     ox = jnp.floor(min_x - plan.margin_x).astype(jnp.int32)
     oy = jnp.floor(min_y - plan.margin_y).astype(jnp.int32)
-    # HBM->VMEM DMA slices must start on the (8, 128) tile grid; round the
-    # origins down (the plan adds the alignment loss to the window size).
-    in_h_pad = _round_up(plan.in_h, 8)
+    in_h_pad = _round_up(plan.in_h, 32)
     in_w_pad = _round_up(plan.in_w, 128)
     ox = (jnp.clip(ox, 0, max(in_w_pad - plan.ww, 0)) // 128) * 128
-    oy = (jnp.clip(oy, 0, max(in_h_pad - plan.wh, 0)) // 8) * 8
-    # Row range of the window that can carry nonzero vertical weight: tiles
-    # in low-curvature regions span far fewer than ``wh`` rows, and the
-    # kernel's row loop runs only over [0, d_hi).
-    d_hi = jnp.ceil(max_y + plan.margin_y).astype(jnp.int32) - oy + 2
-    d_hi = jnp.clip(d_hi, 0, plan.wh)
-    return oy, ox, d_hi
+    oy = (jnp.clip(oy, 0, max(in_h_pad - plan.wh, 0)) // 32) * 32
+    oyw = oy // 4  # word-row origin (multiple of 8)
+    # Active word-row range: rows outside [min_y - margin - 1, max_y +
+    # margin + 2] carry zero vertical weight for every pixel of the tile.
+    wr_lo = (jnp.floor(min_y - plan.margin_y - 1.0).astype(jnp.int32) - oy) // 4
+    wr_hi = (
+        jnp.ceil(max_y + plan.margin_y + 2.0).astype(jnp.int32) - oy
+    ) // 4 + 1
+    wr_lo = jnp.clip(wr_lo, 0, plan.wh_words)
+    wr_hi = jnp.clip(wr_hi, 0, plan.wh_words)
+    # Active 128-column section range: the window is sized for the worst
+    # tile plus alignment slack, but a typical tile's x-span covers only
+    # 2 of its sections.
+    nsec = plan.sections
+    sec_lo = jnp.clip(
+        (jnp.floor(min_x - plan.margin_x - 1.0).astype(jnp.int32) - ox) // 128,
+        0,
+        nsec - 1,
+    )
+    sec_hi = jnp.clip(
+        (jnp.ceil(max_x + plan.margin_x + 2.0).astype(jnp.int32) - ox) // 128 + 1,
+        sec_lo + 1,
+        nsec,
+    )
+    return oyw, ox, wr_lo, wr_hi, sec_lo, sec_hi
 
 
 def _atan(x: jax.Array) -> jax.Array:
@@ -303,24 +331,21 @@ def _atan(x: jax.Array) -> jax.Array:
     return jnp.where(x < 0, -r, r)
 
 
-def _gather_row(seg_rows, idx):
-    """Gather ``row[idx]`` where idx may span multiple 128-wide sections.
+def _gather_masked(seg, local):
+    """Gather ``seg[., local]`` zeroing out-of-section indices.
 
-    ``seg_rows``: list of (8, 128) arrays (the window row broadcast per
-    section); ``idx``: (8, 128) int32 into the concatenated row.
+    Sections partition the x-domain, so per-section contributions are
+    disjoint and simply add up across the dynamic section loop.
     """
-    out = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    for s, seg in enumerate(seg_rows):
-        local = idx - s * 128
-        inside = (local >= 0) & (local < 128)
-        g = jnp.take_along_axis(seg, jnp.clip(local, 0, 127), axis=1)
-        out = jnp.where(inside, g, out)
-    return out
+    inside = (local >= 0) & (local < 128)
+    g = jnp.take_along_axis(seg, jnp.clip(local, 0, 127), axis=1)
+    return jnp.where(inside, g, 0)
 
 
 def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera):
-    wh, ww = plan.wh, plan.ww
+    ww = plan.ww
     nsec = plan.sections
+    wh_words = plan.wh_words
     in_h, in_w = plan.in_h, plan.in_w
 
     # Intrinsics as trace-time floats (camera is fixed for a clip).
@@ -331,14 +356,15 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera):
     in_fisheye = in_camera.model == CameraModel.FISHEYE
     k1, k2, k3, k4 = [float(v) for v in np.asarray(in_camera.dist)]
 
-    def kernel(rot_ref, oy_ref, ox_ref, dhi_ref, in_hbm, out_ref, win, sem):
+    def kernel(rot_ref, oyw_ref, ox_ref, wrlo_ref, wrhi_ref, seclo_ref,
+               sechi_ref, in_hbm, out_ref, win, sem):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
-        oy = pl.multiple_of(oy_ref[ty, tx], 8)
+        oyw = pl.multiple_of(oyw_ref[ty, tx], 8)
         ox = pl.multiple_of(ox_ref[ty, tx], 128)
 
         copy = pltpu.make_async_copy(
-            in_hbm.at[pl.ds(oy, wh), pl.ds(ox, ww)], win, sem
+            in_hbm.at[pl.ds(oyw, wh_words), pl.ds(ox, ww)], win, sem
         )
         copy.start()
 
@@ -347,7 +373,6 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera):
         xs = (tx * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)).astype(jnp.float32)
         rx = (xs - ocx) / ofx
         ry = (ys - ocy) / ofy
-        # rotate (r00..r22 from SMEM)
         r = [rot_ref[i] for i in range(9)]
         vx = r[0] * rx + r[1] * ry + r[2]
         vy = r[3] * rx + r[4] * ry + r[5]
@@ -356,8 +381,7 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera):
         a = vx * inv_z
         b = vy * inv_z
         if in_fisheye:
-            r2 = a * a + b * b
-            rr = jnp.sqrt(r2)
+            rr = jnp.sqrt(a * a + b * b)
             theta = _atan(rr)
             if any(abs(k) > 0 for k in (k1, k2, k3, k4)):
                 t2 = theta * theta
@@ -371,48 +395,64 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera):
 
         # cv::remap BORDER_CONSTANT semantics: pixels whose 2x2 neighborhood
         # partially overlaps the image blend the inside taps with zeros. The
-        # window is clamped inside the image, so taps outside it vanish from
-        # the section gather automatically; only fully-outside pixels (and
-        # behind-camera rays) need explicit masking.
+        # window is clamped inside the (zero-padded) image, so taps outside
+        # it vanish from the section gather automatically; only
+        # fully-outside pixels (and behind-camera rays) need masking.
         valid = (
             (sx > -1.0) & (sx < in_w + 0.0) & (sy > -1.0) & (sy < in_h + 0.0)
             & (vz > 1e-6)
         )
 
         sxr = sx - ox.astype(jnp.float32)
-        syr = sy - oy.astype(jnp.float32)
+        syr = sy - (oyw * 4).astype(jnp.float32)
         ix0 = jnp.floor(sxr).astype(jnp.int32)
         fx = sxr - jnp.floor(sxr)
+        one_m_fx = 1.0 - fx
 
         copy.wait()
 
-        # Only rows [0, d_hi) of the window can carry nonzero vertical
-        # weight for this tile; the prefetch pass computed the tile's span.
-        # Mosaic requires sublane-aligned dynamic loads, so iterate over
-        # aligned 8-row blocks with a static inner unroll.
-        d_hi = dhi_ref[ty, tx]
-        n_blocks = (d_hi + 7) // 8
+        wr_lo = wrlo_ref[ty, tx]
+        wr_hi = wrhi_ref[ty, tx]
+        # Aligned 8-word-row blocks (Mosaic requires sublane-aligned dynamic
+        # loads); the static inner unrolls (rows, sections) keep ILP high,
+        # the packed bytes handle the x4 vertical pixels per word.
+        blk_lo = wr_lo // 8
+        blk_hi = (wr_hi + 7) // 8
 
         def block_body(i, acc):
-            d8 = pl.multiple_of(i * 8, 8)
+            w8 = pl.multiple_of(i * 8, 8)
             blocks = [
-                win[pl.ds(d8, 8), pl.ds(s * 128, 128)] for s in range(nsec)
+                win[pl.ds(w8, 8), pl.ds(s * 128, 128)] for s in range(nsec)
             ]
-            base = d8.astype(jnp.float32)
-            for r in range(8):
-                # Vertical hat weight: nonzero only for 2 bracketing rows.
-                wy = jnp.maximum(1.0 - jnp.abs(syr - (base + float(r))), 0.0)
-                segs = [
-                    jnp.broadcast_to(b[r : r + 1, :], (TILE_H, TILE_W))
-                    for b in blocks
-                ]
-                v0 = _gather_row(segs, ix0)
-                v1 = _gather_row(segs, ix0 + 1)
-                acc = acc + wy * (v0 * (1.0 - fx) + v1 * fx)
+            base = (w8 * 4).astype(jnp.float32)
+            for rr_ in range(8):
+                w0 = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+                w1 = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+                for s in range(nsec):
+                    seg = jnp.broadcast_to(
+                        blocks[s][rr_ : rr_ + 1, :], (TILE_H, TILE_W)
+                    )
+                    local = ix0 - s * 128
+                    w0 = w0 + _gather_masked(seg, local)
+                    w1 = w1 + _gather_masked(seg, local + 1)
+                rowbase = base + float(4 * rr_)
+                acc0 = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                acc1 = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                for k in range(4):
+                    # Vertical hat weight: nonzero only for the 2 rows
+                    # bracketing sy.
+                    wy = jnp.maximum(
+                        1.0 - jnp.abs(syr - (rowbase + float(k))), 0.0
+                    )
+                    v0 = ((w0 >> (8 * k)) & 0xFF).astype(jnp.float32)
+                    v1 = ((w1 >> (8 * k)) & 0xFF).astype(jnp.float32)
+                    acc0 = acc0 + wy * v0
+                    acc1 = acc1 + wy * v1
+                acc = acc + one_m_fx * acc0 + fx * acc1
             return acc
 
         acc = jax.lax.fori_loop(
-            0, n_blocks, block_body, jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            blk_lo, blk_hi, block_body, jnp.zeros((TILE_H, TILE_W), jnp.float32)
         )
         out_ref[...] = jnp.where(valid, acc, 0.0)
 
@@ -437,6 +477,21 @@ def _camera_from_key(key) -> Camera:
     return Camera.make(fx, fy, cx, cy, w, h, model, dist=jnp.asarray(dist))
 
 
+def pack_frame_words(frame: jax.Array, in_h: int, in_w: int):
+    """(H, W) image -> zero-padded quad-row word array (H'/4, W') int32."""
+    in_h_pad = _round_up(in_h, 32)
+    in_w_pad = _round_up(in_w, 128)
+    f = jnp.clip(jnp.round(frame.astype(jnp.float32)), 0.0, 255.0).astype(
+        jnp.uint8
+    )
+    if (in_h_pad, in_w_pad) != f.shape:
+        f = jnp.pad(
+            f, ((0, in_h_pad - f.shape[0]), (0, in_w_pad - f.shape[1]))
+        )
+    quads = f.reshape(in_h_pad // 4, 4, in_w_pad).transpose(0, 2, 1)
+    return jax.lax.bitcast_convert_type(quads, jnp.int32)
+
+
 @functools.lru_cache(maxsize=64)
 def _build_warp_fn(plan: WarpPlan, out_key, in_key, interpret: bool):
     out_camera = _camera_from_key(out_key)
@@ -445,7 +500,7 @@ def _build_warp_fn(plan: WarpPlan, out_key, in_key, interpret: bool):
     ny, nx = plan.grid
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=7,
         grid=(ny, nx),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -455,7 +510,7 @@ def _build_warp_fn(plan: WarpPlan, out_key, in_key, interpret: bool):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((plan.wh, plan.ww), jnp.float32),
+            pltpu.VMEM((plan.wh_words, plan.ww), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -466,20 +521,14 @@ def _build_warp_fn(plan: WarpPlan, out_key, in_key, interpret: bool):
         interpret=interpret,
     )
 
-    in_h_pad = _round_up(plan.in_h, 8)
-    in_w_pad = _round_up(plan.in_w, 128)
-
     @jax.jit
     def run(frame: jax.Array, rotation: jax.Array) -> jax.Array:
-        oy, ox, d_hi = _tile_origins(plan, out_camera, in_camera, rotation)
+        oyw, ox, wr_lo, wr_hi, sec_lo, sec_hi = _tile_origins(
+            plan, out_camera, in_camera, rotation
+        )
         rot9 = jnp.reshape(rotation.astype(jnp.float32), (9,))
-        frame = frame.astype(jnp.float32)
-        if (in_h_pad, in_w_pad) != frame.shape:
-            frame = jnp.pad(
-                frame,
-                ((0, in_h_pad - frame.shape[0]), (0, in_w_pad - frame.shape[1])),
-            )
-        out = call(rot9, oy, ox, d_hi, frame)
+        words = pack_frame_words(frame, plan.in_h, plan.in_w)
+        out = call(rot9, oyw, ox, wr_lo, wr_hi, sec_lo, sec_hi, words)
         return out[: plan.crop_h, : plan.crop_w]
 
     return run
@@ -493,7 +542,7 @@ def warp_frame_pallas(
     in_camera: Camera,
     interpret: bool = False,
 ) -> jax.Array:
-    """Warp one (H, W) float32 frame. Returns (crop_h, crop_w) float32.
+    """Warp one (H, W) frame (uint8-valued). Returns (crop_h, crop_w) f32.
 
     ``rotation`` is the 3x3 applied to output rays (same convention as
     ``compute_warp_map`` and ``opencv/FrameSourceWarp.cpp:291-299``).
