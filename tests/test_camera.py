@@ -163,3 +163,18 @@ def test_so3_project_recovers_rotation():
     fixed = np.asarray(so3.project(jnp.asarray(noisy)))
     np.testing.assert_allclose(fixed @ fixed.T, np.eye(3), atol=1e-5)
     np.testing.assert_allclose(fixed, R, atol=5e-3)
+
+
+def test_equirect_project_unproject_roundtrip():
+    from video_annotator_tpu.camera import camera_from_dfov
+
+    cam = camera_from_dfov(180.0, (720, 360), CameraModel.EQUIRECT)
+    rng = np.random.default_rng(9)
+    pts = rng.uniform([10, 10], [709, 349], size=(64, 2)).astype(np.float32)
+    dirs = cam.unproject(jnp.asarray(pts))
+    # directions are unit-norm over the full sphere
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(dirs), axis=-1), 1.0, atol=1e-5
+    )
+    back = np.asarray(cam.project(dirs))
+    np.testing.assert_allclose(back, pts, atol=0.05)

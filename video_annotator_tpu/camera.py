@@ -32,6 +32,9 @@ import jax.numpy as jnp
 class CameraModel(enum.Enum):
     RECTILINEAR = "rectilinear"
     FISHEYE = "fisheye"
+    # Equirectangular panorama (the v360 filter's reprojection targets,
+    # src/render.ts:487-544 / --projection, src/cli.ts:117-121).
+    EQUIRECT = "equirect"
 
 
 class CameraPreset(enum.Enum):
@@ -119,6 +122,12 @@ class Camera:
         Rectilinear: standard pinhole ``p = c + f * xy / z``.
         """
         x, y, z = rays[..., 0], rays[..., 1], rays[..., 2]
+        if self.model == CameraModel.EQUIRECT:
+            lon = jnp.arctan2(x, z)
+            lat = jnp.arctan2(y, jnp.sqrt(x * x + z * z))
+            u = self.fx * lon + self.cx
+            v = self.fy * lat + self.cy
+            return jnp.stack([u, v], axis=-1)
         inv_z = 1.0 / z
         a = x * inv_z
         b = y * inv_z
@@ -146,6 +155,13 @@ class Camera:
         """
         xd = (pixels[..., 0] - self.cx) / self.fx
         yd = (pixels[..., 1] - self.cy) / self.fy
+        if self.model == CameraModel.EQUIRECT:
+            # Direction vectors (not z=1 rays): valid over the full sphere.
+            lon, lat = xd, yd
+            cl = jnp.cos(lat)
+            return jnp.stack(
+                [cl * jnp.sin(lon), jnp.sin(lat), cl * jnp.cos(lon)], axis=-1
+            )
         if self.model == CameraModel.RECTILINEAR:
             return jnp.stack([xd, yd, jnp.ones_like(xd)], axis=-1)
         theta_d = jnp.sqrt(xd * xd + yd * yd)
@@ -239,7 +255,8 @@ def camera_from_dfov(
     w, h = size
     half_diag = math.hypot(w - 1.0, h - 1.0) / 2.0
     half_fov = math.radians(dfov_degrees) / 2.0
-    if model == CameraModel.FISHEYE:
+    if model in (CameraModel.FISHEYE, CameraModel.EQUIRECT):
+        # angular models: pixels per radian
         f = half_diag / half_fov
     else:
         f = half_diag / math.tan(half_fov)

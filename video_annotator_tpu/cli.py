@@ -82,7 +82,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Percent extra canvas to avoid cropping")
     r.add_argument("--input-dfov", type=float, default=145.8)
     r.add_argument("--output-dfov", type=float, default=None)
-    r.add_argument("--projection", default="rect", choices=["rect", "fisheye"])
+    r.add_argument("--projection", default="rect", choices=["rect", "fisheye", "equirect"])
     r.add_argument("--preset", default=None,
                    help="GoPro camera preset name (e.g. gopro_h4b_wide43_measured)")
     r.add_argument("--gyro", action="store_true",
@@ -110,6 +110,22 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--preset", default=None)
     c.add_argument("--stabilise-radius", type=int, default=90)
     c.add_argument("-v", "--verbose", action="store_true")
+
+    wf = sub.add_parser(
+        "workflow",
+        help="Match workflow: stabilise/join/tag/split/encode (concat.sh)",
+    )
+    wf.add_argument("action",
+                    choices=["stabilise", "join", "tag", "split", "encode"])
+    wf.add_argument("code")
+    wf.add_argument("--directory", default=".")
+    wf.add_argument("--concurrency", type=int, default=1)
+    wf.add_argument("--sets-json", default=None,
+                    help="Non-interactive set list for 'tag'")
+    wf.add_argument("--encoder", default="mp4v")
+    wf.add_argument("--render-args", default=None,
+                    help="Extra args passed to each split render "
+                         "(space-separated)")
 
     k = sub.add_parser("calibrate",
                        help="Fit fisheye intrinsics from point correspondences")
@@ -183,6 +199,28 @@ def main(argv=None) -> int:
             args.stabilise = "none"
             modes = [m.strip() for m in args.compare.split(",") if m.strip()]
             render_compare(args.source, args.dest, modes, _render_options(args))
+        elif args.command == "workflow":
+            from video_annotator_tpu import workflow
+
+            if args.action == "join":
+                from video_annotator_tpu.io.gopro import join as join_fn
+
+                join_fn(
+                    args.code,
+                    f"{args.directory}/match_{args.code}.mp4",
+                    directory=args.directory,
+                )
+            elif args.action == "tag":
+                workflow.tag(args.code, args.directory, args.sets_json)
+            elif args.action == "stabilise":
+                workflow.stabilise(args.code, args.directory, args.concurrency)
+            elif args.action == "split":
+                extra = args.render_args.split() if args.render_args else None
+                workflow.split(
+                    args.code, args.directory, args.concurrency, extra
+                )
+            elif args.action == "encode":
+                workflow.encode(args.code, args.directory, args.encoder)
         elif args.command == "calibrate":
             from video_annotator_tpu.calibrate import calibrate_cli
 

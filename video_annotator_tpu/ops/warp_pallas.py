@@ -187,6 +187,12 @@ def plan_warp(
         sw = np.lib.stride_tricks.sliding_window_view
         sgx = sx[::SUB_Y, ::SUB_X]
         sgy = sy[::SUB_Y, ::SUB_X]
+        if sgx.shape[0] < 3 or sgx.shape[1] < 5:
+            # Output smaller than one sample window (tiny frames): fall
+            # back to a conservative fixed dip.
+            dip_x = max(dip_x, 4.0)
+            dip_y = max(dip_y, 4.0)
+            continue
         smin_x = sw(sgx, (3, 5))[::2, ::4].min(axis=(2, 3))
         smin_y = sw(sgy, (3, 5))[::2, ::4].min(axis=(2, 3))
         smax_y = sw(sgy, (3, 5))[::2, ::4].max(axis=(2, 3))

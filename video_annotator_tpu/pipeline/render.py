@@ -135,9 +135,10 @@ def build_cameras(meta: VideoMeta, o: RenderOptions):
     if o.stabilise != "none" and o.stabilise_buffer:
         zoom = 1.0 / (1.0 + o.stabilise_buffer / 100.0)
 
-    out_model = (
-        CameraModel.FISHEYE if o.projection == "fisheye" else CameraModel.RECTILINEAR
-    )
+    out_model = {
+        "fisheye": CameraModel.FISHEYE,
+        "equirect": CameraModel.EQUIRECT,
+    }.get(o.projection, CameraModel.RECTILINEAR)
     if o.width and o.height and o.output_dfov:
         out_cam = camera_from_dfov(o.output_dfov, (o.width, o.height), out_model)
     else:
@@ -375,7 +376,12 @@ class FrameWarper:
         self.out_h = out_cam.height - out_cam.height % 2
         self.in_half = _scaled_camera(in_cam, 0.5)
         self.out_half = _scaled_camera(out_cam, 0.5)
-        self._use_pallas = jax.default_backend() not in ("cpu",)
+        # The Pallas kernel inlines rectilinear output-ray math; other
+        # output projections (fisheye/equirect) take the XLA path.
+        self._use_pallas = (
+            jax.default_backend() not in ("cpu",)
+            and out_cam.model == CameraModel.RECTILINEAR
+        )
         if self._use_pallas:
             self.plan_y = plan_warp(
                 out_cam, in_cam, max_correction_deg, (self.out_h, self.out_w)
