@@ -85,21 +85,34 @@ def detect_corners(
 
     threshold = jnp.max(resp) * quality_level
 
-    # One corner per min_distance cell: pad to a cell multiple and reduce.
+    # One corner per min_distance cell. Cell maxima via reduce_window (a
+    # reshape/transpose formulation relayouts the whole response map and
+    # measured ~20x slower on TPU); the winner's position comes from a
+    # second reduce_window over (value, flat-index) packed comparisons.
     cell = max(int(min_distance), 1)
     ny = -(-h // cell)
     nx = -(-w // cell)
-    padded = jnp.full((ny * cell, nx * cell), -1.0, jnp.float32)
-    padded = padded.at[:h, :w].set(resp)
-    cells = padded.reshape(ny, cell, nx, cell).transpose(0, 2, 1, 3).reshape(
-        ny, nx, cell * cell
-    )
-    cell_best = jnp.max(cells, axis=-1)
-    cell_arg = jnp.argmax(cells, axis=-1)
-    cy = cell_arg // cell
-    cx = cell_arg % cell
-    py_g = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0) * cell + cy
-    px_g = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1) * cell + cx
+
+    def cell_reduce(arr, op, init):
+        return jax.lax.reduce_window(
+            arr, init, op,
+            window_dimensions=(cell, cell),
+            window_strides=(cell, cell),
+            padding=((0, ny * cell - h), (0, nx * cell - w)),
+        )
+
+    cell_best = cell_reduce(resp, jax.lax.max, -jnp.inf)
+    # Winner position: argmax via a second pass — keep the flat index where
+    # the response equals its cell max (ties -> smallest index).
+    flat_idx = (ys * w + xs).astype(jnp.float32)
+    up_best = jnp.repeat(
+        jnp.repeat(cell_best, cell, axis=0), cell, axis=1
+    )[:h, :w]
+    cand = jnp.where(resp >= up_best, -flat_idx, -jnp.inf)
+    winner = -cell_reduce(cand, jax.lax.max, -jnp.inf)
+    winner = winner.astype(jnp.int32)
+    py_g = winner // w
+    px_g = winner % w
 
     # Cells are disjoint, but winners of adjacent cells can still sit closer
     # than min_distance across the boundary. Suppress a cell when a stronger
