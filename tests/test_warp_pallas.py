@@ -51,3 +51,25 @@ def test_pallas_rotation_extremes_within_plan():
         )
         ref = np.asarray(warp_image_xla(jnp.asarray(img), out_cam, in_cam, rot))
         np.testing.assert_allclose(ours, ref, atol=0.05)
+
+
+def test_batched_matches_single():
+    from video_annotator_tpu.ops.warp_pallas import warp_frames_pallas
+
+    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (320, 240))
+    out_cam = get_output_camera(in_cam, scale=1.0, crop_borders=True)
+    plan = plan_warp(out_cam, in_cam, max_correction_deg=6.0)
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(
+        np.round(rng.uniform(0, 255, (2, 240, 320))).astype(np.float32)
+    )
+    rots = so3.exp(jnp.asarray(rng.normal(size=(2, 3)) * 0.02, jnp.float32))
+    batch = np.asarray(
+        warp_frames_pallas(frames, rots, plan, out_cam, in_cam, interpret=True)
+    )
+    for t in range(2):
+        single = np.asarray(
+            warp_frame_pallas(frames[t], rots[t], plan, out_cam, in_cam,
+                              interpret=True)
+        )
+        np.testing.assert_allclose(batch[t], single, atol=1e-4)

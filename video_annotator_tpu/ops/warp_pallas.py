@@ -348,7 +348,8 @@ def _gather_masked(seg, local):
     return jnp.where(inside, g, 0)
 
 
-def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera):
+def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
+                 grid_offset: int = 0):
     ww = plan.ww
     nsec = plan.sections
     wh_words = plan.wh_words
@@ -364,8 +365,8 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera):
 
     def kernel(rot_ref, oyw_ref, ox_ref, wrlo_ref, wrhi_ref, seclo_ref,
                sechi_ref, in_hbm, out_ref, win, sem):
-        ty = pl.program_id(0)
-        tx = pl.program_id(1)
+        ty = pl.program_id(grid_offset)
+        tx = pl.program_id(grid_offset + 1)
         oyw = pl.multiple_of(oyw_ref[ty, tx], 8)
         ox = pl.multiple_of(ox_ref[ty, tx], 128)
 
@@ -538,6 +539,96 @@ def _build_warp_fn(plan: WarpPlan, out_key, in_key, interpret: bool):
         return out[: plan.crop_h, : plan.crop_w]
 
     return run
+
+
+@functools.lru_cache(maxsize=64)
+def _build_warp_batch_fn(plan: WarpPlan, out_key, in_key, t: int, interpret: bool):
+    """Batched variant: grid (T, ny, nx), per-frame rotations and origins.
+
+    Amortizes dispatch + the origin pass across a small frame batch; used
+    by the benchmark and any batched caller. Kernel body is shared with the
+    single-frame path via an extra leading frame index.
+    """
+    out_camera = _camera_from_key(out_key)
+    in_camera = _camera_from_key(in_key)
+    base_kernel = _make_kernel(plan, out_camera, in_camera, grid_offset=1)
+    ny, nx = plan.grid
+
+    def kernel(rot_ref, oyw_ref, ox_ref, wrlo_ref, wrhi_ref, seclo_ref,
+               sechi_ref, in_hbm, out_ref, win, sem):
+        ti = pl.program_id(0)
+
+        class _View:
+            """Present the per-frame slice of a (T, ...) prefetch array
+            with the single-frame kernel's indexing convention."""
+
+            def __init__(self, ref, lead):
+                self._ref = ref
+                self._lead = lead
+
+            def __getitem__(self, idx):
+                if isinstance(idx, tuple):
+                    return self._ref[(self._lead,) + idx]
+                return self._ref[self._lead, idx]
+
+        base_kernel(
+            _View(rot_ref, ti), _View(oyw_ref, ti), _View(ox_ref, ti),
+            _View(wrlo_ref, ti), _View(wrhi_ref, ti), _View(seclo_ref, ti),
+            _View(sechi_ref, ti), in_hbm.at[ti], out_ref.at[0], win, sem,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(t, ny, nx),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, TILE_H, TILE_W),
+            lambda ti, ty, tx, *pf: (ti, ty, tx),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((plan.wh_words, plan.ww), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((t, plan.out_h, plan.out_w), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )
+
+    origins = jax.vmap(
+        lambda r: _tile_origins(plan, out_camera, in_camera, r)
+    )
+    pack = jax.vmap(lambda f: pack_frame_words(f, plan.in_h, plan.in_w))
+
+    @jax.jit
+    def run(frames: jax.Array, rotations: jax.Array) -> jax.Array:
+        oyw, ox, wr_lo, wr_hi, sec_lo, sec_hi = origins(rotations)
+        rot9 = jnp.reshape(rotations.astype(jnp.float32), (t, 9))
+        words = pack(frames)
+        out = call(rot9, oyw, ox, wr_lo, wr_hi, sec_lo, sec_hi, words)
+        return out[:, : plan.crop_h, : plan.crop_w]
+
+    return run
+
+
+def warp_frames_pallas(
+    frames: jax.Array,  # (T, H, W)
+    rotations: jax.Array,  # (T, 3, 3)
+    plan: WarpPlan,
+    out_camera: Camera,
+    in_camera: Camera,
+    interpret: bool = False,
+) -> jax.Array:
+    """Warp a batch of frames with per-frame rotations; (T, crop_h, crop_w)."""
+    t = frames.shape[0]
+    assert frames.shape[1:] == (plan.in_h, plan.in_w), frames.shape
+    fn = _build_warp_batch_fn(
+        plan, _camera_key(out_camera), _camera_key(in_camera), t, interpret
+    )
+    return fn(frames, rotations)
 
 
 def warp_frame_pallas(
