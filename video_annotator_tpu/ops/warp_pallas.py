@@ -309,7 +309,12 @@ def _tile_origins(
         sec_lo + 1,
         nsec,
     )
-    return oyw, ox, wr_lo, wr_hi, sec_lo, sec_hi
+    del sec_lo, sec_hi  # static section unroll won the measurements
+    # Pack per-tile metadata into two int32 arrays: SMEM scalar-prefetch
+    # space is only 1MB and batched grids overflow it with separate arrays.
+    meta1 = oyw | (ox << 16)
+    meta2 = wr_lo | (wr_hi << 16)
+    return meta1, meta2
 
 
 def _atan(x: jax.Array) -> jax.Array:
@@ -349,11 +354,12 @@ def _gather_masked(seg, local):
 
 
 def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
-                 grid_offset: int = 0):
+                 batched: bool = False):
     ww = plan.ww
     nsec = plan.sections
     wh_words = plan.wh_words
     in_h, in_w = plan.in_h, plan.in_w
+    ny, nx = plan.grid
 
     # Intrinsics as trace-time floats (camera is fixed for a clip).
     ofx, ofy = float(out_camera.fx), float(out_camera.fy)
@@ -363,15 +369,43 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
     in_fisheye = in_camera.model == CameraModel.FISHEYE
     k1, k2, k3, k4 = [float(v) for v in np.asarray(in_camera.dist)]
 
-    def kernel(rot_ref, oyw_ref, ox_ref, wrlo_ref, wrhi_ref, seclo_ref,
-               sechi_ref, in_hbm, out_ref, win, sem):
-        ty = pl.program_id(grid_offset)
-        tx = pl.program_id(grid_offset + 1)
-        oyw = pl.multiple_of(oyw_ref[ty, tx], 8)
-        ox = pl.multiple_of(ox_ref[ty, tx], 128)
+    def kernel(rot_ref, meta1_ref, meta2_ref, in_hbm, out_ref, win, sem):
+        # NOTE: a double-buffered variant (prefetch the next tile's window
+        # during compute) was measured SLOWER on v5e: the per-block
+        # parity-select on window reads cost more than the ~1-2 us DMA
+        # latency it hides. Single buffer, DMA started before the map math.
+        if batched:
+            ti = pl.program_id(0)
+            ty = pl.program_id(1)
+            tx = pl.program_id(2)
+            gidx = (ti * ny + ty) * nx + tx
+            total = pl.num_programs(0) * ny * nx
+        else:
+            ty = pl.program_id(0)
+            tx = pl.program_id(1)
+            gidx = ty * nx + tx
+            total = ny * nx
 
+        def tile_meta(g):
+            tx2 = jax.lax.rem(g, nx)
+            r_ = g // nx
+            ty2 = jax.lax.rem(r_, ny)
+            if batched:
+                ti2 = r_ // ny
+                m1_ = meta1_ref[ti2, ty2, tx2]
+                src = in_hbm.at[ti2]
+            else:
+                m1_ = meta1_ref[ty2, tx2]
+                src = in_hbm
+            return (
+                pl.multiple_of(m1_ & 0xFFFF, 8),
+                pl.multiple_of(m1_ >> 16, 128),
+                src,
+            )
+
+        oyw, ox, src = tile_meta(gidx)
         copy = pltpu.make_async_copy(
-            in_hbm.at[pl.ds(oyw, wh_words), pl.ds(ox, ww)], win, sem
+            src.at[pl.ds(oyw, wh_words), pl.ds(ox, ww)], win, sem
         )
         copy.start()
 
@@ -380,7 +414,10 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
         xs = (tx * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)).astype(jnp.float32)
         rx = (xs - ocx) / ofx
         ry = (ys - ocy) / ofy
-        r = [rot_ref[i] for i in range(9)]
+        if batched:
+            r = [rot_ref[ti, i] for i in range(9)]
+        else:
+            r = [rot_ref[i] for i in range(9)]
         vx = r[0] * rx + r[1] * ry + r[2]
         vy = r[3] * rx + r[4] * ry + r[5]
         vz = r[6] * rx + r[7] * ry + r[8]
@@ -418,8 +455,12 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
 
         copy.wait()
 
-        wr_lo = wrlo_ref[ty, tx]
-        wr_hi = wrhi_ref[ty, tx]
+        if batched:
+            m2 = meta2_ref[ti, ty, tx]
+        else:
+            m2 = meta2_ref[ty, tx]
+        wr_lo = m2 & 0xFFFF
+        wr_hi = m2 >> 16
         # Aligned 8-word-row blocks (Mosaic requires sublane-aligned dynamic
         # loads); the static inner unrolls (rows, sections) keep ILP high,
         # the packed bytes handle the x4 vertical pixels per word.
@@ -461,7 +502,8 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
         acc = jax.lax.fori_loop(
             blk_lo, blk_hi, block_body, jnp.zeros((TILE_H, TILE_W), jnp.float32)
         )
-        out_ref[...] = jnp.where(valid, acc, 0.0)
+        result = jnp.where(valid, acc, 0.0)
+        out_ref[...] = result[None] if batched else result
 
     return kernel
 
@@ -507,7 +549,7 @@ def _build_warp_fn(plan: WarpPlan, out_key, in_key, interpret: bool):
     ny, nx = plan.grid
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=3,
         grid=(ny, nx),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -530,12 +572,10 @@ def _build_warp_fn(plan: WarpPlan, out_key, in_key, interpret: bool):
 
     @jax.jit
     def run(frame: jax.Array, rotation: jax.Array) -> jax.Array:
-        oyw, ox, wr_lo, wr_hi, sec_lo, sec_hi = _tile_origins(
-            plan, out_camera, in_camera, rotation
-        )
+        meta1, meta2 = _tile_origins(plan, out_camera, in_camera, rotation)
         rot9 = jnp.reshape(rotation.astype(jnp.float32), (9,))
         words = pack_frame_words(frame, plan.in_h, plan.in_w)
-        out = call(rot9, oyw, ox, wr_lo, wr_hi, sec_lo, sec_hi, words)
+        out = call(rot9, meta1, meta2, words)
         return out[: plan.crop_h, : plan.crop_w]
 
     return run
@@ -551,34 +591,11 @@ def _build_warp_batch_fn(plan: WarpPlan, out_key, in_key, t: int, interpret: boo
     """
     out_camera = _camera_from_key(out_key)
     in_camera = _camera_from_key(in_key)
-    base_kernel = _make_kernel(plan, out_camera, in_camera, grid_offset=1)
+    kernel = _make_kernel(plan, out_camera, in_camera, batched=True)
     ny, nx = plan.grid
 
-    def kernel(rot_ref, oyw_ref, ox_ref, wrlo_ref, wrhi_ref, seclo_ref,
-               sechi_ref, in_hbm, out_ref, win, sem):
-        ti = pl.program_id(0)
-
-        class _View:
-            """Present the per-frame slice of a (T, ...) prefetch array
-            with the single-frame kernel's indexing convention."""
-
-            def __init__(self, ref, lead):
-                self._ref = ref
-                self._lead = lead
-
-            def __getitem__(self, idx):
-                if isinstance(idx, tuple):
-                    return self._ref[(self._lead,) + idx]
-                return self._ref[self._lead, idx]
-
-        base_kernel(
-            _View(rot_ref, ti), _View(oyw_ref, ti), _View(ox_ref, ti),
-            _View(wrlo_ref, ti), _View(wrhi_ref, ti), _View(seclo_ref, ti),
-            _View(sechi_ref, ti), in_hbm.at[ti], out_ref.at[0], win, sem,
-        )
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=3,
         grid=(t, ny, nx),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -605,10 +622,10 @@ def _build_warp_batch_fn(plan: WarpPlan, out_key, in_key, t: int, interpret: boo
 
     @jax.jit
     def run(frames: jax.Array, rotations: jax.Array) -> jax.Array:
-        oyw, ox, wr_lo, wr_hi, sec_lo, sec_hi = origins(rotations)
+        meta1, meta2 = origins(rotations)
         rot9 = jnp.reshape(rotations.astype(jnp.float32), (t, 9))
         words = pack(frames)
-        out = call(rot9, oyw, ox, wr_lo, wr_hi, sec_lo, sec_hi, words)
+        out = call(rot9, meta1, meta2, words)
         return out[:, : plan.crop_h, : plan.crop_w]
 
     return run
