@@ -73,3 +73,37 @@ def test_batched_matches_single():
                               interpret=True)
         )
         np.testing.assert_allclose(batch[t], single, atol=1e-4)
+
+
+def test_chroma_border_fill_preserves_sub_neutral_values():
+    """Chroma planes warp raw with border=128: values below neutral must
+    survive (regression: the packed path clipped u-128 at 0, wiping all
+    chroma < 128), and fully-outside pixels must come out neutral."""
+    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (320, 240))
+    # Uncropped output so the frame contains out-of-image regions.
+    out_cam = get_output_camera(in_cam, scale=1.0, crop_borders=False)
+    plan = plan_warp(out_cam, in_cam, max_correction_deg=6.0)
+    u = np.full((240, 320), 60.0, np.float32)  # strongly sub-neutral chroma
+    rot = so3.exp(jnp.array([0.03, -0.02, 0.04]))
+    ours = np.asarray(
+        warp_frame_pallas(
+            jnp.asarray(u), rot, plan, out_cam, in_cam, interpret=True,
+            border=128.0,
+        )
+    )
+    ref = np.asarray(
+        warp_image_xla(jnp.asarray(u) - 128.0, out_cam, in_cam, rot)
+    ) + 128.0
+    # Fully-inside pixels (oracle == 60 exactly) must carry the
+    # sub-neutral value through exactly.
+    inside = ref == 60.0
+    assert inside.mean() > 0.3
+    np.testing.assert_allclose(ours[inside], 60.0, atol=0.05)
+    # Whole frame matches the centered XLA oracle except the <=1 px
+    # top/left edge blend (taps beyond the clamped window fill with 0
+    # instead of neutral).
+    diff = np.abs(ours - ref)
+    # (the boundary band is a few pixels wide; at 320x240 that is ~1-2%
+    # of the frame — real configs are 6-12x larger)
+    assert np.mean(diff > 0.6) < 0.02, np.mean(diff > 0.6)
+    assert ours.max() <= 128.0 + 0.05

@@ -392,21 +392,23 @@ class FrameWarper:
             )
 
     def __call__(self, y, u, v, rotation):
-        # Chroma is warped centered on 128 so out-of-image regions come out
-        # neutral (black video), not green (U=V=0).
-        u = u - 128.0
-        v = v - 128.0
+        # Chroma out-of-image regions must come out neutral (128 = black
+        # video), not green (U=V=0). The Pallas path takes the plane raw
+        # (byte-packed words can't hold negatives) with border=128; the XLA
+        # path warps centered on 128 so its zero border is neutral.
         if self._use_pallas:
             wy = warp_frame_pallas(y, rotation, self.plan_y, self.out_cam, self.in_cam)
-            wu = warp_frame_pallas(u, rotation, self.plan_c, self.out_half, self.in_half)
-            wv = warp_frame_pallas(v, rotation, self.plan_c, self.out_half, self.in_half)
-        else:
-            wy = warp_image_xla(y, self.out_cam, self.in_cam, rotation,
-                                (self.out_h, self.out_w))
-            wu = warp_image_xla(u, self.out_half, self.in_half, rotation,
-                                (self.out_h // 2, self.out_w // 2))
-            wv = warp_image_xla(v, self.out_half, self.in_half, rotation,
-                                (self.out_h // 2, self.out_w // 2))
+            wu = warp_frame_pallas(u, rotation, self.plan_c, self.out_half,
+                                   self.in_half, border=128.0)
+            wv = warp_frame_pallas(v, rotation, self.plan_c, self.out_half,
+                                   self.in_half, border=128.0)
+            return wy, wu, wv
+        wy = warp_image_xla(y, self.out_cam, self.in_cam, rotation,
+                            (self.out_h, self.out_w))
+        wu = warp_image_xla(u - 128.0, self.out_half, self.in_half, rotation,
+                            (self.out_h // 2, self.out_w // 2))
+        wv = warp_image_xla(v - 128.0, self.out_half, self.in_half, rotation,
+                            (self.out_h // 2, self.out_w // 2))
         return wy, wu + 128.0, wv + 128.0
 
 
