@@ -84,6 +84,12 @@ class WarpPlan:
     def wh_words(self) -> int:
         return self.wh // 4
 
+    @property
+    def slots(self) -> int:
+        # Max (section, block) schedule entries per tile: every section
+        # spanning its worst-case block count.
+        return self.sections * ((self.wh_words + 7) // 8 + 1)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -206,6 +212,32 @@ def plan_warp(
             float((smin_y - tmin_y[:cy, :cx_]).max()),
             float((tmax_y[:cy, :cx_] - smax_y).max()),
         )
+        # Per-SAMPLE-COLUMN dip: the kernel's per-section row ranges bound
+        # each 32-px output column interval by its two bounding sample
+        # columns (3-row windows); measure how far true extrema escape
+        # those much narrower bounds.
+        ny8 = out_h // TILE_H
+        cmin_y = sw(sgy, (3, 1))[::2].min(axis=(2, 3))  # (ny-1, 4nx)
+        cmax_y = sw(sgy, (3, 1))[::2].max(axis=(2, 3))
+        cmin_x = sw(sgx, (3, 1))[::2].min(axis=(2, 3))
+        cmax_x = sw(sgx, (3, 1))[::2].max(axis=(2, 3))
+        pmin_y = np.minimum(cmin_y[:, :-1], cmin_y[:, 1:])
+        pmax_y = np.maximum(cmax_y[:, :-1], cmax_y[:, 1:])
+        pmin_x = np.minimum(cmin_x[:, :-1], cmin_x[:, 1:])
+        pmax_x = np.maximum(cmax_x[:, :-1], cmax_x[:, 1:])
+        ivals_min_y = sy.reshape(ny8, TILE_H, nx, 4, 32).min(axis=(1, 4))
+        ivals_max_y = sy.reshape(ny8, TILE_H, nx, 4, 32).max(axis=(1, 4))
+        ivals_min_x = sx.reshape(ny8, TILE_H, nx, 4, 32).min(axis=(1, 4))
+        ivals_max_x = sx.reshape(ny8, TILE_H, nx, 4, 32).max(axis=(1, 4))
+        iy, ix_ = pmin_y.shape
+        dip_col = max(
+            float((pmin_y - ivals_min_y.reshape(ny8, -1)[:iy, :ix_]).max()),
+            float((ivals_max_y.reshape(ny8, -1)[:iy, :ix_] - pmax_y).max()),
+            float((pmin_x - ivals_min_x.reshape(ny8, -1)[:iy, :ix_]).max()),
+            float((ivals_max_x.reshape(ny8, -1)[:iy, :ix_] - pmax_x).max()),
+        )
+        dip_x = max(dip_x, dip_col)
+        dip_y = max(dip_y, dip_col)
 
     margin_x = int(math.ceil(dip_x)) + 3
     margin_y = int(math.ceil(dip_y)) + 3
@@ -253,17 +285,22 @@ def _tile_bounds_grid(
     sx = jnp.clip(src[..., 0], -8.0, plan.in_w + 8.0)
     sy = jnp.clip(src[..., 1], -8.0, plan.in_h + 8.0)
 
-    def per_tile(arr, op, init):
-        return jax.lax.reduce_window(
-            arr, init, op, window_dimensions=(3, 5), window_strides=(2, 4),
-            padding="VALID",
-        )
-
-    min_x = per_tile(sx, jax.lax.min, jnp.inf)
-    max_x = per_tile(sx, jax.lax.max, -jnp.inf)
-    min_y = per_tile(sy, jax.lax.min, jnp.inf)
-    max_y = per_tile(sy, jax.lax.max, -jnp.inf)
-    return min_x, max_x, min_y, max_y
+    # Stacked max-reduce_windows instead of eight separate launches
+    # (these tiny grids are overhead-bound; min(x) = -max(-x)).
+    stacked = jnp.stack([-sx, sx, -sy, sy])
+    ext = jax.lax.reduce_window(
+        stacked, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 3, 5), window_strides=(1, 2, 4),
+        padding="VALID",
+    )
+    # Per-sample-column bounds (3-row windows): feed the per-section row
+    # ranges. Shape (4, ny, 4nx+1).
+    cols = jax.lax.reduce_window(
+        stacked, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 3, 1), window_strides=(1, 2, 1),
+        padding="VALID",
+    )
+    return (-ext[0], ext[1], -ext[2], ext[3]), cols
 
 
 def _tile_origins(
@@ -272,14 +309,20 @@ def _tile_origins(
     in_camera: Camera,
     rotation: jax.Array,
 ):
-    """Per-tile window origins + active word-row range (cheap XLA pass).
+    """Per-tile window origins + per-SECTION active word-row ranges.
 
     Origins are aligned to the DMA grid of the quad-row word array:
-    32 pixel rows (= 8 word rows) and 128 columns.
+    32 pixel rows (= 8 word rows) and 128 columns. Each 128-column window
+    section gets its own row range: the map's x-curvature makes the
+    tile-union span ~2x wider than any single section needs, and sections
+    no pixel touches get an empty range (the kernel's loop then runs zero
+    trips — free section skipping).
     """
-    min_x, max_x, min_y, max_y = _tile_bounds_grid(
+    (min_x, max_x, min_y, max_y), cols = _tile_bounds_grid(
         plan, out_camera, in_camera, rotation
     )
+    del max_x, max_y
+    ny, nx = plan.grid
     ox = jnp.floor(min_x - plan.margin_x).astype(jnp.int32)
     oy = jnp.floor(min_y - plan.margin_y).astype(jnp.int32)
     in_h_pad = _round_up(plan.in_h, 32)
@@ -287,33 +330,88 @@ def _tile_origins(
     ox = (jnp.clip(ox, 0, max(in_w_pad - plan.ww, 0)) // 128) * 128
     oy = (jnp.clip(oy, 0, max(in_h_pad - plan.wh, 0)) // 32) * 32
     oyw = oy // 4  # word-row origin (multiple of 8)
-    # Active word-row range: rows outside [min_y - margin - 1, max_y +
-    # margin + 2] carry zero vertical weight for every pixel of the tile.
-    wr_lo = (jnp.floor(min_y - plan.margin_y - 1.0).astype(jnp.int32) - oy) // 4
-    wr_hi = (
-        jnp.ceil(max_y + plan.margin_y + 2.0).astype(jnp.int32) - oy
-    ) // 4 + 1
-    wr_lo = jnp.clip(wr_lo, 0, plan.wh_words)
-    wr_hi = jnp.clip(wr_hi, 0, plan.wh_words)
-    # Active 128-column section range: the window is sized for the worst
-    # tile plus alignment slack, but a typical tile's x-span covers only
-    # 2 of its sections.
-    nsec = plan.sections
-    sec_lo = jnp.clip(
-        (jnp.floor(min_x - plan.margin_x - 1.0).astype(jnp.int32) - ox) // 128,
-        0,
-        nsec - 1,
+    meta1 = oyw | ((ox // 128) << 16)  # strip index of the window origin
+
+    # Per-tile 32-px column INTERVALS: interval k of tile tx is bounded by
+    # sample columns 4*tx+k and 4*tx+k+1; a pixel's source coordinates are
+    # bounded by its interval's pair bounds (within the planner-measured
+    # dip). The pair's x-range decides which sections the interval's
+    # pixels can touch — individual columns would miss intervals that
+    # straddle a section boundary. cols is (4, ny, 4nx+1) as
+    # (-min_x, max_x, -min_y, max_y).
+    pair = jnp.maximum(cols[:, :, :-1], cols[:, :, 1:])  # (4, ny, 4nx)
+    colbs = [
+        (
+            -pair[0, :, k::4][:, :nx],
+            pair[1, :, k::4][:, :nx],
+            -pair[2, :, k::4][:, :nx],
+            pair[3, :, k::4][:, :nx],
+        )
+        for k in range(4)
+    ]
+    oxf = ox.astype(jnp.float32)
+    mx1 = plan.margin_x + 1.0
+    mx2 = plan.margin_x + 2.0
+    metas = []
+    for sec in range(plan.sections):
+        lo_b = oxf + 128.0 * sec
+        hi_b = lo_b + 128.0
+        ymin = jnp.full((ny, nx), jnp.inf, jnp.float32)
+        ymax = jnp.full((ny, nx), -jnp.inf, jnp.float32)
+        for mnx, mxx, mny, mxy in colbs:
+            # Sample column touches this section if any tap of a pixel it
+            # bounds can land inside [lo_b, hi_b).
+            touch = (mxx + mx2 > lo_b) & (mnx - mx1 < hi_b)
+            ymin = jnp.minimum(ymin, jnp.where(touch, mny, jnp.inf))
+            ymax = jnp.maximum(ymax, jnp.where(touch, mxy, -jnp.inf))
+        empty = ymax < ymin
+        ymin = jnp.where(empty, 0.0, ymin)
+        ymax = jnp.where(empty, -8.0, ymax)
+        wr_lo = jnp.clip(
+            (jnp.floor(ymin - plan.margin_y - 1.0).astype(jnp.int32) - oy)
+            // 4,
+            0,
+            plan.wh_words,
+        )
+        wr_hi = jnp.clip(
+            (jnp.ceil(ymax + plan.margin_y + 2.0).astype(jnp.int32) - oy)
+            // 4
+            + 1,
+            0,
+            plan.wh_words,
+        )
+        wr_hi = jnp.maximum(wr_hi, wr_lo)
+        metas.append((wr_lo // 8, (wr_hi + 7) // 8))
+    # Flatten the per-section block ranges into a per-tile SCHEDULE: a
+    # contiguous list of (block, section) entries the kernel walks with a
+    # single fori_loop (loop setups cost ~0.1 us each; per-trip decode from
+    # SMEM is nearly free, unlike recomputing the section split per trip).
+    blos = [lo for lo, hi in metas]
+    nblk = [jnp.maximum(hi - lo, 0) for lo, hi in metas]
+    cum = [nblk[0]]
+    for s_ in range(1, plan.sections):
+        cum.append(cum[-1] + nblk[s_])
+    total = cum[-1]
+    slots = plan.slots
+    entries = []
+    zero = jnp.zeros((ny, nx), jnp.int32)
+    for j in range(slots):
+        sec = zero
+        prefix = zero
+        blo = blos[0]
+        for s_ in range(1, plan.sections):
+            ge = j >= cum[s_ - 1]
+            sec = sec + ge.astype(jnp.int32)
+            prefix = jnp.where(ge, cum[s_ - 1], prefix)
+            blo = jnp.where(ge, blos[s_], blo)
+        entry = (blo + (j - prefix)) | (sec << 16)
+        entries.append(jnp.where(j < total, entry, 0))
+    # meta2: (ny, nx*(slots+1)) int32: [count, entry_0, ..]. Flattened 2D:
+    # SMEM pads the trailing dim of prefetch arrays to 128, so 3D layouts
+    # blow the ~1MB SMEM budget at 4K.
+    meta2 = jnp.stack([total] + entries, axis=-1).reshape(
+        ny, nx * (slots + 1)
     )
-    sec_hi = jnp.clip(
-        (jnp.ceil(max_x + plan.margin_x + 2.0).astype(jnp.int32) - ox) // 128 + 1,
-        sec_lo + 1,
-        nsec,
-    )
-    del sec_lo, sec_hi  # static section unroll won the measurements
-    # Pack per-tile metadata into two int32 arrays: SMEM scalar-prefetch
-    # space is only 1MB and batched grids overflow it with separate arrays.
-    meta1 = oyw | (ox << 16)
-    meta2 = wr_lo | (wr_hi << 16)
     return meta1, meta2
 
 
@@ -357,6 +455,7 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
                  batched: bool = False, border: float = 0.0):
     ww = plan.ww
     nsec = plan.sections
+    nslots = plan.slots
     wh_words = plan.wh_words
     in_h, in_w = plan.in_h, plan.in_w
     ny, nx = plan.grid
@@ -391,21 +490,21 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             r_ = g // nx
             ty2 = jax.lax.rem(r_, ny)
             if batched:
-                ti2 = r_ // ny
-                m1_ = meta1_ref[ti2, ty2, tx2]
-                src = in_hbm.at[ti2]
+                # meta1 is frame-folded 2D (t*ny, nx): row r_ = ti*ny + ty.
+                m1_ = meta1_ref[r_, tx2]
+                src = in_hbm.at[r_ // ny]
             else:
                 m1_ = meta1_ref[ty2, tx2]
                 src = in_hbm
             return (
                 pl.multiple_of(m1_ & 0xFFFF, 8),
-                pl.multiple_of(m1_ >> 16, 128),
+                m1_ >> 16,  # strip index
                 src,
             )
 
-        oyw, ox, src = tile_meta(gidx)
+        oyw, cs, src = tile_meta(gidx)
         copy = pltpu.make_async_copy(
-            src.at[pl.ds(oyw, wh_words), pl.ds(ox, ww)], win, sem
+            src.at[pl.ds(cs, nsec), pl.ds(oyw, wh_words), :], win, sem
         )
         copy.start()
 
@@ -447,7 +546,7 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             & (vz > 1e-6)
         )
 
-        sxr = sx - ox.astype(jnp.float32)
+        sxr = sx - (cs * 128).astype(jnp.float32)
         syr = sy - (oyw * 4).astype(jnp.float32)
         ix0 = jnp.floor(sxr).astype(jnp.int32)
         fx = sxr - jnp.floor(sxr)
@@ -467,33 +566,40 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
 
         copy.wait()
 
+        # Single loop over the tile's precomputed (block, section)
+        # SCHEDULE from SMEM. Each 128-column window section iterates only
+        # ITS OWN active word-row range (from the origin pass): the map's
+        # x-curvature makes the tile-union span ~2x any single section's,
+        # and untouched sections contribute zero entries. One fori_loop,
+        # not one per section — loop *setup* costs ~0.1 us each on this
+        # core, which at 4K tile counts was 1.4 ms/frame — and per-trip
+        # decode is one SMEM word the scalar core prefetches ahead of the
+        # vector pipe. Contributions distribute exactly: a tap lives in
+        # one section (gathers mask the rest) and one word row (a0/a1 mask
+        # the rest); alignment rows visited outside a section's range
+        # carry zero a-weights for every pixel whose x-taps live there.
+        # Blocks stay 8-word aligned (Mosaic requires sublane-aligned
+        # dynamic loads); the static 8-row unroll keeps ILP high.
+        stride = nslots + 1
         if batched:
-            m2 = meta2_ref[ti, ty, tx]
+            mbase = (ti * ny + ty, tx * stride)
         else:
-            m2 = meta2_ref[ty, tx]
-        wr_lo = m2 & 0xFFFF
-        wr_hi = m2 >> 16
-        # Aligned 8-word-row blocks (Mosaic requires sublane-aligned dynamic
-        # loads); the static inner unrolls (rows, sections) keep ILP high,
-        # the packed bytes handle the x4 vertical pixels per word.
-        blk_lo = wr_lo // 8
-        blk_hi = (wr_hi + 7) // 8
+            mbase = (ty, tx * stride)
+        total = meta2_ref[mbase[0], mbase[1]]
 
-        def block_body(i, acc):
-            w8 = pl.multiple_of(i * 8, 8)
-            blocks = [
-                win[pl.ds(w8, 8), pl.ds(s * 128, 128)] for s in range(nsec)
-            ]
+        def body(i, acc):
+            e = meta2_ref[mbase[0], mbase[1] + 1 + i]
+            blk = e & 0xFFFF
+            sec = e >> 16
+            w8 = pl.multiple_of(blk * 8, 8)
+            blkv = win[sec, pl.ds(w8, 8), :]
+            local = ix0 - sec * 128
             for rr_ in range(8):
-                w0 = jnp.zeros((TILE_H, TILE_W), jnp.int32)
-                w1 = jnp.zeros((TILE_H, TILE_W), jnp.int32)
-                for s in range(nsec):
-                    seg = jnp.broadcast_to(
-                        blocks[s][rr_ : rr_ + 1, :], (TILE_H, TILE_W)
-                    )
-                    local = ix0 - s * 128
-                    w0 = w0 + _gather_masked(seg, local)
-                    w1 = w1 + _gather_masked(seg, local + 1)
+                seg = jnp.broadcast_to(
+                    blkv[rr_ : rr_ + 1, :], (TILE_H, TILE_W)
+                )
+                g0 = _gather_masked(seg, local)
+                g1 = _gather_masked(seg, local + 1)
                 # Vertical taps via per-pixel byte extraction: tap t
                 # contributes wy0 when its word row q0 is this row, tap
                 # t+1 contributes fy when q1 is (75% of the time the same
@@ -501,10 +607,10 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
                 row = w8 + rr_
                 a0 = jnp.where(q0 == row, wy0, 0.0)
                 a1 = jnp.where(q1 == row, fy, 0.0)
-                v00 = ((w0 >> sh0) & 0xFF).astype(jnp.float32)
-                v01 = ((w0 >> sh1) & 0xFF).astype(jnp.float32)
-                v10 = ((w1 >> sh0) & 0xFF).astype(jnp.float32)
-                v11 = ((w1 >> sh1) & 0xFF).astype(jnp.float32)
+                v00 = ((g0 >> sh0) & 0xFF).astype(jnp.float32)
+                v01 = ((g0 >> sh1) & 0xFF).astype(jnp.float32)
+                v10 = ((g1 >> sh0) & 0xFF).astype(jnp.float32)
+                v11 = ((g1 >> sh1) & 0xFF).astype(jnp.float32)
                 acc = (
                     acc
                     + one_m_fx * (a0 * v00 + a1 * v01)
@@ -513,7 +619,7 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             return acc
 
         acc = jax.lax.fori_loop(
-            blk_lo, blk_hi, block_body, jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            0, total, body, jnp.zeros((TILE_H, TILE_W), jnp.float32)
         )
         result = jnp.where(valid, acc, border)
         out_ref[...] = result[None] if batched else result
@@ -561,7 +667,15 @@ def pack_frame_words(frame: jax.Array, in_h: int, in_w: int,
             constant_values=pad_value,
         )
     q = f.reshape(in_h_pad // 4, 4, in_w_pad)
-    return q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16) | (q[:, 3] << 24)
+    words = q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16) | (q[:, 3] << 24)
+    # Strip-major layout (W'/128, H'/4, 128): a tile's window is then one
+    # 3D DMA of `sections` vertically-stacked 128-lane strips, and the
+    # kernel addresses any (section, word-row block) pair by sublane
+    # offset alone — no dynamic lane offsets (slow) or per-section loops
+    # (setup-bound) needed.
+    return words.reshape(in_h_pad // 4, in_w_pad // 128, 128).transpose(
+        1, 0, 2
+    )
 
 
 @functools.lru_cache(maxsize=64)
@@ -583,7 +697,7 @@ def _build_warp_fn(plan: WarpPlan, out_key, in_key, interpret: bool,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((plan.wh_words, plan.ww), jnp.int32),
+            pltpu.VMEM((plan.sections, plan.wh_words, 128), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -632,7 +746,7 @@ def _build_warp_batch_fn(plan: WarpPlan, out_key, in_key, t: int,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((plan.wh_words, plan.ww), jnp.int32),
+            pltpu.VMEM((plan.sections, plan.wh_words, 128), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -643,9 +757,16 @@ def _build_warp_batch_fn(plan: WarpPlan, out_key, in_key, t: int,
         interpret=interpret,
     )
 
-    origins = jax.vmap(
-        lambda r: _tile_origins(plan, out_camera, in_camera, r)
-    )
+    def origins(rotations):
+        m1, m2 = jax.vmap(
+            lambda r: _tile_origins(plan, out_camera, in_camera, r)
+        )(rotations)
+        # Fold the frame axis into rows: 3D prefetch arrays pad their
+        # trailing dims in SMEM and overflow it at 4K batch sizes.
+        return (
+            m1.reshape(t * ny, nx),
+            m2.reshape(t * ny, nx * (plan.slots + 1)),
+        )
     pack = jax.vmap(
         lambda f: pack_frame_words(
             f, plan.in_h, plan.in_w, pad_value=int(border)

@@ -396,8 +396,13 @@ class FrameWarper:
         # video), not green (U=V=0). The Pallas path takes the plane raw
         # (byte-packed words can't hold negatives) with border=128; the XLA
         # path warps centered on 128 so its zero border is neutral.
+        # NOTE: precomputing the per-tile origin metadata for the whole
+        # trajectory and passing it in was measured SLOWER than computing
+        # it inline (the fused executable pipelines it; input transfers
+        # serialize), so each call plans inline.
         if self._use_pallas:
-            wy = warp_frame_pallas(y, rotation, self.plan_y, self.out_cam, self.in_cam)
+            wy = warp_frame_pallas(y, rotation, self.plan_y, self.out_cam,
+                                   self.in_cam)
             wu = warp_frame_pallas(u, rotation, self.plan_c, self.out_half,
                                    self.in_half, border=128.0)
             wv = warp_frame_pallas(v, rotation, self.plan_c, self.out_half,
