@@ -98,6 +98,13 @@ def main(argv=None) -> int:
     rows.append((
         "pyramidal_lk (256 pts)", lambda: pyramidal_lk(img, img2, pts, valid)
     ))
+    if backend != "cpu":
+        from video_annotator_tpu.ops.lk_pallas import pyramidal_lk_pallas
+
+        rows.append((
+            "pyramidal_lk (pallas)",
+            lambda: pyramidal_lk_pallas(img, img2, pts, valid),
+        ))
     traj = so3.exp(jnp.asarray(rng.normal(size=(600, 3)) * 0.01, jnp.float32))
     rows.append((
         "sg smooth (600 frames, r=90)",

@@ -1,26 +1,37 @@
 """Pyramidal Lucas-Kanade as a Pallas TPU kernel (8 points per grid step).
 
-The XLA formulation (``ops/lk.py``) vmaps dynamic slices over points, which
-lowers to general gathers — ~58 ms/frame at 1920x1440 on v5e, the analyse
-phase's bottleneck. This kernel keeps each point's local windows in VMEM
-and implements the per-iteration fractional resample with *dynamic circular
-rolls* (the dynamic-addressing primitive Mosaic supports cheaply) plus
-static slices: align the window so the patch sits at the origin, then blend
-four statically-shifted copies.
+Replaces the XLA formulation for the analyse hot loop: ``ops/lk.py`` vmaps
+dynamic slices over points, which lowers to general gathers over the full
+image — ~68 ms/frame at 1920x1440 on v5e, the analyse-phase bottleneck
+(the reference's ``cv::calcOpticalFlowPyrLK``,
+``opencv/FrameSourceWarp.cpp:252-259``, is its GPU hot spot too).
 
-Per point: DMA two (48, 256) windows (prev/next; all 16 DMAs of an 8-point
-group start before any compute), build the template + Scharr gradients
-once, then a fixed refinement loop with two rolls and a bilinear blend per
-step. All shapes static.
+TPU-native design — everything is resolved with the two dynamic-addressing
+primitives the hardware does well (per-sublane lane gathers and variable
+byte shifts), batched 8 points per vector op:
 
-STATUS: experimental — correct (matches the XLA path to iteration
-tolerance) but NOT faster on v5e: Mosaic lowers dynamic *sublane* rotates
-at ~7 us per (48, 256) roll, which dominates everything (~160 us per
-point-level vs ~75 us for the gather formulation). The production analyse
-path keeps ``ops/lk.py``; revisit with a pre-shifted-copies + lax.switch
-y-alignment or a batched lane-gather formulation. Measured with
-/tmp-style microbenches on 2026-08-16; also note compiled negative
-dynamic sublane rolls are WRONG (handled below by taking shifts mod size).
+1. Pyramid levels are quad-row byte-packed into strip-major int32 words
+   (the fused warp kernel's layout, ``pack_frame_words``): word (s, r, c)
+   holds pixel rows 4r..4r+3 of column 128s + c. LK tolerates the uint8
+   rounding — cv2's own tracking pyramids are uint8.
+2. Each grid step tracks 8 points (sublanes). Per point, one 3D DMA
+   fetches a (2 strips, 20 words, 128) window around the point (prev) /
+   point+guess (next); origins are scalar-prefetched, 8-word aligned in y
+   (Mosaic DMA constraint) and strip-aligned in x.
+3. The y alignment residue (0..7 words, per point) is removed ONCE by an
+   8-candidate masked select into an aligned scratch window — after that
+   every patch row lives within a small static word range, so nothing
+   ever needs dynamic sublane addressing (the old roll-based kernel spent
+   ~7 us per dynamic sublane roll, per point, per iteration).
+4. A patch row sample is then: one masked lane gather per 128-column
+   section with per-point column indices (take_along_axis gathers
+   per-sublane independently), a static lane roll for the x+1 tap, a
+   per-point word select over a small static candidate range, and
+   per-point variable byte shifts for the in-word row — exact bilinear on
+   the uint8 data.
+5. The template's Scharr gradients come from one supersampled patch via
+   static row/lane shifts; iterations run the classic Newton update with
+   the template-side gradient matrix (cv2 semantics).
 """
 
 from __future__ import annotations
@@ -40,185 +51,264 @@ from video_annotator_tpu.ops.lk import (
     WIN,
     build_pyramid,
 )
+from video_annotator_tpu.ops.warp_pallas import pack_frame_words
 
-WROWS = 48  # window rows (>= WIN + search slack + roll headroom)
-WCOLS = 256  # window cols (2 lane tiles; 128-aligned origins always fit)
-PR = 24  # working patch rows (WIN + 3, rounded to sublanes)
 HALF = WIN // 2
-PGROUP = 8  # points per grid step (output block sublane requirement)
+PAD = 6  # iteration drift allowance (pixels), matching ops/lk.py
+PGROUP = 8  # points per grid step
+NSTRIP = 2  # 128-column strips per window
+WCOLS = NSTRIP * 128
+DMA_WORDS = 20  # DMA'd word rows: aligned span + 8-word alignment residue
+AW = 12  # aligned window word rows (48 pixel rows >= patch + drift + frac)
+PROWS = WIN + 4  # supersampled template rows (halo for Scharr + bilinear)
+# Template patch row -1 (gradient halo) offset inside the aligned window:
+# construction places its floor at PAD + the word phase (0..3).
+RY0 = PAD
 
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _bilinear_at(A, fy, fx, dy, dx):
-    """(PR, 128) patch of rolled window A at static offset (dy, dx),
-    fractional (fy, fx)."""
-    x00 = A[dy : dy + PR, dx : dx + 128]
-    x01 = A[dy : dy + PR, dx + 1 : dx + 129]
-    x10 = A[dy + 1 : dy + PR + 1, dx : dx + 128]
-    x11 = A[dy + 1 : dy + PR + 1, dx + 1 : dx + 129]
-    top = x00 * (1.0 - fx) + x01 * fx
-    bot = x10 * (1.0 - fx) + x11 * fx
-    return top * (1.0 - fy) + bot * fy
-
-
 def _make_lk_kernel(iters: int):
-    def one_point(i, j, oyp_ref, oxp_ref, oyn_ref, oxn_ref, fpt_ref,
-                  wprev, wnext, sem_p, sem_n):
-        oyp = oyp_ref[i]
-        oxp = oxp_ref[i]
-        oyn = oyn_ref[i]
-        oxn = oxn_ref[i]
-        px = fpt_ref[i, 0]
-        py = fpt_ref[i, 1]
-        gx = fpt_ref[i, 2]
-        gy = fpt_ref[i, 3]
+    def kernel(oyp_ref, sxp_ref, oyn_ref, sxn_ref, fpt_ref,
+               prev_hbm, next_hbm, out_ref,
+               wprev, wnext, aprev, anext, tpl_s, gx_s, gy_s, sem_p, sem_n):
+        g = pl.program_id(0)
+        for j in range(PGROUP):
+            i = g * PGROUP + j
+            oyp = pl.multiple_of(oyp_ref[i], 8)
+            oyn = pl.multiple_of(oyn_ref[i], 8)
+            pltpu.make_async_copy(
+                prev_hbm.at[pl.ds(sxp_ref[i], NSTRIP), pl.ds(oyp, DMA_WORDS), :],
+                wprev.at[j], sem_p.at[j],
+            ).start()
+            pltpu.make_async_copy(
+                next_hbm.at[pl.ds(sxn_ref[i], NSTRIP), pl.ds(oyn, DMA_WORDS), :],
+                wnext.at[j], sem_n.at[j],
+            ).start()
 
-        # Template top-left (continuous) and its window-relative parts.
-        ptx = px - HALF
-        pty = py - HALF
-        ipx = jnp.floor(ptx)
-        ipy = jnp.floor(pty)
-        fpx = ptx - ipx
-        fpy = pty - ipy
-        # Rolls are circular, so raw offsets work for any in-image point;
-        # out-of-image points produce garbage that the bounds mask kills.
-        ry = ipy.astype(jnp.int32) - oyp
-        rx = ipx.astype(jnp.int32) - oxp
+        # Per-point quantities as (PGROUP, 1) vectors. fpt lanes:
+        # 0: gx0, 1: gy0, 2: bwp, 3: ryp, 4: ixp, 5: bwn, 6: ryn, 7: ixn
+        fpt = fpt_ref[...]  # (PGROUP, 128)
+        gx0 = fpt[:, 0:1]
+        gy0 = fpt[:, 1:2]
+        bwp = fpt[:, 2:3].astype(jnp.int32)
+        ryp = fpt[:, 3:4]
+        ixp = fpt[:, 4:5]
+        bwn = fpt[:, 5:6].astype(jnp.int32)
+        ryn = fpt[:, 6:7]
+        ixn = fpt[:, 7:8]
 
-        pltpu.make_async_copy(wprev.at[j], wprev.at[j], sem_p.at[j]).wait()
-        # Align: patch top-left (minus 1 for gradient halo) to the origin.
-        # Compiled dynamic sublane rolls require non-negative shifts
-        # (negative shifts silently misbehave); roll left by s == roll
-        # right by size - s.
-        sy_ = jnp.remainder(-(ry - 1), WROWS)
-        sx_ = jnp.remainder(-(rx - 1), WCOLS)
-        A = pltpu.roll(pltpu.roll(wprev[j], sy_, 0), sx_, 1)
-        tpl = _bilinear_at(A, fpy, fpx, 1, 1)
-        # Scharr gradients ([3,10,3]/16 smoothing x [-1,0,1]/2 derivative).
-        tm = _bilinear_at(A, fpy, fpx, 0, 0)
-        t0 = _bilinear_at(A, fpy, fpx, 0, 1)
-        tp = _bilinear_at(A, fpy, fpx, 0, 2)
-        bm = _bilinear_at(A, fpy, fpx, 2, 0)
-        b0 = _bilinear_at(A, fpy, fpx, 2, 1)
-        bp = _bilinear_at(A, fpy, fpx, 2, 2)
-        ml = _bilinear_at(A, fpy, fpx, 1, 0)
-        mr = _bilinear_at(A, fpy, fpx, 1, 2)
-        gx_img = (3.0 * (tp - tm) + 10.0 * (mr - ml) + 3.0 * (bp - bm)) / 32.0
-        gy_img = (3.0 * (bm - tm) + 10.0 * (b0 - t0) + 3.0 * (bp - tp)) / 32.0
+        for j in range(PGROUP):
+            pltpu.make_async_copy(wprev.at[j], wprev.at[j], sem_p.at[j]).wait()
+            pltpu.make_async_copy(wnext.at[j], wnext.at[j], sem_n.at[j]).wait()
 
-        rows = jax.lax.broadcasted_iota(jnp.int32, (PR, 128), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (PR, 128), 1)
-        mask = ((rows < WIN) & (cols < WIN)).astype(jnp.float32)
-        gx_img = gx_img * mask
-        gy_img = gy_img * mask
-        tpl = tpl * mask
+        # --- word-align both windows (8-candidate select, once) ----------
+        def align(src, dst, bw):
+            masks = [bw == c for c in range(8)]
+            for r in range(AW):
+                for s in range(NSTRIP):
+                    acc = jnp.zeros((PGROUP, 128), jnp.int32)
+                    for c in range(8):
+                        acc = jnp.where(masks[c], src[:, s, r + c, :], acc)
+                    dst[r, :, s * 128 : (s + 1) * 128] = acc
 
-        gxx = jnp.sum(gx_img * gx_img)
-        gxy = jnp.sum(gx_img * gy_img)
-        gyy = jnp.sum(gy_img * gy_img)
+        align(wprev, aprev, bwp)
+        align(wnext, anext, bwn)
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (PGROUP, 128), 1)
+        colmask = (lanes < WIN).astype(jnp.float32)
+
+        def sample_rows(awin, ry, ix, nrows, ylo, yhi):
+            """Rows of the aligned window, bilinear in x.
+
+            Row k (k = 0..nrows-1) is the image at pixel row floor(ry)+k,
+            fractional column ix+lane, for every point (sublane). ylo/yhi
+            statically bound floor(ry) so the per-point word select runs
+            over a small static candidate range. The vertical fraction is
+            the caller's to blend (rows k, k+1 bracket ry+k).
+            """
+            iy = jnp.floor(ry).astype(jnp.int32)  # (PG,1) in [ylo, yhi]
+            ixi = jnp.floor(ix).astype(jnp.int32)
+            fx = (ix - jnp.floor(ix)).astype(jnp.float32)
+            idx = ixi + lanes  # (PG, 128) per-point column indices
+            w_lo = ylo // 4
+            w_hi = min((yhi + nrows - 1) // 4, AW - 1)
+            gathered = {}
+            shifted = {}
+            for w in range(w_lo, w_hi + 1):
+                acc = jnp.zeros((PGROUP, 128), jnp.int32)
+                for s in range(NSTRIP):
+                    local = idx - s * 128
+                    inside = local.astype(jnp.uint32) < jnp.uint32(128)
+                    gval = jnp.take_along_axis(
+                        awin[w, :, s * 128 : (s + 1) * 128], local & 127,
+                        axis=1,
+                    )
+                    acc = acc + jnp.where(inside, gval, 0)
+                gathered[w] = acc
+                # x+1 tap: lane l of the roll holds column idx + l + 1.
+                shifted[w] = jnp.roll(acc, -1, axis=1)
+            rows = []
+            for k in range(nrows):
+                flat = iy + k  # (PG,1), in [ylo+k, yhi+k]
+                sh = (flat & 3) << 3
+                wsel = flat >> 2
+                c0 = (ylo + k) // 4
+                c1 = min((yhi + k) // 4, AW - 1)
+                g0 = gathered[c0]
+                g1 = shifted[c0]
+                for c in range(c0 + 1, c1 + 1):
+                    hit = wsel == c
+                    g0 = jnp.where(hit, gathered[c], g0)
+                    g1 = jnp.where(hit, shifted[c], g1)
+                v0 = ((g0 >> sh) & 0xFF).astype(jnp.float32)
+                v1 = ((g1 >> sh) & 0xFF).astype(jnp.float32)
+                rows.append(v0 * (1.0 - fx) + v1 * fx)
+            return rows
+
+        # --- template + Scharr gradients (prev window, once) -------------
+        # Supersample PROWS rows x 128 cols one row/col above-left of the
+        # patch (gradient halo); ryp's floor is RY0 + word phase (0..3).
+        fyp = (ryp - jnp.floor(ryp)).astype(jnp.float32)
+        sup = sample_rows(aprev, ryp, ixp - 1.0, PROWS, RY0, RY0 + 3)
+        rows = [
+            sup[k] * (1.0 - fyp) + sup[k + 1] * fyp for k in range(PROWS - 1)
+        ]
+        # rows[k] = image at patch row k-1, lane l = patch col l-1.
+        shift1 = lambda a: jnp.roll(a, -1, axis=1)  # noqa: E731
+        shift2 = lambda a: jnp.roll(a, -2, axis=1)  # noqa: E731
+        for k in range(WIN):
+            tm, t0, tp = rows[k], shift1(rows[k]), shift2(rows[k])
+            m0 = shift1(rows[k + 1])
+            mm, mp = rows[k + 1], shift2(rows[k + 1])
+            bm, b0, bp = rows[k + 2], shift1(rows[k + 2]), shift2(rows[k + 2])
+            gx_k = (3.0 * (tp - tm) + 10.0 * (mp - mm) + 3.0 * (bp - bm)) / 32.0
+            gy_k = (3.0 * (bm - tm) + 10.0 * (b0 - t0) + 3.0 * (bp - tp)) / 32.0
+            tpl_s[k] = m0 * colmask
+            gx_s[k] = gx_k * colmask
+            gy_s[k] = gy_k * colmask
+
+        gxx = jnp.zeros((PGROUP, 1), jnp.float32)
+        gxy = jnp.zeros((PGROUP, 1), jnp.float32)
+        gyy = jnp.zeros((PGROUP, 1), jnp.float32)
+        for k in range(WIN):
+            gx_k = gx_s[k]
+            gy_k = gy_s[k]
+            gxx += jnp.sum(gx_k * gx_k, axis=1, keepdims=True)
+            gxy += jnp.sum(gx_k * gy_k, axis=1, keepdims=True)
+            gyy += jnp.sum(gy_k * gy_k, axis=1, keepdims=True)
         det = gxx * gyy - gxy * gxy
         trace = gxx + gyy
         min_eig = (
-            trace - jnp.sqrt(jnp.maximum(trace * trace - 4 * det, 0.0))
+            trace - jnp.sqrt(jnp.maximum(trace * trace - 4.0 * det, 0.0))
         ) * 0.5
         inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
 
-        pltpu.make_async_copy(wnext.at[j], wnext.at[j], sem_n.at[j]).wait()
-        wn = wnext[j]
+        # --- iterations (next window) ------------------------------------
+        # The window was fetched around point+guess; flow v samples at
+        # offset (ryn, ixn) + (v - guess), clamped into the window (the
+        # XLA path clamps identically; drifted-out points fail RANSAC).
+        y_hi = float(4 * AW - WIN - 3)
+        x_hi = float(WCOLS - WIN - 2)
 
         def body(_, v):
             vx, vy = v
-            nx_ = px + vx - HALF
-            ny_ = py + vy - HALF
-            inx = jnp.floor(nx_)
-            iny = jnp.floor(ny_)
-            fnx = nx_ - inx
-            fny = ny_ - iny
-            cry = iny.astype(jnp.int32) - oyn
-            crx = inx.astype(jnp.int32) - oxn
-            B = pltpu.roll(
-                pltpu.roll(wn, jnp.remainder(-cry, WROWS), 0),
-                jnp.remainder(-crx, WCOLS), 1,
+            # ryn points at patch row -1 (the gradient halo row, matching
+            # the template supersample); the iteration patch starts at
+            # row 0, hence the +1.
+            oy = jnp.clip(ryn + 1.0 + (vy - gy0), 1.0, y_hi)
+            ox = jnp.clip(ixn + (vx - gx0), 1.0, x_hi)
+            fy = (oy - jnp.floor(oy)).astype(jnp.float32)
+            cur_rows = sample_rows(
+                anext, oy, ox, WIN + 1, 1, int(y_hi)
             )
-            cur = _bilinear_at(B, fny, fnx, 0, 0) * mask
-            r = cur - tpl
-            bx = jnp.sum(r * gx_img)
-            by = jnp.sum(r * gy_img)
+            bx = jnp.zeros((PGROUP, 1), jnp.float32)
+            by = jnp.zeros((PGROUP, 1), jnp.float32)
+            for k in range(WIN):
+                cur = cur_rows[k] * (1.0 - fy) + cur_rows[k + 1] * fy
+                r = cur * colmask - tpl_s[k]
+                bx += jnp.sum(r * gx_s[k], axis=1, keepdims=True)
+                by += jnp.sum(r * gy_s[k], axis=1, keepdims=True)
             dvx = (gyy * bx - gxy * by) * inv_det
             dvy = (gxx * by - gxy * bx) * inv_det
             return (vx - dvx, vy - dvy)
 
-        vx, vy = jax.lax.fori_loop(0, iters, body, (gx, gy))
+        ones = jnp.ones((PGROUP, 1), jnp.float32)
+        vx, vy = jax.lax.fori_loop(0, iters, body, (gx0 * ones, gy0 * ones))
 
-        ok_g = (min_eig / (WIN * WIN) > MIN_EIG_THRESHOLD).astype(jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        return jnp.where(
-            col == 0, vx, jnp.where(col == 1, vy, jnp.where(col == 2, ok_g, 0.0))
+        ok = (min_eig / float(WIN * WIN) > MIN_EIG_THRESHOLD).astype(
+            jnp.float32
         )
-
-    def kernel(oyp_ref, oxp_ref, oyn_ref, oxn_ref, fpt_ref,
-               prev_hbm, next_hbm, out_ref, wprev, wnext, sem_p, sem_n):
-        g = pl.program_id(0)
-        # Start all 16 window DMAs of this 8-point group before any compute.
-        for j in range(PGROUP):
-            i = g * PGROUP + j
-            oyp = pl.multiple_of(oyp_ref[i], 8)
-            oxp = pl.multiple_of(oxp_ref[i], 128)
-            oyn = pl.multiple_of(oyn_ref[i], 8)
-            oxn = pl.multiple_of(oxn_ref[i], 128)
-            pltpu.make_async_copy(
-                prev_hbm.at[pl.ds(oyp, WROWS), pl.ds(oxp, WCOLS)],
-                wprev.at[j], sem_p.at[j],
-            ).start()
-            pltpu.make_async_copy(
-                next_hbm.at[pl.ds(oyn, WROWS), pl.ds(oxn, WCOLS)],
-                wnext.at[j], sem_n.at[j],
-            ).start()
-
-        out_rows = [
-            one_point(g * PGROUP + j, j, oyp_ref, oxp_ref, oyn_ref, oxn_ref,
-                      fpt_ref, wprev, wnext, sem_p, sem_n)
-            for j in range(PGROUP)
-        ]
-        out_ref[...] = jnp.concatenate(out_rows, axis=0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (PGROUP, 128), 1)
+        out_ref[...] = jnp.where(
+            col == 0, vx, jnp.where(col == 1, vy, jnp.where(col == 2, ok, 0.0))
+        )
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "iters", "interpret"))
+def _origins(p, wstrips, hwords):
+    """Window origin + in-window offsets for positions ``p`` (N, 2)."""
+    ix = jnp.floor(p[:, 0]).astype(jnp.int32)
+    iy = jnp.floor(p[:, 1]).astype(jnp.int32)
+    # x: strip-align so patch col -1 (gradient halo) stays inside.
+    sx = jnp.clip((ix - (HALF + PAD + 1)) // 128, 0, max(wstrips - NSTRIP, 0))
+    # y: first needed pixel row is iy - HALF - 1 - PAD (halo + drift); its
+    # word, then the 8-word DMA alignment, leaves residue bw in [0, 8).
+    wy = (iy - (HALF + 1 + PAD)) // 4
+    oy = jnp.clip((wy // 8) * 8, 0, max(hwords - DMA_WORDS, 0))
+    bw = jnp.clip(wy - oy, 0, 7)
+    # Patch row -1 (gradient halo, y = p_y - HALF - 1) as a fractional
+    # pixel offset inside the ALIGNED window.
+    ry = p[:, 1] - float(HALF + 1) - ((oy + bw) * 4).astype(jnp.float32)
+    ixw = p[:, 0] - (sx * 128).astype(jnp.float32) - float(HALF)
+    return oy, sx, bw, ry, ixw
+
+
+@functools.partial(
+    jax.jit, static_argnames=("words_shape", "iters", "interpret")
+)
 def _lk_level_pallas(
-    prev_pad: jax.Array,  # (hp, wp) padded level image
-    next_pad: jax.Array,
+    prev_words: jax.Array,  # (wstrips, hwords, 128) int32 packed level
+    next_words: jax.Array,
     pts: jax.Array,  # (N, 2) level coords; N multiple of PGROUP
     guess: jax.Array,  # (N, 2)
-    shape: Tuple[int, int],  # padded shape (static)
+    words_shape: Tuple[int, int],
     iters: int = DEF_ITERS,
     interpret: bool = False,
 ):
-    hp, wp = shape
+    wstrips, hwords = words_shape
     n = pts.shape[0]
     assert n % PGROUP == 0, n
 
-    # Window origins (aligned); circular rolls absorb any in-window offset.
-    ipx = jnp.floor(pts[:, 0] - HALF).astype(jnp.int32)
-    ipy = jnp.floor(pts[:, 1] - HALF).astype(jnp.int32)
-    oxp = jnp.clip(((ipx - 1) // 128) * 128, 0, max(wp - WCOLS, 0))
-    oyp = jnp.clip(((ipy - 9) // 8) * 8, 0, max(hp - WROWS, 0))
-    inx = jnp.floor(pts[:, 0] + guess[:, 0] - HALF).astype(jnp.int32)
-    iny = jnp.floor(pts[:, 1] + guess[:, 1] - HALF).astype(jnp.int32)
-    oxn = jnp.clip(((inx - 1) // 128) * 128, 0, max(wp - WCOLS, 0))
-    oyn = jnp.clip(((iny - 9) // 8) * 8, 0, max(hp - WROWS, 0))
+    oyp, sxp, bwp, ryp, ixp = _origins(pts, wstrips, hwords)
+    tgt = pts + guess
+    oyn, sxn, bwn, ryn, ixn = _origins(tgt, wstrips, hwords)
 
-    fpt = jnp.stack([pts[:, 0], pts[:, 1], guess[:, 0], guess[:, 1]], axis=-1)
+    cols = [
+        guess[:, 0],
+        guess[:, 1],
+        bwp.astype(jnp.float32),
+        ryp,
+        ixp,
+        bwn.astype(jnp.float32),
+        ryn,
+        ixn,
+    ]
+    fpt = jnp.stack(
+        cols + [jnp.zeros((n,), jnp.float32)] * (128 - len(cols)), axis=-1
+    )
 
     kernel = _make_lk_kernel(iters)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=4,
         grid=(n // PGROUP,),
         in_specs=[
+            pl.BlockSpec(
+                (PGROUP, 128), lambda g, *pf: (g, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -226,8 +316,13 @@ def _lk_level_pallas(
             (PGROUP, 128), lambda g, *pf: (g, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((PGROUP, WROWS, WCOLS), jnp.float32),
-            pltpu.VMEM((PGROUP, WROWS, WCOLS), jnp.float32),
+            pltpu.VMEM((PGROUP, NSTRIP, DMA_WORDS, 128), jnp.int32),
+            pltpu.VMEM((PGROUP, NSTRIP, DMA_WORDS, 128), jnp.int32),
+            pltpu.VMEM((AW, PGROUP, WCOLS), jnp.int32),
+            pltpu.VMEM((AW, PGROUP, WCOLS), jnp.int32),
+            pltpu.VMEM((WIN, PGROUP, 128), jnp.float32),
+            pltpu.VMEM((WIN, PGROUP, 128), jnp.float32),
+            pltpu.VMEM((WIN, PGROUP, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((PGROUP,)),
             pltpu.SemaphoreType.DMA((PGROUP,)),
         ],
@@ -237,10 +332,13 @@ def _lk_level_pallas(
         out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(oyp, oxp, oyn, oxn, fpt, prev_pad, next_pad)
+    )(oyp, sxp, oyn, sxn, fpt, prev_words, next_words)
     return out[:, 0], out[:, 1], out[:, 2] > 0.5
 
 
+@functools.partial(
+    jax.jit, static_argnames=("levels", "iters", "interpret")
+)
 def pyramidal_lk_pallas(
     prev_img: jax.Array,
     next_img: jax.Array,
@@ -250,11 +348,16 @@ def pyramidal_lk_pallas(
     iters: int = DEF_ITERS,
     interpret: bool = False,
 ):
-    """Drop-in replacement for :func:`ops.lk.pyramidal_lk` on TPU."""
+    """Drop-in replacement for :func:`ops.lk.pyramidal_lk` on TPU.
+
+    Jitted end-to-end: the pyramid build, packing, and the three level
+    kernels fuse into one executable (eagerly dispatching the ~10
+    intermediate ops costs ~40 ms over the remote backend).
+    """
     h, w = prev_img.shape
     n = points.shape[0]
     pad_n = _round_up(n, PGROUP) - n
-    pts_p = jnp.pad(points, ((0, pad_n), (0, 0)), constant_values=2.0 * HALF)
+    pts_p = jnp.pad(points, ((0, pad_n), (0, 0)), constant_values=4.0 * HALF)
 
     pyr_prev = build_pyramid(prev_img, levels)
     pyr_next = build_pyramid(next_img, levels)
@@ -263,16 +366,14 @@ def pyramidal_lk_pallas(
     status = valid
     for lvl in range(levels - 1, -1, -1):
         ph, pw = pyr_prev[lvl].shape
-        if ph < WROWS or pw < WCOLS:
+        if ph < 4 * DMA_WORDS + 32 or pw < WCOLS:
             continue  # tiny level: keep coarse guess
-        hp = _round_up(ph, 8)
-        wp = _round_up(pw, 128)
-        prev_pad = jnp.pad(pyr_prev[lvl], ((0, hp - ph), (0, wp - pw)))
-        next_pad = jnp.pad(pyr_next[lvl], ((0, hp - ph), (0, wp - pw)))
+        pwords = pack_frame_words(pyr_prev[lvl], ph, pw)
+        nwords = pack_frame_words(pyr_next[lvl], ph, pw)
         scale = 2.0**lvl
         vx, vy, ok = _lk_level_pallas(
-            prev_pad, next_pad, pts_p / scale, flow / scale, (hp, wp),
-            iters, interpret,
+            pwords, nwords, pts_p / scale, flow / scale,
+            (pwords.shape[0], pwords.shape[1]), iters, interpret,
         )
         flow = jnp.stack([vx, vy], axis=-1) * scale
         status = status & ok[:n]

@@ -39,6 +39,7 @@ from video_annotator_tpu.camera import (
 from video_annotator_tpu.io.video import VideoMeta, open_reader, open_writer
 from video_annotator_tpu.ops.corners import detect_corners
 from video_annotator_tpu.ops.lk import pyramidal_lk
+from video_annotator_tpu.ops.lk_pallas import pyramidal_lk_pallas
 from video_annotator_tpu.ops.ransac import estimate_rotation, rotation_with_fallback
 from video_annotator_tpu.ops.warp_pallas import plan_warp, warp_frame_pallas
 from video_annotator_tpu.ops.warp_xla import _scaled_camera, warp_image_xla
@@ -185,7 +186,10 @@ def analyse(
 
     @jax.jit
     def track_step(prev_gray, gray, pts, valid, prev_delta, key):
-        new_pts, status = pyramidal_lk(prev_gray, gray, pts, valid)
+        # Pallas LK on TPU (sub-ms); the vmapped-gather XLA path costs
+        # ~68 ms/frame at 1920x1440 and stays as the CPU/test oracle.
+        lk = pyramidal_lk if jax.default_backend() == "cpu" else pyramidal_lk_pallas
+        new_pts, status = lk(prev_gray, gray, pts, valid)
         rays_p = in_cam_full.unproject_unit(pts)
         rays_c = in_cam_full.unproject_unit(new_pts)
         est = estimate_rotation(
