@@ -18,7 +18,7 @@ pixel depth:
    holds rows 4r..4r+3 of column x. Gathers and DMAs then move 4 vertical
    pixels per element — 4x fewer gathers and 4x less window DMA than a
    float32 kernel.
-2. The output is processed in (8, 128) tiles. Each tile's source pixels
+2. The output is processed in (TILE_H, 128) tiles. Each tile's source pixels
    live in a small window whose per-tile origin is computed per frame by a
    cheap XLA pass over a dense sub-tile sample of the map (the plan's
    static window shape comes from probing worst-case correction rotations).
@@ -143,6 +143,8 @@ def _rodrigues_np(w: np.ndarray) -> np.ndarray:
 # stays small.
 SUB_Y = 4
 SUB_X = 32
+NY_SUB = TILE_H // SUB_Y  # y sample intervals per tile
+NX_SUB = TILE_W // SUB_X  # x sample intervals per tile
 
 
 def plan_warp(
@@ -199,9 +201,10 @@ def plan_warp(
             dip_x = max(dip_x, 4.0)
             dip_y = max(dip_y, 4.0)
             continue
-        smin_x = sw(sgx, (3, 5))[::2, ::4].min(axis=(2, 3))
-        smin_y = sw(sgy, (3, 5))[::2, ::4].min(axis=(2, 3))
-        smax_y = sw(sgy, (3, 5))[::2, ::4].max(axis=(2, 3))
+        twin = (NY_SUB + 1, NX_SUB + 1)
+        smin_x = sw(sgx, twin)[::NY_SUB, ::NX_SUB].min(axis=(2, 3))
+        smin_y = sw(sgy, twin)[::NY_SUB, ::NX_SUB].min(axis=(2, 3))
+        smax_y = sw(sgy, twin)[::NY_SUB, ::NX_SUB].max(axis=(2, 3))
         # The in-plan sample grid lacks the far boundary row/col, so it
         # covers one tile less per axis; compare on the shared region (edge
         # tiles behave like their neighbors, and the margin adds slack).
@@ -217,18 +220,19 @@ def plan_warp(
         # columns (3-row windows); measure how far true extrema escape
         # those much narrower bounds.
         ny8 = out_h // TILE_H
-        cmin_y = sw(sgy, (3, 1))[::2].min(axis=(2, 3))  # (ny-1, 4nx)
-        cmax_y = sw(sgy, (3, 1))[::2].max(axis=(2, 3))
-        cmin_x = sw(sgx, (3, 1))[::2].min(axis=(2, 3))
-        cmax_x = sw(sgx, (3, 1))[::2].max(axis=(2, 3))
+        cwin = (NY_SUB + 1, 1)
+        cmin_y = sw(sgy, cwin)[::NY_SUB].min(axis=(2, 3))
+        cmax_y = sw(sgy, cwin)[::NY_SUB].max(axis=(2, 3))
+        cmin_x = sw(sgx, cwin)[::NY_SUB].min(axis=(2, 3))
+        cmax_x = sw(sgx, cwin)[::NY_SUB].max(axis=(2, 3))
         pmin_y = np.minimum(cmin_y[:, :-1], cmin_y[:, 1:])
         pmax_y = np.maximum(cmax_y[:, :-1], cmax_y[:, 1:])
         pmin_x = np.minimum(cmin_x[:, :-1], cmin_x[:, 1:])
         pmax_x = np.maximum(cmax_x[:, :-1], cmax_x[:, 1:])
-        ivals_min_y = sy.reshape(ny8, TILE_H, nx, 4, 32).min(axis=(1, 4))
-        ivals_max_y = sy.reshape(ny8, TILE_H, nx, 4, 32).max(axis=(1, 4))
-        ivals_min_x = sx.reshape(ny8, TILE_H, nx, 4, 32).min(axis=(1, 4))
-        ivals_max_x = sx.reshape(ny8, TILE_H, nx, 4, 32).max(axis=(1, 4))
+        ivals_min_y = sy.reshape(ny8, TILE_H, nx, NX_SUB, SUB_X).min(axis=(1, 4))
+        ivals_max_y = sy.reshape(ny8, TILE_H, nx, NX_SUB, SUB_X).max(axis=(1, 4))
+        ivals_min_x = sx.reshape(ny8, TILE_H, nx, NX_SUB, SUB_X).min(axis=(1, 4))
+        ivals_max_x = sx.reshape(ny8, TILE_H, nx, NX_SUB, SUB_X).max(axis=(1, 4))
         iy, ix_ = pmin_y.shape
         dip_col = max(
             float((pmin_y - ivals_min_y.reshape(ny8, -1)[:iy, :ix_]).max()),
@@ -273,8 +277,8 @@ def _tile_bounds_grid(
 ):
     """Per-tile (min, max) source bounds via a dense sampled map."""
     ny, nx = plan.grid
-    ys = jnp.arange(2 * ny + 1, dtype=jnp.float32) * SUB_Y
-    xs = jnp.arange(4 * nx + 1, dtype=jnp.float32) * SUB_X
+    ys = jnp.arange(NY_SUB * ny + 1, dtype=jnp.float32) * SUB_Y
+    xs = jnp.arange(NX_SUB * nx + 1, dtype=jnp.float32) * SUB_X
     grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
     rays = out_camera.unproject(grid)
     rotated = jnp.einsum(
@@ -290,14 +294,15 @@ def _tile_bounds_grid(
     stacked = jnp.stack([-sx, sx, -sy, sy])
     ext = jax.lax.reduce_window(
         stacked, -jnp.inf, jax.lax.max,
-        window_dimensions=(1, 3, 5), window_strides=(1, 2, 4),
+        window_dimensions=(1, NY_SUB + 1, NX_SUB + 1),
+        window_strides=(1, NY_SUB, NX_SUB),
         padding="VALID",
     )
     # Per-sample-column bounds (3-row windows): feed the per-section row
     # ranges. Shape (4, ny, 4nx+1).
     cols = jax.lax.reduce_window(
         stacked, -jnp.inf, jax.lax.max,
-        window_dimensions=(1, 3, 1), window_strides=(1, 2, 1),
+        window_dimensions=(1, NY_SUB + 1, 1), window_strides=(1, NY_SUB, 1),
         padding="VALID",
     )
     return (-ext[0], ext[1], -ext[2], ext[3]), cols
@@ -339,15 +344,15 @@ def _tile_origins(
     # pixels can touch — individual columns would miss intervals that
     # straddle a section boundary. cols is (4, ny, 4nx+1) as
     # (-min_x, max_x, -min_y, max_y).
-    pair = jnp.maximum(cols[:, :, :-1], cols[:, :, 1:])  # (4, ny, 4nx)
+    pair = jnp.maximum(cols[:, :, :-1], cols[:, :, 1:])
     colbs = [
         (
-            -pair[0, :, k::4][:, :nx],
-            pair[1, :, k::4][:, :nx],
-            -pair[2, :, k::4][:, :nx],
-            pair[3, :, k::4][:, :nx],
+            -pair[0, :, k::NX_SUB][:, :nx],
+            pair[1, :, k::NX_SUB][:, :nx],
+            -pair[2, :, k::NX_SUB][:, :nx],
+            pair[3, :, k::NX_SUB][:, :nx],
         )
-        for k in range(4)
+        for k in range(NX_SUB)
     ]
     oxf = ox.astype(jnp.float32)
     mx1 = plan.margin_x + 1.0
