@@ -117,3 +117,32 @@ def test_2d_families_end_to_end(tmp_path, filt):
     m_smooth = motion(out_smooth)
     # 2D models can't fully cancel rotational fisheye shake, but must help.
     assert m_smooth < m_shaky * 0.9, (filt, m_shaky, m_smooth)
+
+
+def test_similarity_stabilise_buffer_zooms_out():
+    """vidstab's zoom: -buffer — a static trajectory with a 20% buffer
+    samples a 1/0.8 scaled grid around the centre (src/render.ts:569-570)."""
+    import types
+
+    from video_annotator_tpu.models.similarity import similarity_corrections
+    from video_annotator_tpu.pipeline.trajectory import Trajectory
+
+    t = Trajectory(np.zeros((5, 4)), kind="similarity", width=640, height=480)
+    opt = types.SimpleNamespace(
+        stabilise="smooth", stabilise_radius=30, stabilise_buffer=20.0
+    )
+    corr = similarity_corrections(t, opt)
+    k = 1.0 / 0.8
+    # sample(center) == center; sample(center + d) == center + k*d
+    cx, cy = (640 - 1) / 2.0, (480 - 1) / 2.0
+    dx, dy, ang, ls = corr[2]
+    assert abs(ang) < 1e-6
+    np.testing.assert_allclose(np.exp(ls), k, rtol=1e-6)
+    np.testing.assert_allclose(np.exp(ls) * cx + dx, cx, atol=1e-3)
+    np.testing.assert_allclose(np.exp(ls) * cy + dy, cy, atol=1e-3)
+
+    opt0 = types.SimpleNamespace(
+        stabilise="smooth", stabilise_radius=30, stabilise_buffer=0.0
+    )
+    corr0 = similarity_corrections(t, opt0)
+    np.testing.assert_allclose(corr0, 0.0, atol=1e-5)

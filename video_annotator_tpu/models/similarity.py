@@ -135,7 +135,22 @@ def similarity_corrections(traj: Trajectory, options) -> np.ndarray:
     corr = jax.vmap(lambda a, s: compose_similarity(s, invert_similarity(a)))(
         acc, smooth
     )
-    return np.asarray(jax.vmap(invert_similarity)(corr))
+    sample = jax.vmap(invert_similarity)(corr)
+    # vidstabtransform's ``zoom: -stabiliseBuffer`` (src/render.ts:569-570):
+    # zoom OUT by buffer percent around the frame centre while stabilising,
+    # so corrections reveal borders instead of cropping content. Sampling
+    # scale is the display scale's inverse.
+    if options.stabilise_buffer:
+        z = 1.0 - options.stabilise_buffer / 100.0
+        k = 1.0 / max(z, 1e-3)
+        cx = (traj.width - 1) / 2.0
+        cy = (traj.height - 1) / 2.0
+        zoom = jnp.asarray(
+            [cx * (1.0 - k), cy * (1.0 - k), 0.0, float(np.log(k))],
+            jnp.float32,
+        )
+        sample = jax.vmap(lambda p: compose_similarity(p, zoom))(sample)
+    return np.asarray(sample)
 
 
 def warp_frame_similarity(y, u, v, sample_params):
