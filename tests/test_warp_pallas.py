@@ -107,3 +107,26 @@ def test_chroma_border_fill_preserves_sub_neutral_values():
     # of the frame — real configs are 6-12x larger)
     assert np.mean(diff > 0.6) < 0.02, np.mean(diff > 0.6)
     assert ours.max() <= 128.0 + 0.05
+
+
+def test_planes_variant_matches_single():
+    from video_annotator_tpu.ops.warp_pallas import warp_planes_pallas
+
+    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (320, 240))
+    out_cam = get_output_camera(in_cam, scale=1.0, crop_borders=True)
+    plan = plan_warp(out_cam, in_cam, max_correction_deg=6.0)
+    rng = np.random.default_rng(3)
+    planes = np.round(rng.uniform(0, 255, size=(2, 240, 320))).astype(np.float32)
+    rot = so3.exp(jnp.array([0.02, -0.03, 0.01]))
+    wu, wv = warp_planes_pallas(
+        jnp.asarray(planes), rot, plan, out_cam, in_cam, interpret=True,
+        border=128.0,
+    )
+    for got, plane in ((wu, planes[0]), (wv, planes[1])):
+        ref = np.asarray(
+            warp_frame_pallas(
+                jnp.asarray(plane), rot, plan, out_cam, in_cam,
+                interpret=True, border=128.0,
+            )
+        )
+        np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)

@@ -475,10 +475,14 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
 
     def kernel(rot_ref, meta1_ref, meta2_ref, in_hbm, out_ref, win, sem):
         # NOTE: a double-buffered variant (prefetch the next tile's window
-        # during compute) was measured SLOWER on v5e: the per-block
-        # parity-select on window reads cost more than the ~1-2 us DMA
-        # latency it hides. Single buffer, DMA started before the map math.
+        # during compute) was measured SLOWER on v5e (both the original
+        # parity-select-on-values form and a slot-indexed-scratch form).
+        # Single buffer, DMA started before the map math.
         if batched:
+            # "frames": leading grid dim is frames with per-frame rotation
+            # and (frame-folded) metas. "planes": leading dim is planes of
+            # ONE frame sharing one rotation and one set of metas (U+V in
+            # one dispatch).
             ti = pl.program_id(0)
             ty = pl.program_id(1)
             tx = pl.program_id(2)
@@ -494,7 +498,10 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             tx2 = jax.lax.rem(g, nx)
             r_ = g // nx
             ty2 = jax.lax.rem(r_, ny)
-            if batched:
+            if batched == "planes":
+                m1_ = meta1_ref[ty2, tx2]
+                src = in_hbm.at[r_ // ny]
+            elif batched:
                 # meta1 is frame-folded 2D (t*ny, nx): row r_ = ti*ny + ty.
                 m1_ = meta1_ref[r_, tx2]
                 src = in_hbm.at[r_ // ny]
@@ -518,7 +525,7 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
         xs = (tx * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)).astype(jnp.float32)
         rx = (xs - ocx) / ofx
         ry = (ys - ocy) / ofy
-        if batched:
+        if batched and batched != "planes":
             r = [rot_ref[ti, i] for i in range(9)]
         else:
             r = [rot_ref[i] for i in range(9)]
@@ -586,10 +593,10 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
         # Blocks stay 8-word aligned (Mosaic requires sublane-aligned
         # dynamic loads); the static 8-row unroll keeps ILP high.
         stride = nslots + 1
-        if batched:
-            mbase = (ti * ny + ty, tx * stride)
-        else:
+        if batched == "planes" or not batched:
             mbase = (ty, tx * stride)
+        else:
+            mbase = (ti * ny + ty, tx * stride)
         total = meta2_ref[mbase[0], mbase[1]]
 
         def body(i, acc):
@@ -806,6 +813,79 @@ def warp_frames_pallas(
         border,
     )
     return fn(frames, rotations)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_warp_planes_fn(plan: WarpPlan, out_key, in_key, t: int,
+                          interpret: bool, border: float = 0.0):
+    """Multi-plane variant: grid (T, ny, nx) with ONE shared rotation and
+    one set of tile metas — U and V chroma planes of a frame share the
+    map, so warping them in one dispatch halves the per-call overhead."""
+    out_camera = _camera_from_key(out_key)
+    in_camera = _camera_from_key(in_key)
+    kernel = _make_kernel(plan, out_camera, in_camera, batched="planes",
+                          border=border)
+    ny, nx = plan.grid
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t, ny, nx),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, TILE_H, TILE_W),
+            lambda ti, ty, tx, *pf: (ti, ty, tx),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((plan.sections, plan.wh_words, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (t, plan.out_h, plan.out_w), jnp.float32
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )
+
+    pack = jax.vmap(
+        lambda f: pack_frame_words(
+            f, plan.in_h, plan.in_w, pad_value=int(border)
+        )
+    )
+
+    @jax.jit
+    def run(frames: jax.Array, rotation: jax.Array):
+        meta1, meta2 = _tile_origins(plan, out_camera, in_camera, rotation)
+        rot9 = jnp.reshape(rotation.astype(jnp.float32), (9,))
+        words = pack(frames)
+        out = call(rot9, meta1, meta2, words)
+        return tuple(
+            out[i, : plan.crop_h, : plan.crop_w] for i in range(t)
+        )
+
+    return run
+
+
+def warp_planes_pallas(
+    frames: jax.Array,  # (T, H, W) planes of ONE frame (same camera pair)
+    rotation: jax.Array,  # (3, 3)
+    plan: WarpPlan,
+    out_camera: Camera,
+    in_camera: Camera,
+    interpret: bool = False,
+    border: float = 0.0,
+):
+    """Warp T same-geometry planes with one rotation in one dispatch."""
+    t = frames.shape[0]
+    assert frames.shape[1:] == (plan.in_h, plan.in_w), frames.shape
+    fn = _build_warp_planes_fn(
+        plan, _camera_key(out_camera), _camera_key(in_camera), t, interpret,
+        border,
+    )
+    return fn(frames, rotation)
 
 
 def warp_frame_pallas(

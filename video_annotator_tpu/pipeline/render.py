@@ -41,7 +41,11 @@ from video_annotator_tpu.ops.corners import detect_corners
 from video_annotator_tpu.ops.lk import pyramidal_lk
 from video_annotator_tpu.ops.lk_pallas import pyramidal_lk_pallas
 from video_annotator_tpu.ops.ransac import estimate_rotation, rotation_with_fallback
-from video_annotator_tpu.ops.warp_pallas import plan_warp, warp_frame_pallas
+from video_annotator_tpu.ops.warp_pallas import (
+    plan_warp,
+    warp_frame_pallas,
+    warp_planes_pallas,
+)
 from video_annotator_tpu.ops.warp_xla import _scaled_camera, warp_image_xla
 from video_annotator_tpu.pipeline.profiler import StageProfiler
 from video_annotator_tpu.pipeline.trajectory import Trajectory, trajectory_path
@@ -407,10 +411,11 @@ class FrameWarper:
         if self._use_pallas:
             wy = warp_frame_pallas(y, rotation, self.plan_y, self.out_cam,
                                    self.in_cam)
-            wu = warp_frame_pallas(u, rotation, self.plan_c, self.out_half,
-                                   self.in_half, border=128.0)
-            wv = warp_frame_pallas(v, rotation, self.plan_c, self.out_half,
-                                   self.in_half, border=128.0)
+            # U and V share the map: one dispatch, one origin pass.
+            wu, wv = warp_planes_pallas(
+                jnp.stack([u, v]), rotation, self.plan_c, self.out_half,
+                self.in_half, border=128.0,
+            )
             return wy, wu, wv
         wy = warp_image_xla(y, self.out_cam, self.in_cam, rotation,
                             (self.out_h, self.out_w))
