@@ -39,8 +39,16 @@ def main():
     u = jnp.asarray(rng.uniform(0, 255, (h // 2, w // 2)).astype(np.float32))
     v = jnp.asarray(rng.uniform(0, 255, (h // 2, w // 2)).astype(np.float32))
 
-    # Per-frame rotations (small stabilization corrections).
-    rots = so3.exp(jnp.asarray(rng.normal(size=(16, 3)) * 0.01, jnp.float32))
+    # Per-frame rotations (small stabilization corrections), pre-sliced:
+    # an eager rots[i] slice per frame costs ~1-3 ms of dispatch overhead
+    # on the remote backend and would understate the chip.
+    rots = [
+        so3.exp(jnp.asarray(x, jnp.float32))
+        for x in rng.normal(size=(16, 3)) * 0.01
+    ]
+    import jax
+
+    jax.block_until_ready(rots)
 
     # Warm up / compile.
     wy, wu, wv = warper(y, u, v, rots[0])

@@ -119,8 +119,8 @@ def test_planes_variant_matches_single():
     planes = np.round(rng.uniform(0, 255, size=(2, 240, 320))).astype(np.float32)
     rot = so3.exp(jnp.array([0.02, -0.03, 0.01]))
     wu, wv = warp_planes_pallas(
-        jnp.asarray(planes), rot, plan, out_cam, in_cam, interpret=True,
-        border=128.0,
+        (jnp.asarray(planes[0]), jnp.asarray(planes[1])), rot, plan,
+        out_cam, in_cam, interpret=True, border=128.0,
     )
     for got, plane in ((wu, planes[0]), (wv, planes[1])):
         ref = np.asarray(

@@ -850,17 +850,20 @@ def _build_warp_planes_fn(plan: WarpPlan, out_key, in_key, t: int,
         interpret=interpret,
     )
 
-    pack = jax.vmap(
-        lambda f: pack_frame_words(
-            f, plan.in_h, plan.in_w, pad_value=int(border)
-        )
-    )
-
     @jax.jit
-    def run(frames: jax.Array, rotation: jax.Array):
+    def run(planes, rotation: jax.Array):
         meta1, meta2 = _tile_origins(plan, out_camera, in_camera, rotation)
         rot9 = jnp.reshape(rotation.astype(jnp.float32), (9,))
-        words = pack(frames)
+        # Stack INSIDE the jit: an eager per-frame jnp.stack costs ~1 ms
+        # of dispatch on the remote backend.
+        words = jnp.stack(
+            [
+                pack_frame_words(
+                    f, plan.in_h, plan.in_w, pad_value=int(border)
+                )
+                for f in planes
+            ]
+        )
         out = call(rot9, meta1, meta2, words)
         return tuple(
             out[i, : plan.crop_h, : plan.crop_w] for i in range(t)
@@ -870,7 +873,7 @@ def _build_warp_planes_fn(plan: WarpPlan, out_key, in_key, t: int,
 
 
 def warp_planes_pallas(
-    frames: jax.Array,  # (T, H, W) planes of ONE frame (same camera pair)
+    planes,  # sequence of T (H, W) planes of ONE frame (same camera pair)
     rotation: jax.Array,  # (3, 3)
     plan: WarpPlan,
     out_camera: Camera,
@@ -879,13 +882,14 @@ def warp_planes_pallas(
     border: float = 0.0,
 ):
     """Warp T same-geometry planes with one rotation in one dispatch."""
-    t = frames.shape[0]
-    assert frames.shape[1:] == (plan.in_h, plan.in_w), frames.shape
+    t = len(planes)
+    for f in planes:
+        assert f.shape == (plan.in_h, plan.in_w), (f.shape, plan)
     fn = _build_warp_planes_fn(
         plan, _camera_key(out_camera), _camera_key(in_camera), t, interpret,
         border,
     )
-    return fn(frames, rotation)
+    return fn(tuple(planes), rotation)
 
 
 def warp_frame_pallas(

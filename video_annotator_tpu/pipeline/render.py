@@ -413,7 +413,7 @@ class FrameWarper:
                                    self.in_cam)
             # U and V share the map: one dispatch, one origin pass.
             wu, wv = warp_planes_pallas(
-                jnp.stack([u, v]), rotation, self.plan_c, self.out_half,
+                (u, v), rotation, self.plan_c, self.out_half,
                 self.in_half, border=128.0,
             )
             return wy, wu, wv
@@ -460,6 +460,13 @@ def encode(
     first, last = _frame_range(meta, options)
     from video_annotator_tpu.io.prefetch import DevicePrefetcher
 
+    # Pre-upload per-frame rotations: an eager host->device transfer (or a
+    # device-array slice) inside the frame loop costs ~1-3 ms each on the
+    # remote backend.
+    rots_dev = [
+        jax.device_put(r) for r in np.asarray(corrections, np.float32)
+    ]
+
     pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)))
     idx = -1
     t = 0
@@ -470,8 +477,7 @@ def encode(
         if idx >= last or t >= corrections.shape[0]:
             break
         with prof.stage("warp"):
-            rot = jnp.asarray(corrections[t], jnp.float32)
-            wy, wu, wv = to_uint8(*warper(y, u, v, rot))
+            wy, wu, wv = to_uint8(*warper(y, u, v, rots_dev[t]))
         with prof.stage("encode"):
             writer.write((np.asarray(wy), np.asarray(wu), np.asarray(wv)))
         t += 1
