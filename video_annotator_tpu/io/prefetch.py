@@ -24,16 +24,19 @@ _SENTINEL = object()
 class DevicePrefetcher:
     """Wrap a planar-YUV frame iterator with device-side prefetch.
 
-    Yields ``(y, u, v)`` as device arrays of ``dtype``. ``depth`` frames are
-    in flight at any time (decode + transfer happen on a worker thread; the
-    transfers themselves are async dispatches).
+    Yields ``(y, u, v)`` as device arrays. ``depth`` frames are in flight
+    at any time (decode + transfer happen on a worker thread; the transfers
+    themselves are async dispatches). Planes keep their source dtype
+    (uint8): transfers stay 4x smaller and the consumer's jit converts
+    where needed — an eager per-plane astype costs ~1 ms of dispatch on
+    the remote backend. Pass ``dtype`` to force an (eager) conversion.
     """
 
     def __init__(
         self,
         frames,
         depth: int = 3,
-        dtype=jnp.float32,
+        dtype=None,
         device: Optional[jax.Device] = None,
     ):
         self._frames = frames
@@ -50,9 +53,11 @@ class DevicePrefetcher:
             for y, u, v in self._frames:
                 if self._stop.is_set():
                     return
-                put = lambda a: jax.device_put(  # noqa: E731
-                    np.asarray(a), self._device
-                ).astype(self._dtype)
+                def put(a):
+                    out = jax.device_put(np.asarray(a), self._device)
+                    if self._dtype is not None:
+                        out = out.astype(self._dtype)
+                    return out
                 self._q.put((put(y), put(u), put(v)))
             self._q.put(_SENTINEL)
         except BaseException as e:  # propagate into the consumer
@@ -76,3 +81,46 @@ class DevicePrefetcher:
                 self._q.get_nowait()
         except queue.Empty:
             pass
+
+
+class AsyncFrameWriter:
+    """Device->host readback + encode off the hot loop.
+
+    The reverse of :class:`DevicePrefetcher` (the reference's hwdownload
+    side): the consumer enqueues device arrays and keeps dispatching; a
+    worker thread blocks on the transfers and feeds the underlying writer,
+    so readback overlaps with device compute. ``depth`` bounds in-flight
+    frames (device memory). Writer/transfer errors surface on the next
+    ``put`` or on ``close``.
+    """
+
+    def __init__(self, writer, depth: int = 3):
+        self._writer = writer
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while True:
+            item = self._q.get()
+            if item is _SENTINEL:
+                return
+            if self._err is not None:
+                continue  # drain after failure
+            try:
+                self._writer.write(tuple(np.asarray(p) for p in item))
+            except BaseException as e:
+                self._err = e
+
+    def write(self, planes):
+        if self._err is not None:
+            raise self._err
+        self._q.put(planes)
+
+    def close(self):
+        self._q.put(_SENTINEL)
+        self._thread.join()
+        self._writer.close()
+        if self._err is not None:
+            raise self._err

@@ -669,9 +669,12 @@ def pack_frame_words(frame: jax.Array, in_h: int, in_w: int,
     """
     in_h_pad = _round_up(in_h, 32)
     in_w_pad = _round_up(in_w, 128)
-    f = jnp.clip(jnp.round(frame.astype(jnp.float32)), 0.0, 255.0).astype(
-        jnp.int32
-    )
+    if jnp.issubdtype(frame.dtype, jnp.integer):
+        f = frame.astype(jnp.int32)  # already byte-valued: no rounding pass
+    else:
+        f = jnp.clip(jnp.round(frame.astype(jnp.float32)), 0.0, 255.0).astype(
+            jnp.int32
+        )
     if (in_h_pad, in_w_pad) != f.shape:
         f = jnp.pad(
             f,

@@ -16,9 +16,15 @@ from typing import Iterator
 
 
 class StageProfiler:
-    def __init__(self):
-        self._total = OrderedDict()  # name -> seconds
+    def __init__(self, warmup: int = 3):
+        self._total = OrderedDict()  # name -> seconds (post-warmup)
         self._count = OrderedDict()
+        self._seen = OrderedDict()  # name -> total invocations
+        self._warm_total = OrderedDict()  # warmup seconds (compile etc.)
+        # The first few samples per stage are dominated by jit compilation
+        # (tens of seconds on first touch); excluding them makes the
+        # steady-state report meaningful. Warmup time is still reported.
+        self._warmup = warmup
 
     @contextlib.contextmanager
     def stage(self, name: str) -> Iterator[None]:
@@ -27,8 +33,16 @@ class StageProfiler:
             yield
         finally:
             dt = time.perf_counter() - t0
-            self._total[name] = self._total.get(name, 0.0) + dt
-            self._count[name] = self._count.get(name, 0) + 1
+            seen = self._seen.get(name, 0)
+            self._seen[name] = seen + 1
+            if seen < self._warmup:
+                self._warm_total[name] = self._warm_total.get(name, 0.0) + dt
+                # Keep the stage visible even if it never leaves warmup.
+                self._total.setdefault(name, 0.0)
+                self._count.setdefault(name, 0)
+            else:
+                self._total[name] = self._total.get(name, 0.0) + dt
+                self._count[name] = self._count.get(name, 0) + 1
 
     def wrap_iter(self, name: str, it):
         """Time each pull from an iterator (decode stages)."""
@@ -41,17 +55,27 @@ class StageProfiler:
             yield item
 
     def report(self) -> str:
-        """The reference's per-stage report: avg ms/frame, fps, % of total."""
+        """The reference's per-stage report: avg ms/frame, fps, % of total.
+
+        Steady-state only (first ``warmup`` samples per stage excluded);
+        total warmup/compile time is summarized on the last line.
+        """
         total = sum(self._total.values()) or 1e-12
         lines = []
         for name, secs in self._total.items():
-            n = max(self._count[name], 1)
+            n = self._count[name]
+            if n == 0:
+                lines.append(f"{name}: (warmup only)")
+                continue
             ms = secs / n * 1000.0
             fps = n / secs if secs > 0 else float("inf")
             lines.append(
                 f"{name}: avg {ms:8.2f} ms/frame ({fps:7.1f} fps), "
                 f"{secs / total * 100:5.1f}% of pipeline"
             )
+        warm = sum(self._warm_total.values())
+        if warm > 0.01:
+            lines.append(f"warmup/compile (excluded): {warm:.1f} s total")
         return "\n".join(lines)
 
     def totals(self):

@@ -188,8 +188,23 @@ def analyse(
     min_inliers = max(10, min(MIN_INLIERS_FULL, int(round(40 * res_scale))))
     min_refresh = max(20, int(round(KEY_FRAME_MIN_CORNERS * res_scale)))
 
-    @jax.jit
-    def track_step(prev_gray, gray, pts, valid, prev_delta, key):
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnames=("refresh_age",))
+    def track_step(prev_gray, gray, pts, valid, prev_delta, r_acc, key,
+                   refresh_age):
+        """One fully-device analyse step: track + estimate + accumulate +
+        (conditionally) refresh corners.
+
+        The host never reads a device value per frame — over a remote
+        backend each blocked round trip costs ~30-90 ms, which used to
+        dwarf the 2.7 ms of actual tracking compute. The key-frame
+        low-corner refresh runs as a lax.cond on device; the age-based
+        refresh is host-side bookkeeping (a static arg). Accumulation
+        happens on device in f32 with an SO(3) re-projection per step
+        (drift ~1e-7/step, invisible under the smoothing radius).
+        """
+        key, sub = jax.random.split(key)
         # Pallas LK on TPU (sub-ms); the vmapped-gather XLA path costs
         # ~68 ms/frame at 1920x1440 and stays as the CPU/test oracle.
         lk = pyramidal_lk if jax.default_backend() == "cpu" else pyramidal_lk_pallas
@@ -197,10 +212,26 @@ def analyse(
         rays_p = in_cam_full.unproject_unit(pts)
         rays_c = in_cam_full.unproject_unit(new_pts)
         est = estimate_rotation(
-            rays_p, rays_c, status, key, threshold_rad=threshold
+            rays_p, rays_c, status, sub, threshold_rad=threshold
         )
         delta = rotation_with_fallback(est, prev_delta, min_inliers=min_inliers)
-        return new_pts, status, delta, est.num_inliers
+        # R_t = dR . R_{t-1} (opencv/FrameSourceWarp.cpp:441).
+        r_new = so3.project(
+            jnp.matmul(delta, r_acc, precision=jax.lax.Precision.HIGHEST)
+        )
+        if refresh_age:
+            out_pts, out_valid = detect_corners(
+                gray, max_corners=MAX_CORNERS, min_distance=min_distance
+            )
+        else:
+            out_pts, out_valid = jax.lax.cond(
+                jnp.sum(status) < min_refresh,
+                lambda: detect_corners(
+                    gray, max_corners=MAX_CORNERS, min_distance=min_distance
+                ),
+                lambda: (new_pts, status),
+            )
+        return out_pts, out_valid, delta, r_new, key
 
     @jax.jit
     def detect_step(gray):
@@ -209,46 +240,53 @@ def analyse(
         )
 
     first, last = _frame_range(meta, options)
-    rotvecs = []
-    R_acc = np.eye(3)
-    prev_delta = jnp.eye(3)
+    r_list = []
+    r_acc = jnp.eye(3, dtype=jnp.float32)
+    prev_delta = jnp.eye(3, dtype=jnp.float32)
+    key = jax.random.PRNGKey(7)
     prev_gray = None
     pts = valid = None
     age = 0
     idx = -1
-    for y, _, _ in prof.wrap_iter("decode", iter(reader)):
+    from video_annotator_tpu.io.prefetch import DevicePrefetcher
+
+    # Uploads happen uint8 on the prefetch thread (the jitted steps
+    # convert); an in-loop host-side device_put serializes the loop on
+    # transfer bandwidth.
+    pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)))
+    for y, _, _ in pre:
         idx += 1
         if idx < first:
             continue
         if idx >= last:
             break
-        gray = jnp.asarray(y, jnp.float32)
+        gray = y
         if prev_gray is None:
             with prof.stage("detect"):
                 pts, valid = detect_step(gray)
-            rotvecs.append(np.zeros(3))
+            r_list.append(r_acc)
         else:
             with prof.stage("track"):
-                key = jax.random.fold_in(jax.random.PRNGKey(7), idx)
-                pts, valid, delta, _ = track_step(
-                    prev_gray, gray, pts, valid, prev_delta, key
+                pts, valid, prev_delta, r_acc, key = track_step(
+                    prev_gray, gray, pts, valid, prev_delta, r_acc, key,
+                    refresh_age=age >= KEY_FRAME_MAX_AGE,
                 )
-                prev_delta = delta
-                # R_t = dR . R_{t-1} (opencv/FrameSourceWarp.cpp:441), in
-                # float64 on host to avoid drift over long clips.
-                R_acc = np.asarray(delta, np.float64) @ R_acc
-                rotvecs.append(_log_np(R_acc))
-            age += 1
-            n_valid = int(jnp.sum(valid))
-            if age > KEY_FRAME_MAX_AGE or n_valid < min_refresh:
-                with prof.stage("detect"):
-                    pts, valid = detect_step(gray)
-                age = 0
+                r_list.append(r_acc)
+            age = 0 if age >= KEY_FRAME_MAX_AGE else age + 1
         prev_gray = gray
+    pre.close()
     reader.close()
 
+    # One device->host sync for the whole trajectory.
+    with prof.stage("collect"):
+        if r_list:
+            rs = jnp.stack(r_list)
+            rotvecs = np.asarray(jax.jit(jax.vmap(so3.log))(rs), np.float64)
+        else:
+            rotvecs = np.zeros((0, 3))
+
     return Trajectory(
-        params=np.asarray(rotvecs, np.float64),
+        params=rotvecs,
         kind="so3",
         fps=meta.fps,
         width=meta.width,
@@ -327,19 +365,6 @@ def analyse_gyro(
         height=meta_h,
         source=source,
     )
-
-
-def _log_np(R: np.ndarray) -> np.ndarray:
-    """Rotation matrix -> vector in float64 numpy (host accumulation)."""
-    cos = np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)
-    theta = np.arccos(cos)
-    if theta < 1e-8:
-        return np.zeros(3)
-    v = (
-        np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
-        / (2.0 * np.sin(theta))
-    )
-    return v * theta
 
 
 # --- phase 2: encode -------------------------------------------------------
@@ -449,8 +474,12 @@ def encode(
         else meta.fps,
         num_frames=traj.num_frames,
     )
-    writer = open_writer(None if options.no_output else dest, out_meta,
-                         encoder=options.encoder)
+    from video_annotator_tpu.io.prefetch import AsyncFrameWriter
+
+    writer = AsyncFrameWriter(
+        open_writer(None if options.no_output else dest, out_meta,
+                    encoder=options.encoder)
+    )
 
     @jax.jit
     def to_uint8(wy, wu, wv):
@@ -479,10 +508,13 @@ def encode(
         with prof.stage("warp"):
             wy, wu, wv = to_uint8(*warper(y, u, v, rots_dev[t]))
         with prof.stage("encode"):
-            writer.write((np.asarray(wy), np.asarray(wu), np.asarray(wv)))
+            # Device arrays go straight to the writer thread; readback
+            # overlaps with the next frames' dispatches.
+            writer.write((wy, wu, wv))
         t += 1
     pre.close()
-    writer.close()
+    with prof.stage("encode"):
+        writer.close()
     reader.close()
     return out_meta
 
