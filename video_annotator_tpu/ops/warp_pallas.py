@@ -68,9 +68,15 @@ class WarpPlan:
     in_h: int
     in_w: int
     # Safety margins subtracted from the sampled per-tile minimum (map
-    # curvature between samples), measured by the planner.
+    # curvature between samples), measured by the planner. The margins
+    # protect the window ORIGIN (conservative); the dips are the measured
+    # curvature escape + safety used for the per-section active row
+    # ranges and section-touch tests, where every extra word row costs
+    # ~8 row-visits of kernel time per tile.
     margin_x: int = 3
     margin_y: int = 3
+    dip_x: float = 3.0
+    dip_y: float = 3.0
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -243,12 +249,15 @@ def plan_warp(
         dip_x = max(dip_x, dip_col)
         dip_y = max(dip_y, dip_col)
 
-    margin_x = int(math.ceil(dip_x)) + 3
-    margin_y = int(math.ceil(dip_y)) + 3
+    # Dips measured on the probe set; +0.75 guards sub-probe rotations.
+    dip_x += 0.75
+    dip_y += 0.75
+    margin_x = int(math.ceil(dip_x)) + 2
+    margin_y = int(math.ceil(dip_y)) + 2
     # Window must cover: margin below the sampled min, the tile's true
     # source extent, +2 for the upper bilinear tap, and the origin
-    # alignment rounding (32 rows / 128 cols).
-    wh = _round_up(int(math.ceil(max_dy)) + margin_y + 4 + 32, 32)
+    # alignment rounding (4 rows / 128 cols).
+    wh = _round_up(int(math.ceil(max_dy)) + margin_y + 4 + 4, 32)
     ww = _round_up(int(math.ceil(max_dx)) + margin_x + 4 + 128, 128)
     # The frame is zero-padded up to the packing/DMA grid before the
     # kernel (zero padding reproduces the BORDER_CONSTANT edge exactly),
@@ -266,6 +275,8 @@ def plan_warp(
         in_w=in_camera.width,
         margin_x=margin_x,
         margin_y=margin_y,
+        dip_x=dip_x,
+        dip_y=dip_y,
     )
 
 
@@ -333,8 +344,14 @@ def _tile_origins(
     in_h_pad = _round_up(plan.in_h, 32)
     in_w_pad = _round_up(plan.in_w, 128)
     ox = (jnp.clip(ox, 0, max(in_w_pad - plan.ww, 0)) // 128) * 128
-    oy = (jnp.clip(oy, 0, max(in_h_pad - plan.wh, 0)) // 32) * 32
-    oyw = oy // 4  # word-row origin (multiple of 8)
+    # The y origin is word-granular (4 px), NOT vreg-aligned: the HBM side
+    # of the window DMA is linear so any sublane start is legal, and an
+    # origin at the tile's true minimum row keeps each section's active
+    # range inside the FIRST 8-word block most of the time (32-px-aligned
+    # origins made ~6-word spans straddle two blocks, nearly doubling the
+    # kernel's row visits).
+    oy = (jnp.clip(oy, 0, max(in_h_pad - plan.wh, 0)) // 4) * 4
+    oyw = oy // 4  # word-row origin (any integer)
     meta1 = oyw | ((ox // 128) << 16)  # strip index of the window origin
 
     # Per-tile 32-px column INTERVALS: interval k of tile tx is bounded by
@@ -355,68 +372,86 @@ def _tile_origins(
         for k in range(NX_SUB)
     ]
     oxf = ox.astype(jnp.float32)
-    mx1 = plan.margin_x + 1.0
-    mx2 = plan.margin_x + 2.0
-    metas = []
-    for sec in range(plan.sections):
-        lo_b = oxf + 128.0 * sec
-        hi_b = lo_b + 128.0
-        ymin = jnp.full((ny, nx), jnp.inf, jnp.float32)
-        ymax = jnp.full((ny, nx), -jnp.inf, jnp.float32)
-        for mnx, mxx, mny, mxy in colbs:
-            # Sample column touches this section if any tap of a pixel it
-            # bounds can land inside [lo_b, hi_b).
-            touch = (mxx + mx2 > lo_b) & (mnx - mx1 < hi_b)
-            ymin = jnp.minimum(ymin, jnp.where(touch, mny, jnp.inf))
-            ymax = jnp.maximum(ymax, jnp.where(touch, mxy, -jnp.inf))
-        empty = ymax < ymin
-        ymin = jnp.where(empty, 0.0, ymin)
-        ymax = jnp.where(empty, -8.0, ymax)
-        wr_lo = jnp.clip(
-            (jnp.floor(ymin - plan.margin_y - 1.0).astype(jnp.int32) - oy)
-            // 4,
-            0,
-            plan.wh_words,
-        )
-        wr_hi = jnp.clip(
-            (jnp.ceil(ymax + plan.margin_y + 2.0).astype(jnp.int32) - oy)
-            // 4
-            + 1,
-            0,
-            plan.wh_words,
-        )
-        wr_hi = jnp.maximum(wr_hi, wr_lo)
-        metas.append((wr_lo // 8, (wr_hi + 7) // 8))
+    # Tap coverage bounds from measured dips (NOT the conservative origin
+    # margins): true source x in [xmin-dip, xmax+dip]; taps floor(x) and
+    # floor(x)+1. A section is touched iff the tap interval
+    # [floor(xmin-dip), floor(xmax+dip)+1] meets [lo_b, hi_b).
+    mx1 = plan.dip_x
+    mx2 = plan.dip_x + 1.0
+    nsec = plan.sections
+    # Vectorized over sections: (S, ny, nx) bounds from the NX_SUB interval
+    # bound sets (a python loop here costs hundreds of tiny HLO ops that
+    # dominate the per-frame origin pass).
+    cb = jnp.stack([jnp.stack(b) for b in colbs])  # (NX_SUB, 4, ny, nx)
+    lo_b = oxf[None] + 128.0 * jnp.arange(nsec, dtype=jnp.float32).reshape(
+        nsec, 1, 1
+    )
+    hi_b = lo_b + 128.0
+    # Sample interval touches a section if any tap of a pixel it bounds
+    # can land inside [lo_b, hi_b).
+    touch = (cb[:, 1][:, None] + mx2 > lo_b[None]) & (
+        cb[:, 0][:, None] - mx1 < hi_b[None]
+    )  # (NX_SUB, S, ny, nx)
+    ymin = jnp.min(
+        jnp.where(touch, cb[:, 2][:, None], jnp.inf), axis=0
+    )  # (S, ny, nx)
+    ymax = jnp.max(jnp.where(touch, cb[:, 3][:, None], -jnp.inf), axis=0)
+    empty = ymax < ymin
+    ymin = jnp.where(empty, 0.0, ymin)
+    ymax = jnp.where(empty, -8.0, ymax)
+    # Active word rows cover taps floor(sy)..floor(sy)+1 for true
+    # sy in [ymin-dip, ymax+dip]; every extra word row here costs ~8
+    # row-visits of kernel time per (tile, section).
+    wr_lo = jnp.clip(
+        (jnp.floor(ymin - plan.dip_y).astype(jnp.int32) - oy[None]) // 4,
+        0,
+        plan.wh_words,
+    )
+    wr_hi = jnp.clip(
+        (jnp.floor(ymax + plan.dip_y).astype(jnp.int32) + 1 - oy[None]) // 4
+        + 1,
+        0,
+        plan.wh_words,
+    )
+    wr_hi = jnp.maximum(wr_hi, wr_lo)
+    # Schedule entries carry exact word-row STARTS (8-row trips at
+    # wr_lo, wr_lo+8, ...), not 8-aligned block indices: a typical
+    # ~7-word span then costs ONE trip instead of two. Visiting rows
+    # outside [wr_lo, wr_hi) is harmless (row weights match by value and
+    # out-of-section taps are masked); visiting a row TWICE would double
+    # its contribution, so the start chain is shifted down — never
+    # re-chunked — when its last trip would run past the window.
+    nblk = jnp.maximum((wr_hi - wr_lo + 7) // 8, 0)
+    blo = jnp.minimum(wr_lo, plan.wh_words - 8 * nblk)  # (S, ny, nx)
+    cum = jnp.cumsum(nblk, axis=0)  # inclusive prefix counts
+    total = cum[-1]
     # Flatten the per-section block ranges into a per-tile SCHEDULE: a
     # contiguous list of (block, section) entries the kernel walks with a
     # single fori_loop (loop setups cost ~0.1 us each; per-trip decode from
     # SMEM is nearly free, unlike recomputing the section split per trip).
-    blos = [lo for lo, hi in metas]
-    nblk = [jnp.maximum(hi - lo, 0) for lo, hi in metas]
-    cum = [nblk[0]]
-    for s_ in range(1, plan.sections):
-        cum.append(cum[-1] + nblk[s_])
-    total = cum[-1]
     slots = plan.slots
-    entries = []
-    zero = jnp.zeros((ny, nx), jnp.int32)
-    for j in range(slots):
-        sec = zero
-        prefix = zero
-        blo = blos[0]
-        for s_ in range(1, plan.sections):
-            ge = j >= cum[s_ - 1]
-            sec = sec + ge.astype(jnp.int32)
-            prefix = jnp.where(ge, cum[s_ - 1], prefix)
-            blo = jnp.where(ge, blos[s_], blo)
-        entry = (blo + (j - prefix)) | (sec << 16)
-        entries.append(jnp.where(j < total, entry, 0))
+    js = jnp.arange(slots, dtype=jnp.int32).reshape(slots, 1, 1, 1)
+    cum_excl = jnp.concatenate(
+        [jnp.zeros_like(cum[:1]), cum[:-1]], axis=0
+    )  # exclusive prefix per section, (S, ny, nx)
+    in_sec = (js >= cum_excl[None]) & (js < cum[None])  # (slots, S, ny, nx)
+    sel = lambda a: jnp.sum(jnp.where(in_sec, a[None], 0), axis=1)
+    sec_of = sel(
+        jnp.broadcast_to(
+            jnp.arange(nsec, dtype=jnp.int32).reshape(nsec, 1, 1), cum.shape
+        )
+    )
+    prefix = sel(cum_excl)
+    blo_of = sel(blo)
+    entry = (blo_of + 8 * (js[:, 0] - prefix)) | (sec_of << 16)
+    entry = jnp.where(js[:, 0] < total[None], entry, 0)  # (slots, ny, nx)
     # meta2: (ny, nx*(slots+1)) int32: [count, entry_0, ..]. Flattened 2D:
     # SMEM pads the trailing dim of prefetch arrays to 128, so 3D layouts
     # blow the ~1MB SMEM budget at 4K.
-    meta2 = jnp.stack([total] + entries, axis=-1).reshape(
-        ny, nx * (slots + 1)
-    )
+    meta2 = jnp.concatenate(
+        [total[None], entry], axis=0
+    )  # (slots+1, ny, nx)
+    meta2 = meta2.transpose(1, 2, 0).reshape(ny, nx * (slots + 1))
     return meta1, meta2
 
 
@@ -509,7 +544,7 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
                 m1_ = meta1_ref[ty2, tx2]
                 src = in_hbm
             return (
-                pl.multiple_of(m1_ & 0xFFFF, 8),
+                m1_ & 0xFFFF,  # word-row origin (word-granular)
                 m1_ >> 16,  # strip index
                 src,
             )
@@ -590,8 +625,9 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
         # one section (gathers mask the rest) and one word row (a0/a1 mask
         # the rest); alignment rows visited outside a section's range
         # carry zero a-weights for every pixel whose x-taps live there.
-        # Blocks stay 8-word aligned (Mosaic requires sublane-aligned
-        # dynamic loads); the static 8-row unroll keeps ILP high.
+        # Trip starts are word-granular (the VMEM slice start is dynamic
+        # and unaligned; Mosaic lowers it with a shift network once per
+        # trip); the static 8-row unroll keeps ILP high.
         stride = nslots + 1
         if batched == "planes" or not batched:
             mbase = (ty, tx * stride)
@@ -599,11 +635,11 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             mbase = (ti * ny + ty, tx * stride)
         total = meta2_ref[mbase[0], mbase[1]]
 
-        def body(i, acc):
+        def body(i, accs):
+            acc_l, acc_r = accs
             e = meta2_ref[mbase[0], mbase[1] + 1 + i]
-            blk = e & 0xFFFF
+            w8 = e & 0xFFFF  # word-row start (word-granular)
             sec = e >> 16
-            w8 = pl.multiple_of(blk * 8, 8)
             blkv = win[sec, pl.ds(w8, 8), :]
             local = ix0 - sec * 128
             for rr_ in range(8):
@@ -615,7 +651,10 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
                 # Vertical taps via per-pixel byte extraction: tap t
                 # contributes wy0 when its word row q0 is this row, tap
                 # t+1 contributes fy when q1 is (75% of the time the same
-                # word, both handled in one visit).
+                # word, both handled in one visit). The horizontal blend
+                # factors (one_m_fx / fx) are constant across rows, so the
+                # left/right taps accumulate separately and blend once
+                # after the loop.
                 row = w8 + rr_
                 a0 = jnp.where(q0 == row, wy0, 0.0)
                 a1 = jnp.where(q1 == row, fy, 0.0)
@@ -623,16 +662,13 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
                 v01 = ((g0 >> sh1) & 0xFF).astype(jnp.float32)
                 v10 = ((g1 >> sh0) & 0xFF).astype(jnp.float32)
                 v11 = ((g1 >> sh1) & 0xFF).astype(jnp.float32)
-                acc = (
-                    acc
-                    + one_m_fx * (a0 * v00 + a1 * v01)
-                    + fx * (a0 * v10 + a1 * v11)
-                )
-            return acc
+                acc_l = acc_l + (a0 * v00 + a1 * v01)
+                acc_r = acc_r + (a0 * v10 + a1 * v11)
+            return acc_l, acc_r
 
-        acc = jax.lax.fori_loop(
-            0, total, body, jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        )
+        zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        acc_l, acc_r = jax.lax.fori_loop(0, total, body, (zero, zero))
+        acc = one_m_fx * acc_l + fx * acc_r
         result = jnp.where(valid, acc, border)
         out_ref[...] = result[None] if batched else result
 
@@ -657,18 +693,73 @@ def _camera_from_key(key) -> Camera:
     return Camera.make(fx, fy, cx, cy, w, h, model, dist=jnp.asarray(dist))
 
 
-def pack_frame_words(frame: jax.Array, in_h: int, in_w: int,
-                     pad_value: int = 0):
-    """(H, W) image -> padded quad-row word array (H'/4, W') int32.
+def _pack_kernel_body(nsec: int):
+    def kernel(in_ref, out_ref):
+        x = in_ref[...]  # (32, W_pad) uint8
+        for s in range(nsec):
+            seg = jax.lax.slice(x, (0, s * 128), (32, (s + 1) * 128))
+            # pltpu.bitcast of a (32, 128) uint8 tile to int32 packs 4
+            # consecutive sublanes into each word's bytes little-endian —
+            # exactly the quad-row word layout (verified vs the arithmetic
+            # pack). This makes the pack a pure VMEM relayout at copy speed.
+            out_ref[s] = pltpu.bitcast(seg, jnp.int32)
+    return kernel
 
-    Arithmetic byte packing (widen + shift + or) instead of a uint8
-    transpose+bitcast: XLA fuses it into one elementwise pass, ~5x faster
-    on the TPU than the byte-relayout transpose. ``pad_value`` fills the
-    alignment padding (128 for chroma planes so out-of-image bilinear taps
-    blend toward neutral, not green).
+
+@functools.lru_cache(maxsize=32)
+def _pack_call(in_h_pad: int, in_w_pad: int):
+    nsec = in_w_pad // 128
+    return pl.pallas_call(
+        _pack_kernel_body(nsec),
+        grid=(in_h_pad // 32,),
+        in_specs=[
+            pl.BlockSpec(
+                (32, in_w_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (nsec, 8, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (nsec, in_h_pad // 4, 128), jnp.int32
+        ),
+    )
+
+
+def pack_frame_words(frame: jax.Array, in_h: int, in_w: int,
+                     pad_value: int = 0, use_kernel: bool = False):
+    """(H, W) image -> padded quad-row word array, strip-major int32.
+
+    Output layout (W'/128, H'/4, 128): word [s, r, l] packs rows
+    4r..4r+3 of column 128s+l little-endian. A tile's window is then one
+    3D DMA of `sections` vertically-stacked 128-lane strips, and the warp
+    kernel addresses any (section, word-row block) pair by sublane offset
+    alone. ``pad_value`` fills the alignment padding (128 for chroma
+    planes so out-of-image bilinear taps blend toward neutral, not green).
+
+    ``use_kernel`` selects the Pallas bitcast pack (a copy-speed VMEM
+    relayout; TPU only). The XLA fallback (strided slices + shifts +
+    strip transpose) is ~10x slower on chip but runs anywhere and is the
+    interpret-mode/CPU reference.
     """
     in_h_pad = _round_up(in_h, 32)
     in_w_pad = _round_up(in_w, 128)
+    if use_kernel:
+        if jnp.issubdtype(frame.dtype, jnp.uint8):
+            f8 = frame
+        elif jnp.issubdtype(frame.dtype, jnp.integer):
+            f8 = frame.astype(jnp.uint8)
+        else:
+            f8 = jnp.clip(
+                jnp.round(frame.astype(jnp.float32)), 0.0, 255.0
+            ).astype(jnp.uint8)
+        if (in_h_pad, in_w_pad) != f8.shape:
+            f8 = jnp.pad(
+                f8,
+                ((0, in_h_pad - f8.shape[0]), (0, in_w_pad - f8.shape[1])),
+                constant_values=pad_value,
+            )
+        return _pack_call(in_h_pad, in_w_pad)(f8)
     if jnp.issubdtype(frame.dtype, jnp.integer):
         f = frame.astype(jnp.int32)  # already byte-valued: no rounding pass
     else:
@@ -683,11 +774,6 @@ def pack_frame_words(frame: jax.Array, in_h: int, in_w: int,
         )
     q = f.reshape(in_h_pad // 4, 4, in_w_pad)
     words = q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16) | (q[:, 3] << 24)
-    # Strip-major layout (W'/128, H'/4, 128): a tile's window is then one
-    # 3D DMA of `sections` vertically-stacked 128-lane strips, and the
-    # kernel addresses any (section, word-row block) pair by sublane
-    # offset alone — no dynamic lane offsets (slow) or per-section loops
-    # (setup-bound) needed.
     return words.reshape(in_h_pad // 4, in_w_pad // 128, 128).transpose(
         1, 0, 2
     )
@@ -728,7 +814,8 @@ def _build_warp_fn(plan: WarpPlan, out_key, in_key, interpret: bool,
         meta1, meta2 = _tile_origins(plan, out_camera, in_camera, rotation)
         rot9 = jnp.reshape(rotation.astype(jnp.float32), (9,))
         words = pack_frame_words(
-            frame, plan.in_h, plan.in_w, pad_value=int(border)
+            frame, plan.in_h, plan.in_w, pad_value=int(border),
+            use_kernel=not interpret,
         )
         out = call(rot9, meta1, meta2, words)
         return out[: plan.crop_h, : plan.crop_w]
@@ -784,7 +871,8 @@ def _build_warp_batch_fn(plan: WarpPlan, out_key, in_key, t: int,
         )
     pack = jax.vmap(
         lambda f: pack_frame_words(
-            f, plan.in_h, plan.in_w, pad_value=int(border)
+            f, plan.in_h, plan.in_w, pad_value=int(border),
+            use_kernel=not interpret,
         )
     )
 
@@ -862,7 +950,8 @@ def _build_warp_planes_fn(plan: WarpPlan, out_key, in_key, t: int,
         words = jnp.stack(
             [
                 pack_frame_words(
-                    f, plan.in_h, plan.in_w, pad_value=int(border)
+                    f, plan.in_h, plan.in_w, pad_value=int(border),
+                    use_kernel=not interpret,
                 )
                 for f in planes
             ]
