@@ -35,39 +35,59 @@ def main():
     warper = FrameWarper(in_cam, out_cam, max_correction_deg=6.0)
 
     rng = np.random.default_rng(0)
-    y = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
-    u = jnp.asarray(rng.uniform(0, 255, (h // 2, w // 2)).astype(np.float32))
-    v = jnp.asarray(rng.uniform(0, 255, (h // 2, w // 2)).astype(np.float32))
+    # uint8 planes — the pipeline's actual end-to-end dtype.
+    y = jnp.asarray(rng.integers(0, 255, (h, w), dtype=np.uint8))
+    u = jnp.asarray(rng.integers(0, 255, (h // 2, w // 2), dtype=np.uint8))
+    v = jnp.asarray(rng.integers(0, 255, (h // 2, w // 2), dtype=np.uint8))
 
-    # Per-frame rotations (small stabilization corrections), pre-sliced:
-    # an eager rots[i] slice per frame costs ~1-3 ms of dispatch overhead
-    # on the remote backend and would understate the chip.
+    # Per-batch rotation stacks (small stabilization corrections),
+    # pre-uploaded: an eager rots[i] slice per frame costs ~1-3 ms of
+    # dispatch overhead on the remote backend and would understate the chip.
+    batch = 8
     rots = [
-        so3.exp(jnp.asarray(x, jnp.float32))
-        for x in rng.normal(size=(16, 3)) * 0.01
+        jnp.stack([
+            so3.exp(jnp.asarray(x, jnp.float32))
+            for x in rng.normal(size=(batch, 3)) * 0.01
+        ])
+        for _ in range(4)
     ]
     import jax
 
     jax.block_until_ready(rots)
 
-    # Warm up / compile.
-    wy, wu, wv = warper(y, u, v, rots[0])
-    wy.block_until_ready()
+    ys, us, vs = (y,) * batch, (u,) * batch, (v,) * batch
+
+    # Warm up / compile. warp_yuv_batch is the encode hot path: one
+    # dispatch for packs + origin passes + batched luma/chroma kernels +
+    # byte rounding over `batch` frames with per-frame rotations.
+    outs = warper.warp_yuv_batch(ys, us, vs, rots[0])
+    outs[0][0].block_until_ready()
 
     # Best over several trials: the chip is reached over a shared tunnel
     # where other tenants inflate wall-clock for minutes at a time; the
     # fastest trial reflects the hardware.
-    n = 60
+    #
+    # Keep exactly TWO batch dispatches in flight: depth 1 leaves host
+    # dispatch gaps exposed (~7.2 ms/frame), while deep unblocked queues
+    # are pathological on this backend (depth 8 measured 2x SLOWER than
+    # depth 1 — ~14 ms/frame, allocator pressure from ~1 GB of live
+    # outputs). Depth 2-3 measures ~4.6 ms/frame. The encode loop has the
+    # same shape: AsyncFrameWriter's bounded queue supplies backpressure.
+    n = 8  # batches per trial = 64 frames
     best = float("inf")
     for trial in range(10):
+        inflight = []
         t0 = time.perf_counter()
         for i in range(n):
-            wy, wu, wv = warper(y, u, v, rots[i % 16])
-        wy.block_until_ready()
-        wu.block_until_ready()
-        wv.block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / n)
-        if trial >= 2 and best <= 1.0 / 200.0:
+            outs = warper.warp_yuv_batch(ys, us, vs, rots[i % 4])
+            inflight.append(outs)
+            if len(inflight) > 1:
+                old = inflight.pop(0)
+                jax.block_until_ready([p for tr in old for p in tr])
+        for o in inflight:
+            jax.block_until_ready([p for tr in o for p in tr])
+        best = min(best, (time.perf_counter() - t0) / (n * batch))
+        if trial >= 2 and best <= 1.0 / 275.0:
             break
         time.sleep(8.0)
     dt = best

@@ -130,3 +130,87 @@ def test_planes_variant_matches_single():
             )
         )
         np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
+
+
+def test_warp_yuv_fused_matches_components():
+    """The single-dispatch YUV path equals the per-plane paths + rounding."""
+    from video_annotator_tpu.ops.warp_pallas import (
+        warp_planes_pallas,
+        warp_yuv_pallas,
+    )
+    from video_annotator_tpu.ops.warp_xla import _scaled_camera
+
+    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (320, 240))
+    out_cam = get_output_camera(in_cam, scale=1.0, crop_borders=True)
+    out_w = out_cam.width - out_cam.width % 2
+    out_h = out_cam.height - out_cam.height % 2
+    in_half = _scaled_camera(in_cam, 0.5)
+    out_half = _scaled_camera(out_cam, 0.5)
+    plan_y = plan_warp(out_cam, in_cam, 6.0, (out_h, out_w))
+    plan_c = plan_warp(out_half, in_half, 6.0, (out_h // 2, out_w // 2))
+
+    rng = np.random.default_rng(11)
+    y = rng.integers(0, 255, (240, 320), dtype=np.uint8)
+    u = rng.integers(0, 255, (120, 160), dtype=np.uint8)
+    v = rng.integers(0, 255, (120, 160), dtype=np.uint8)
+    rot = so3.exp(jnp.array([0.02, -0.03, 0.01]))
+
+    wy, wu, wv = warp_yuv_pallas(
+        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), rot,
+        plan_y, out_cam, in_cam, plan_c, out_half, in_half, interpret=True,
+    )
+    assert wy.dtype == jnp.uint8 and wu.dtype == jnp.uint8
+    assert wy.shape == (out_h, out_w)
+    assert wu.shape == (out_h // 2, out_w // 2)
+
+    ref_y = warp_frame_pallas(
+        jnp.asarray(y), rot, plan_y, out_cam, in_cam, interpret=True
+    )
+    ref_u, ref_v = warp_planes_pallas(
+        (jnp.asarray(u), jnp.asarray(v)), rot, plan_c, out_half, in_half,
+        interpret=True, border=128.0,
+    )
+    for got, ref in ((wy, ref_y), (wu, ref_u), (wv, ref_v)):
+        expect = np.round(np.asarray(ref)).astype(np.uint8)
+        # float rounding at exact .5 boundaries may differ by 1
+        diff = np.abs(np.asarray(got).astype(np.int32) - expect.astype(np.int32))
+        assert diff.max() <= 1, diff.max()
+        assert (diff > 0).mean() < 0.01
+
+
+def test_warp_yuv_batch_matches_single():
+    from video_annotator_tpu.ops.warp_pallas import (
+        warp_yuv_batch_pallas,
+        warp_yuv_pallas,
+    )
+    from video_annotator_tpu.ops.warp_xla import _scaled_camera
+
+    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (320, 240))
+    out_cam = get_output_camera(in_cam, scale=1.0, crop_borders=True)
+    out_w = out_cam.width - out_cam.width % 2
+    out_h = out_cam.height - out_cam.height % 2
+    in_half = _scaled_camera(in_cam, 0.5)
+    out_half = _scaled_camera(out_cam, 0.5)
+    plan_y = plan_warp(out_cam, in_cam, 6.0, (out_h, out_w))
+    plan_c = plan_warp(out_half, in_half, 6.0, (out_h // 2, out_w // 2))
+
+    rng = np.random.default_rng(5)
+    T = 3
+    ys = [jnp.asarray(rng.integers(0, 255, (240, 320), dtype=np.uint8)) for _ in range(T)]
+    us = [jnp.asarray(rng.integers(0, 255, (120, 160), dtype=np.uint8)) for _ in range(T)]
+    vs = [jnp.asarray(rng.integers(0, 255, (120, 160), dtype=np.uint8)) for _ in range(T)]
+    rots = jnp.stack([so3.exp(jnp.asarray(x, jnp.float32))
+                      for x in rng.normal(size=(T, 3)) * 0.02])
+
+    batch = warp_yuv_batch_pallas(
+        ys, us, vs, rots, plan_y, out_cam, in_cam, plan_c, out_half, in_half,
+        interpret=True,
+    )
+    assert len(batch) == T
+    for i in range(T):
+        single = warp_yuv_pallas(
+            ys[i], us[i], vs[i], rots[i], plan_y, out_cam, in_cam,
+            plan_c, out_half, in_half, interpret=True,
+        )
+        for got, ref in zip(batch[i], single):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -96,6 +96,38 @@ class WarpPlan:
         # spanning its worst-case block count.
         return self.sections * ((self.wh_words + 7) // 8 + 1)
 
+    # --- schedule entry compression -------------------------------------
+    # Entries are (word-row start, section) pairs packed several per int32
+    # word: SMEM prefetch space is ~1MB and the uncompressed schedule of a
+    # 4-frame 4K batch would not fit.
+
+    @property
+    def entry_bits_w(self) -> int:
+        return max(1, (self.wh_words - 1).bit_length())
+
+    @property
+    def entry_bits_s(self) -> int:
+        return max(1, (self.sections - 1).bit_length())
+
+    @property
+    def entries_per_word(self) -> int:
+        bits = self.entry_bits_w + self.entry_bits_s
+        epw = 32 // bits
+        return 1 << max(0, epw.bit_length() - 1)  # floor to a power of 2
+
+    @property
+    def slot_words(self) -> int:
+        return -(-self.slots // self.entries_per_word)
+
+    # meta1 bit layout: [oyw | strip << bits_oyw | count << (oyw+strip)].
+    @property
+    def meta1_bits_oyw(self) -> int:
+        return max(1, (_round_up(self.in_h, 32) // 4).bit_length())
+
+    @property
+    def meta1_bits_strip(self) -> int:
+        return max(1, (_round_up(self.in_w, 128) // 128).bit_length())
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -264,7 +296,7 @@ def plan_warp(
     # so the window may cover the padded extent but no more.
     wh = min(wh, _round_up(in_camera.height, 32))
     ww = min(ww, _round_up(in_camera.width, 128))
-    return WarpPlan(
+    plan = WarpPlan(
         out_h=out_h,
         out_w=out_w,
         crop_h=crop_h,
@@ -278,6 +310,13 @@ def plan_warp(
         dip_x=dip_x,
         dip_y=dip_y,
     )
+    meta1_bits = (
+        plan.meta1_bits_oyw
+        + plan.meta1_bits_strip
+        + plan.slots.bit_length()
+    )
+    assert meta1_bits <= 31, (meta1_bits, plan)
+    return plan
 
 
 def _tile_bounds_grid(
@@ -352,7 +391,6 @@ def _tile_origins(
     # kernel's row visits).
     oy = (jnp.clip(oy, 0, max(in_h_pad - plan.wh, 0)) // 4) * 4
     oyw = oy // 4  # word-row origin (any integer)
-    meta1 = oyw | ((ox // 128) << 16)  # strip index of the window origin
 
     # Per-tile 32-px column INTERVALS: interval k of tile tx is bounded by
     # sample columns 4*tx+k and 4*tx+k+1; a pixel's source coordinates are
@@ -443,16 +481,35 @@ def _tile_origins(
     )
     prefix = sel(cum_excl)
     blo_of = sel(blo)
-    entry = (blo_of + 8 * (js[:, 0] - prefix)) | (sec_of << 16)
+    entry = (blo_of + 8 * (js[:, 0] - prefix)) | (
+        sec_of << plan.entry_bits_w
+    )
     entry = jnp.where(js[:, 0] < total[None], entry, 0)  # (slots, ny, nx)
-    # meta2: (ny, nx*(slots+1)) int32: [count, entry_0, ..]. Flattened 2D:
-    # SMEM pads the trailing dim of prefetch arrays to 128, so 3D layouts
-    # blow the ~1MB SMEM budget at 4K.
-    meta2 = jnp.concatenate(
-        [total[None], entry], axis=0
-    )  # (slots+1, ny, nx)
-    meta2 = meta2.transpose(1, 2, 0).reshape(ny, nx * (slots + 1))
-    return meta1, meta2
+    # Pack entries several per int32 word (entry_bits_w + entry_bits_s
+    # bits each): SMEM prefetch space is ~1MB and batched 4K schedules
+    # would not fit uncompressed.
+    epw = plan.entries_per_word
+    bits = plan.entry_bits_w + plan.entry_bits_s
+    pad = plan.slot_words * epw - slots
+    if pad:
+        entry = jnp.concatenate(
+            [entry, jnp.zeros((pad, ny, nx), jnp.int32)], axis=0
+        )
+    entry = entry.reshape(plan.slot_words, epw, ny, nx)
+    shifts = (jnp.arange(epw, dtype=jnp.int32) * bits).reshape(1, epw, 1, 1)
+    words_ = jnp.sum(entry << shifts, axis=1)  # (slot_words, ny, nx)
+    # Both metas are FLAT 1D prefetch arrays: SMEM pads the trailing dim
+    # of prefetch operands to 128 words, which for per-row 2D layouts
+    # wasted ~6x the SMEM budget on 4K batches. meta1 packs the window
+    # origin (word row + strip) AND the schedule count; meta2 is the
+    # packed schedule words, tile-major.
+    meta1 = (
+        oyw
+        | ((ox // 128) << plan.meta1_bits_oyw)
+        | (total << (plan.meta1_bits_oyw + plan.meta1_bits_strip))
+    )
+    meta2 = words_.transpose(1, 2, 0).reshape(ny * nx * plan.slot_words)
+    return meta1.reshape(ny * nx), meta2
 
 
 def _atan(x: jax.Array) -> jax.Array:
@@ -492,7 +549,8 @@ def _gather_masked(seg, local):
 
 
 def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
-                 batched: bool = False, border: float = 0.0):
+                 batched: bool = False, border: float = 0.0,
+                 out_u8: bool = False):
     ww = plan.ww
     nsec = plan.sections
     nslots = plan.slots
@@ -522,34 +580,37 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             ty = pl.program_id(1)
             tx = pl.program_id(2)
             gidx = (ti * ny + ty) * nx + tx
-            total = pl.num_programs(0) * ny * nx
         else:
             ty = pl.program_id(0)
             tx = pl.program_id(1)
             gidx = ty * nx + tx
-            total = ny * nx
+
+        b_oyw = plan.meta1_bits_oyw
+        b_strip = plan.meta1_bits_strip
 
         def tile_meta(g):
-            tx2 = jax.lax.rem(g, nx)
-            r_ = g // nx
-            ty2 = jax.lax.rem(r_, ny)
+            # Metas are FLAT 1D SMEM arrays indexed by global tile id
+            # (2D prefetch layouts pad rows to 128 words and blow SMEM).
             if batched == "planes":
-                m1_ = meta1_ref[ty2, tx2]
-                src = in_hbm.at[r_ // ny]
+                # Planes of one frame share metas: fold out the plane idx.
+                midx = jax.lax.rem(g, ny * nx)
+                src = in_hbm.at[g // (ny * nx)]
             elif batched:
-                # meta1 is frame-folded 2D (t*ny, nx): row r_ = ti*ny + ty.
-                m1_ = meta1_ref[r_, tx2]
-                src = in_hbm.at[r_ // ny]
+                midx = g
+                src = in_hbm.at[g // (ny * nx)]
             else:
-                m1_ = meta1_ref[ty2, tx2]
+                midx = g
                 src = in_hbm
+            m1_ = meta1_ref[midx]
             return (
-                m1_ & 0xFFFF,  # word-row origin (word-granular)
-                m1_ >> 16,  # strip index
+                m1_ & ((1 << b_oyw) - 1),  # word-row origin (word-granular)
+                (m1_ >> b_oyw) & ((1 << b_strip) - 1),  # strip index
+                m1_ >> (b_oyw + b_strip),  # schedule entry count
+                midx,
                 src,
             )
 
-        oyw, cs, src = tile_meta(gidx)
+        oyw, cs, total, midx, src = tile_meta(gidx)
         copy = pltpu.make_async_copy(
             src.at[pl.ds(cs, nsec), pl.ds(oyw, wh_words), :], win, sem
         )
@@ -628,26 +689,32 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
         # Trip starts are word-granular (the VMEM slice start is dynamic
         # and unaligned; Mosaic lowers it with a shift network once per
         # trip); the static 8-row unroll keeps ILP high.
-        stride = nslots + 1
-        if batched == "planes" or not batched:
-            mbase = (ty, tx * stride)
-        else:
-            mbase = (ti * ny + ty, tx * stride)
-        total = meta2_ref[mbase[0], mbase[1]]
+        bits_w = plan.entry_bits_w
+        bits = bits_w + plan.entry_bits_s
+        epw_shift = plan.entries_per_word.bit_length() - 1
+        epw_mask = plan.entries_per_word - 1
+        mbase = midx * plan.slot_words
 
         def body(i, accs):
             acc_l, acc_r = accs
-            e = meta2_ref[mbase[0], mbase[1] + 1 + i]
-            w8 = e & 0xFFFF  # word-row start (word-granular)
-            sec = e >> 16
+            word = meta2_ref[mbase + (i >> epw_shift)]
+            e = word >> ((i & epw_mask) * bits)
+            w8 = e & ((1 << bits_w) - 1)  # word-row start (word-granular)
+            sec = (e >> bits_w) & ((1 << plan.entry_bits_s) - 1)
             blkv = win[sec, pl.ds(w8, 8), :]
             local = ix0 - sec * 128
+            # Gather indices and out-of-section masks are loop-invariant
+            # across the 8 rows: hoist them (4 VPU ops/row saved).
+            m0 = local.astype(jnp.uint32) < jnp.uint32(128)
+            m1 = (local + 1).astype(jnp.uint32) < jnp.uint32(128)
+            lidx0 = local & 127
+            lidx1 = (local + 1) & 127
             for rr_ in range(8):
                 seg = jnp.broadcast_to(
                     blkv[rr_ : rr_ + 1, :], (TILE_H, TILE_W)
                 )
-                g0 = _gather_masked(seg, local)
-                g1 = _gather_masked(seg, local + 1)
+                g0 = jnp.where(m0, jnp.take_along_axis(seg, lidx0, axis=1), 0)
+                g1 = jnp.where(m1, jnp.take_along_axis(seg, lidx1, axis=1), 0)
                 # Vertical taps via per-pixel byte extraction: tap t
                 # contributes wy0 when its word row q0 is this row, tap
                 # t+1 contributes fy when q1 is (75% of the time the same
@@ -670,6 +737,11 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
         acc_l, acc_r = jax.lax.fori_loop(0, total, body, (zero, zero))
         acc = one_m_fx * acc_l + fx * acc_r
         result = jnp.where(valid, acc, border)
+        if out_u8:
+            # Emit video bytes directly: quarters the output DMA and
+            # removes the separate XLA rounding pass in the encode loop.
+            # Mosaic has no f32->u8 cast; round through int32.
+            result = jnp.round(result).astype(jnp.int32).astype(jnp.uint8)
         out_ref[...] = result[None] if batched else result
 
     return kernel
@@ -866,8 +938,8 @@ def _build_warp_batch_fn(plan: WarpPlan, out_key, in_key, t: int,
         # Fold the frame axis into rows: 3D prefetch arrays pad their
         # trailing dims in SMEM and overflow it at 4K batch sizes.
         return (
-            m1.reshape(t * ny, nx),
-            m2.reshape(t * ny, nx * (plan.slots + 1)),
+            m1.reshape(t * ny * nx),
+            m2.reshape(t * ny * nx * plan.slot_words),
         )
     pack = jax.vmap(
         lambda f: pack_frame_words(
@@ -982,6 +1054,238 @@ def warp_planes_pallas(
         border,
     )
     return fn(tuple(planes), rotation)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_warp_yuv_fn(plan_y: WarpPlan, out_key_y, in_key_y,
+                       plan_c: WarpPlan, out_key_c, in_key_c,
+                       interpret: bool):
+    """ONE jitted dispatch per frame: pack Y/U/V, both origin passes, the
+    luma kernel, the 2-plane chroma kernel, uint8 outputs.
+
+    Replaces three host dispatches (luma warp, chroma warp, uint8 cast) in
+    the encode hot loop; the kernels emit video bytes directly.
+    """
+    out_cam_y = _camera_from_key(out_key_y)
+    in_cam_y = _camera_from_key(in_key_y)
+    out_cam_c = _camera_from_key(out_key_c)
+    in_cam_c = _camera_from_key(in_key_c)
+
+    kernel_y = _make_kernel(plan_y, out_cam_y, in_cam_y, out_u8=True)
+    ny, nx = plan_y.grid
+    call_y = pl.pallas_call(
+        kernel_y,
+        out_shape=jax.ShapeDtypeStruct(
+            (plan_y.out_h, plan_y.out_w), jnp.uint8
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(ny, nx),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (TILE_H, TILE_W),
+                lambda ty, tx, *pf: (ty, tx),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((plan_y.sections, plan_y.wh_words, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        interpret=interpret,
+    )
+
+    kernel_c = _make_kernel(plan_c, out_cam_c, in_cam_c, batched="planes",
+                            border=128.0, out_u8=True)
+    nyc, nxc = plan_c.grid
+    call_c = pl.pallas_call(
+        kernel_c,
+        out_shape=jax.ShapeDtypeStruct(
+            (2, plan_c.out_h, plan_c.out_w), jnp.uint8
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(2, nyc, nxc),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, TILE_H, TILE_W),
+                lambda ti, ty, tx, *pf: (ti, ty, tx),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((plan_c.sections, plan_c.wh_words, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        interpret=interpret,
+    )
+
+    use_kernel = not interpret
+
+    @jax.jit
+    def run(y, u, v, rotation):
+        rot9 = jnp.reshape(rotation.astype(jnp.float32), (9,))
+        m1y, m2y = _tile_origins(plan_y, out_cam_y, in_cam_y, rotation)
+        words_y = pack_frame_words(y, plan_y.in_h, plan_y.in_w,
+                                   use_kernel=use_kernel)
+        wy = call_y(rot9, m1y, m2y, words_y)
+        m1c, m2c = _tile_origins(plan_c, out_cam_c, in_cam_c, rotation)
+        words_uv = jnp.stack([
+            pack_frame_words(p, plan_c.in_h, plan_c.in_w, pad_value=128,
+                             use_kernel=use_kernel)
+            for p in (u, v)
+        ])
+        wc = call_c(rot9, m1c, m2c, words_uv)
+        return (
+            wy[: plan_y.crop_h, : plan_y.crop_w],
+            wc[0, : plan_c.crop_h, : plan_c.crop_w],
+            wc[1, : plan_c.crop_h, : plan_c.crop_w],
+        )
+
+    return run
+
+
+def warp_yuv_pallas(
+    y: jax.Array,
+    u: jax.Array,
+    v: jax.Array,
+    rotation: jax.Array,
+    plan_y: WarpPlan,
+    out_camera: Camera,
+    in_camera: Camera,
+    plan_c: WarpPlan,
+    out_camera_c: Camera,
+    in_camera_c: Camera,
+    interpret: bool = False,
+):
+    """Warp a full YUV 4:2:0 frame in one dispatch; returns uint8 planes."""
+    fn = _build_warp_yuv_fn(
+        plan_y, _camera_key(out_camera), _camera_key(in_camera),
+        plan_c, _camera_key(out_camera_c), _camera_key(in_camera_c),
+        interpret,
+    )
+    return fn(y, u, v, rotation)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_warp_yuv_batch_fn(plan_y: WarpPlan, out_key_y, in_key_y,
+                             plan_c: WarpPlan, out_key_c, in_key_c,
+                             t: int, interpret: bool):
+    """T frames per dispatch: one batched luma kernel (grid (T, ny, nx))
+    and one batched chroma kernel over the 2T half-res planes, plus all
+    packs and origin passes, in ONE jitted call.
+
+    Amortizes per-dispatch host overhead (~0.35 ms on a tunneled backend)
+    and lets the kernels pipeline back-to-back on device. Inputs arrive as
+    per-frame tuples (device arrays) and are stacked inside the jit — an
+    eager host-side stack would cost a full extra pass over the frames.
+    """
+    out_cam_y = _camera_from_key(out_key_y)
+    in_cam_y = _camera_from_key(in_key_y)
+    out_cam_c = _camera_from_key(out_key_c)
+    in_cam_c = _camera_from_key(in_key_c)
+
+    def make_call(plan, out_cam, in_cam, n, border):
+        kern = _make_kernel(plan, out_cam, in_cam, batched=True,
+                            border=border, out_u8=True)
+        ny, nx = plan.grid
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(
+                (n, plan.out_h, plan.out_w), jnp.uint8
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(n, ny, nx),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec(
+                    (1, TILE_H, TILE_W),
+                    lambda ti, ty, tx, *pf: (ti, ty, tx),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM(
+                        (plan.sections, plan.wh_words, 128), jnp.int32
+                    ),
+                    pltpu.SemaphoreType.DMA,
+                ],
+            ),
+            interpret=interpret,
+        )
+
+    call_y = make_call(plan_y, out_cam_y, in_cam_y, t, 0.0)
+    call_c = make_call(plan_c, out_cam_c, in_cam_c, 2 * t, 128.0)
+    nyy, nxy = plan_y.grid
+    nyc, nxc = plan_c.grid
+    use_kernel = not interpret
+
+    @jax.jit
+    def run(ys, us, vs, rotations):
+        rots = rotations.astype(jnp.float32)
+        rot9 = rots.reshape(t, 9)
+        m1y, m2y = jax.vmap(
+            lambda r: _tile_origins(plan_y, out_cam_y, in_cam_y, r)
+        )(rots)
+        words_y = jnp.stack([
+            pack_frame_words(y, plan_y.in_h, plan_y.in_w,
+                             use_kernel=use_kernel)
+            for y in ys
+        ])
+        wy = call_y(
+            rot9,
+            m1y.reshape(t * nyy * nxy),
+            m2y.reshape(t * nyy * nxy * plan_y.slot_words),
+            words_y,
+        )
+        m1c, m2c = jax.vmap(
+            lambda r: _tile_origins(plan_c, out_cam_c, in_cam_c, r)
+        )(rots)
+        # Planes of frame i sit at rows 2i (U) and 2i+1 (V); metas and
+        # rotations repeat per plane pair.
+        words_uv = jnp.stack([
+            pack_frame_words(p, plan_c.in_h, plan_c.in_w, pad_value=128,
+                             use_kernel=use_kernel)
+            for pair in zip(us, vs) for p in pair
+        ])
+        wc = call_c(
+            jnp.repeat(rot9, 2, axis=0),
+            jnp.repeat(m1c, 2, axis=0).reshape(2 * t * nyc * nxc),
+            jnp.repeat(m2c, 2, axis=0).reshape(
+                2 * t * nyc * nxc * plan_c.slot_words
+            ),
+            words_uv,
+        )
+        out = []
+        for i in range(t):
+            out.append((
+                wy[i, : plan_y.crop_h, : plan_y.crop_w],
+                wc[2 * i, : plan_c.crop_h, : plan_c.crop_w],
+                wc[2 * i + 1, : plan_c.crop_h, : plan_c.crop_w],
+            ))
+        return out
+
+    return run
+
+
+def warp_yuv_batch_pallas(
+    ys, us, vs,  # tuples of T same-shape device arrays
+    rotations: jax.Array,  # (T, 3, 3)
+    plan_y: WarpPlan,
+    out_camera: Camera,
+    in_camera: Camera,
+    plan_c: WarpPlan,
+    out_camera_c: Camera,
+    in_camera_c: Camera,
+    interpret: bool = False,
+):
+    """Warp T YUV 4:2:0 frames in one dispatch; list of uint8 plane triples."""
+    t = len(ys)
+    fn = _build_warp_yuv_batch_fn(
+        plan_y, _camera_key(out_camera), _camera_key(in_camera),
+        plan_c, _camera_key(out_camera_c), _camera_key(in_camera_c),
+        t, interpret,
+    )
+    return fn(tuple(ys), tuple(us), tuple(vs), rotations)
 
 
 def warp_frame_pallas(
