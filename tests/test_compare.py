@@ -1,0 +1,46 @@
+"""Comparison grid (the reference's --compare / dewobble_test.sh "comp"
+mode, ``src/render.ts:1013-1223``): grid solver policy + end-to-end tiled
+render on the CPU path."""
+
+import numpy as np
+
+from video_annotator_tpu.io.y4m import Y4MReader
+from video_annotator_tpu.pipeline.compare import (
+    comparison_grid_size,
+    render_compare,
+)
+from video_annotator_tpu.pipeline.render import RenderOptions
+
+
+def test_comparison_grid_size_policy():
+    # No wasted cells when n factors nicely; wider-than-tall preferred.
+    assert comparison_grid_size(1) == (1, 1)
+    assert comparison_grid_size(2) == (1, 2)
+    assert comparison_grid_size(4) == (2, 2)
+    rows, cols = comparison_grid_size(3)
+    assert rows * cols == 3
+    rows, cols = comparison_grid_size(6)
+    assert rows * cols == 6 and cols >= rows
+
+
+def test_render_compare_end_to_end(tmp_path):
+    src = "synthetic://shaky?w=192&h=144&n=8&fps=30&seed=4&shake=0.004"
+    dest = str(tmp_path / "cmp.y4m")
+    options = RenderOptions(stabilise_radius=3, preset=None, input_dfov=120.0)
+    modes = ["none", "smooth"]
+    render_compare(src, dest, modes, options)
+
+    frames = [planes for planes in Y4MReader(dest)]
+    assert len(frames) == 8
+    y, u, v = frames[0]
+    rows, cols = comparison_grid_size(len(modes))
+    # Grid canvas: cell dims x grid layout; chroma half-res.
+    assert y.shape[0] % rows == 0 and y.shape[1] % cols == 0
+    assert u.shape == (y.shape[0] // 2, y.shape[1] // 2)
+    # The two cells must differ (stabilized vs raw) but share content:
+    h, w = y.shape[0] // rows, y.shape[1] // cols
+    cell0 = y[:h, :w].astype(np.float32)
+    cell1 = y[:h, w : 2 * w].astype(np.float32) if cols > 1 else y[h:, :w].astype(np.float32)
+    assert np.abs(cell0 - cell1).mean() > 0.1  # not identical frames
+    # Both cells carry real image content (not blank).
+    assert cell0.std() > 5 and cell1.std() > 5

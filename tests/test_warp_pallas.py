@@ -214,3 +214,214 @@ def test_warp_yuv_batch_matches_single():
         )
         for got, ref in zip(batch[i], single):
             np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_box_downsample_and_mip_camera():
+    from video_annotator_tpu.ops.warp_pallas import box_downsample, mip_camera
+    from video_annotator_tpu.ops.warp_xla import _scaled_camera
+
+    img = jnp.asarray(np.arange(12, dtype=np.float32).reshape(3, 4))
+    d = np.asarray(box_downsample(img, 1))
+    # rows: [0 1 2 3; 4 5 6 7; 8 9 10 11]; odd height edge-replicates row 2.
+    np.testing.assert_allclose(d, [[2.5, 4.5], [8.5, 10.5]])
+    assert np.asarray(box_downsample(img, 0)) is not None
+    assert box_downsample(img, 0).shape == (3, 4)
+
+    cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (320, 240))
+    m1 = mip_camera(cam, 1)
+    s1 = _scaled_camera(cam, 0.5)
+    for f in ("fx", "fy", "cx", "cy"):
+        np.testing.assert_allclose(float(getattr(m1, f)), float(getattr(s1, f)))
+    assert (m1.width, m1.height) == (160, 120)
+    # Two levels compose: scale factors multiply, dims ceil-halve twice.
+    m2 = mip_camera(cam, 2)
+    np.testing.assert_allclose(float(m2.fx), float(cam.fx) * 0.25)
+    assert (m2.width, m2.height) == (80, 60)
+
+
+def test_mip_prefilter_level_selection():
+    from video_annotator_tpu.ops.warp_pallas import mip_prefilter_level
+    from video_annotator_tpu.camera import Camera, CameraModel
+
+    in_cam = get_preset_camera(
+        CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (1280, 960)
+    )
+    # Same-scale output: no pixel minifies 2x -> level 0.
+    out_full = get_output_camera(in_cam, scale=1.0, crop_borders=True)
+    assert mip_prefilter_level(
+        out_full, in_cam, (out_full.height, out_full.width)
+    ) == 0
+    # Quarter-res output: every pixel minifies >= 2x -> level >= 1.
+    out_q = get_output_camera(in_cam, scale=0.25, crop_borders=True)
+    lvl = mip_prefilter_level(
+        out_q, in_cam, (out_q.height, out_q.width)
+    )
+    assert lvl >= 1
+
+
+def test_warp_yuv_mip_matches_manual_downsample():
+    """mip=1 inside the dispatch == explicit downsample + mip=0 dispatch."""
+    from video_annotator_tpu.ops.warp_pallas import (
+        box_downsample,
+        mip_camera,
+        warp_yuv_pallas,
+    )
+    from video_annotator_tpu.ops.warp_xla import _scaled_camera
+
+    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (320, 240))
+    out_cam = get_output_camera(in_cam, scale=0.4, crop_borders=True)
+    out_w = out_cam.width - out_cam.width % 2
+    out_h = out_cam.height - out_cam.height % 2
+    in_eff = mip_camera(in_cam, 1)
+    in_half = _scaled_camera(in_eff, 0.5)
+    out_half = _scaled_camera(out_cam, 0.5)
+    plan_y = plan_warp(out_cam, in_eff, 6.0, (out_h, out_w))
+    plan_c = plan_warp(out_half, in_half, 6.0, (out_h // 2, out_w // 2))
+
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(rng.integers(0, 255, (240, 320), dtype=np.uint8))
+    u = jnp.asarray(rng.integers(0, 255, (120, 160), dtype=np.uint8))
+    v = jnp.asarray(rng.integers(0, 255, (120, 160), dtype=np.uint8))
+    rot = so3.exp(jnp.array([0.01, -0.02, 0.03]))
+
+    got = warp_yuv_pallas(
+        y, u, v, rot, plan_y, out_cam, in_eff, plan_c, out_half, in_half,
+        interpret=True, mip=1,
+    )
+    want = warp_yuv_pallas(
+        box_downsample(y, 1), box_downsample(u, 1), box_downsample(v, 1),
+        rot, plan_y, out_cam, in_eff, plan_c, out_half, in_half,
+        interpret=True, mip=0,
+    )
+    for g, w_ in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w_))
+
+
+def test_frame_warper_prefilter_cpu_path():
+    """CPU/XLA fallback honours prefilter; smooth content stays faithful."""
+    from video_annotator_tpu.pipeline.render import FrameWarper
+
+    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (640, 480))
+    out_cam = get_output_camera(in_cam, scale=0.25, crop_borders=True)
+    yy, xx = np.mgrid[0:480, 0:640].astype(np.float32)
+    y = 128 + 60 * np.sin(xx / 40.0) * np.cos(yy / 40.0)
+    u = np.full((240, 320), 90, np.float32)
+    v = np.full((240, 320), 160, np.float32)
+    rot = so3.exp(jnp.array([0.01, 0.0, -0.01]))
+
+    plain = FrameWarper(in_cam, out_cam, 6.0)
+    pre = FrameWarper(in_cam, out_cam, 6.0, prefilter=True)
+    assert plain.mip == 0
+    assert pre.mip >= 1
+
+    wy0, _, _ = plain(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), rot)
+    wy1, wu1, wv1 = pre(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), rot)
+    assert wy1.shape == wy0.shape
+    a, b = np.asarray(wy0), np.asarray(wy1)
+    mask = (a > 1) & (b > 1)  # compare interior (borders identical anyway)
+    mse = float(np.mean((a[mask] - b[mask]) ** 2))
+    psnr = 10 * np.log10(255.0**2 / max(mse, 1e-9))
+    assert psnr > 35.0, psnr
+    # Constant chroma must stay constant under the prefilter (borders fill
+    # with neutral 128, so test the majority interior).
+    assert np.median(np.abs(np.asarray(wu1) - 90)) < 1.5
+    assert np.median(np.abs(np.asarray(wv1) - 160)) < 1.5
+
+
+def test_trip_rows_4_matches_8():
+    """Schedule trip granularity is a pure perf knob: outputs identical."""
+    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (320, 240))
+    out_cam = get_output_camera(in_cam, scale=1.0, crop_borders=False)
+    rng = np.random.default_rng(9)
+    img = np.round(rng.uniform(0, 255, size=(240, 320))).astype(np.float32)
+    rot = so3.exp(jnp.array([-0.02, 0.03, 0.01]))
+    outs = []
+    for tr in (8, 4):
+        plan = plan_warp(out_cam, in_cam, max_correction_deg=6.0, trip_rows=tr)
+        outs.append(np.asarray(warp_frame_pallas(
+            jnp.asarray(img), rot, plan, out_cam, in_cam, interpret=True
+        )))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_per_tile_mip_plan_levels_mixed():
+    """A minifying config gets level >= 1 over the bulk while stretched
+    corners stay at level 0 — the per-tile advantage over a global level."""
+    in_cam = get_preset_camera(
+        CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (1280, 960)
+    )
+    out_cam = get_output_camera(in_cam, scale=0.3, crop_borders=True)
+    out_w = out_cam.width - out_cam.width % 2
+    out_h = out_cam.height - out_cam.height % 2
+    plan = plan_warp(out_cam, in_cam, 6.0, (out_h, out_w), mip_levels=2)
+    assert plan.mip_max >= 1
+    lv = plan.levels
+    assert (lv >= 1).mean() > 0.5  # bulk of tiles prefilter
+    # window should be much smaller than the unfiltered plan's
+    plan0 = plan_warp(out_cam, in_cam, 6.0, (out_h, out_w))
+    assert plan.wh <= plan0.wh and plan.ww <= plan0.ww
+
+
+def test_per_tile_mip_exact_on_linear_ramp():
+    """Box downsampling + bilinear is EXACT for linear images; any
+    half-pixel convention error in the level transform shows as a shift."""
+    in_cam = get_preset_camera(
+        CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (640, 480)
+    )
+    out_cam = get_output_camera(in_cam, scale=0.3, crop_borders=True)
+    out_w = out_cam.width - out_cam.width % 2
+    out_h = out_cam.height - out_cam.height % 2
+    plan = plan_warp(out_cam, in_cam, 6.0, (out_h, out_w), mip_levels=2)
+    assert plan.mip_max >= 1
+
+    yy, xx = np.mgrid[0:480, 0:640].astype(np.float32)
+    img = 0.2 * xx + 0.15 * yy + 10.0
+    rot = so3.exp(jnp.array([0.01, -0.02, 0.015]))
+    got = np.asarray(warp_frame_pallas(
+        jnp.asarray(img), rot, plan, out_cam, in_cam, interpret=True
+    ))
+    ref = np.asarray(warp_image_xla(
+        jnp.asarray(img), out_cam, in_cam, rot, (out_h, out_w)
+    ))
+    # Compare strictly-inside pixels: the <=1 px edge band blends toward
+    # the border at slightly different sub-pixel positions per level.
+    from video_annotator_tpu.ops.warp_xla import compute_warp_map
+
+    cm = np.asarray(compute_warp_map(out_cam, in_cam, rot, (out_h, out_w)))
+    inside = (
+        (cm[..., 0] >= 1.5) & (cm[..., 0] <= 640 - 2.5)
+        & (cm[..., 1] >= 1.5) & (cm[..., 1] <= 480 - 2.5)
+    )
+    assert inside.mean() > 0.7
+    # packs round to bytes, so allow ~1 byte-step of deviation
+    assert np.abs(got - ref)[inside].max() < 1.5
+
+
+def test_per_tile_mip_antialiases_checkerboard():
+    in_cam = get_preset_camera(
+        CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (640, 480)
+    )
+    out_cam = get_output_camera(in_cam, scale=0.25, crop_borders=True)
+    out_w = out_cam.width - out_cam.width % 2
+    out_h = out_cam.height - out_cam.height % 2
+    plan_m = plan_warp(out_cam, in_cam, 6.0, (out_h, out_w), mip_levels=2)
+    plan_0 = plan_warp(out_cam, in_cam, 6.0, (out_h, out_w))
+    assert plan_m.mip_max >= 1
+
+    yy, xx = np.mgrid[0:480, 0:640]
+    img = (((xx // 2) + (yy // 2)) % 2 * 200.0 + 20).astype(np.float32)
+    rot = so3.exp(jnp.array([0.005, 0.01, 0.0]))
+    out_m = np.asarray(warp_frame_pallas(
+        jnp.asarray(img), rot, plan_m, out_cam, in_cam, interpret=True
+    ))
+    out_0 = np.asarray(warp_frame_pallas(
+        jnp.asarray(img), rot, plan_0, out_cam, in_cam, interpret=True
+    ))
+    # Away from borders the 2px checker at >=4x minification should
+    # average out near 120 under the prefilter; point-sampled bilinear
+    # keeps large alias swings.
+    c = (slice(out_h // 4, 3 * out_h // 4), slice(out_w // 4, 3 * out_w // 4))
+    assert out_m[c].std() < out_0[c].std() * 0.5, (
+        out_m[c].std(), out_0[c].std()
+    )
+    assert abs(float(out_m[c].mean()) - 120.0) < 8.0

@@ -24,6 +24,25 @@ A ground-up rebuild of the capabilities of ``hedgepigdaniel/video-annotator``
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent executable cache: every CLI invocation is a fresh process and
+# the big Pallas warp/LK kernels cost minutes of (remote) compile time.
+# Harmless where the backend doesn't support serialization. Opt out with
+# VAT_NO_COMPILE_CACHE=1.
+if not _os.environ.get("VAT_NO_COMPILE_CACHE"):
+    _cache = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "vat_jax"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from video_annotator_tpu.camera import (  # noqa: F401
     Camera,
     CameraModel,

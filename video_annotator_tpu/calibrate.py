@@ -106,12 +106,64 @@ def calibrate(
     for _ in range(steps):
         params, state = step(params, state)
 
+    params = _lm_refine(params, obj, img, model)
     rms = float(jnp.sqrt(loss(params)))
     cam = Camera.make(
         params["fx"], params["fy"], params["cx"], params["cy"], w, h, model,
         dist=params["dist"],
     )
     return cam, rms
+
+
+def _lm_refine(params, obj, img, model: CameraModel, iters: int = 40):
+    """Levenberg-Marquardt polish of the adam solution.
+
+    Adam finds the basin but crawls on calibration's ill-conditioned
+    focal/distortion/depth trade-off (hundreds of px RMS per 1000 steps
+    near the optimum); LM on the same jax-differentiated residuals
+    converges it to the noise floor in a few dozen normal-equation
+    solves (the problem is tiny: ~8 + 6V parameters).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    p0, unravel = ravel_pytree(params)
+
+    def resid(p):
+        return (_project(unravel(p), obj, model) - img).ravel()
+
+    res_j = jax.jit(resid)
+    jac_j = jax.jit(jax.jacfwd(resid))
+
+    p = np.asarray(p0, np.float64)
+    r = np.asarray(res_j(jnp.asarray(p, jnp.float32)), np.float64)
+    cost = float(r @ r)
+    lam = 1e-3
+    for _ in range(iters):
+        J = np.asarray(jac_j(jnp.asarray(p, jnp.float32)), np.float64)
+        jtj = J.T @ J
+        g = J.T @ r
+        scale = np.diag(np.maximum(np.diag(jtj), 1e-8))
+        improved = False
+        for _ in range(8):
+            try:
+                delta = np.linalg.solve(jtj + lam * scale, -g)
+            except np.linalg.LinAlgError:
+                lam *= 10.0
+                continue
+            p_new = p + delta
+            r_new = np.asarray(
+                res_j(jnp.asarray(p_new, jnp.float32)), np.float64
+            )
+            c_new = float(r_new @ r_new)
+            if c_new < cost:
+                p, r, cost = p_new, r_new, c_new
+                lam = max(lam * 0.3, 1e-10)
+                improved = True
+                break
+            lam *= 10.0
+        if not improved:
+            break
+    return unravel(jnp.asarray(p, jnp.float32))
 
 
 def calibrate_cli(points_path: str, model: str, size: str | None, output: str | None):

@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Scale video before processing (percent)")
     r.add_argument("--scale", type=float, default=1.0,
                    help="Output camera scale relative to auto-fit")
+    r.add_argument("--prefilter", default="off", choices=["off", "auto"],
+                   help="Mip-prefilter minifying inputs before the warp "
+                        "(antialias + faster kernel; off = exact bilinear "
+                        "like the reference)")
     r.add_argument("--crop", dest="crop_borders", action="store_true",
                    help="Crop borders to the fully-covered region")
     r.add_argument("--filter", default="rotation",
@@ -172,6 +176,7 @@ def _render_options(args) -> "RenderOptions":
         no_output=getattr(args, "no_output", False),
         encoder=getattr(args, "encoder", "mp4v"),
         frame_rate=getattr(args, "frame_rate", None),
+        prefilter=getattr(args, "prefilter", "off"),
         verbose=getattr(args, "verbose", False),
     )
 

@@ -77,6 +77,26 @@ class WarpPlan:
     margin_y: int = 3
     dip_x: float = 3.0
     dip_y: float = 3.0
+    # Word rows per schedule trip. Smaller trips fit narrow per-section
+    # spans with fewer wasted row visits (a 5-word span costs one 8-row
+    # trip but two 4-row trips would visit the same 8); larger trips
+    # amortize per-trip setup (entry decode + window slice). Tuned by
+    # measurement per configuration.
+    trip_rows: int = 8
+    # Per-TILE mip levels (the minification prefilter): level l tiles
+    # sample from the l-times box-downsampled input through coordinates
+    # scaled by 2^-l. mip_max == 0 disables the machinery entirely (the
+    # kernel compiles without it). levels_blob packs the static (ny, nx)
+    # uint8 level grid (hashable for the jit caches).
+    mip_max: int = 0
+    levels_blob: bytes = b""
+
+    @property
+    def levels(self) -> np.ndarray:
+        ny, nx = self.grid
+        if not self.mip_max:
+            return np.zeros((ny, nx), np.uint8)
+        return np.frombuffer(self.levels_blob, np.uint8).reshape(ny, nx)
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -92,9 +112,10 @@ class WarpPlan:
 
     @property
     def slots(self) -> int:
-        # Max (section, block) schedule entries per tile: every section
-        # spanning its worst-case block count.
-        return self.sections * ((self.wh_words + 7) // 8 + 1)
+        # Max (section, trip) schedule entries per tile: every section
+        # spanning its worst-case trip count.
+        r = self.trip_rows
+        return self.sections * ((self.wh_words + r - 1) // r + 1)
 
     # --- schedule entry compression -------------------------------------
     # Entries are (word-row start, section) pairs packed several per int32
@@ -119,7 +140,7 @@ class WarpPlan:
     def slot_words(self) -> int:
         return -(-self.slots // self.entries_per_word)
 
-    # meta1 bit layout: [oyw | strip << bits_oyw | count << (oyw+strip)].
+    # meta1 bit layout: [oyw | strip | level? | count], low to high.
     @property
     def meta1_bits_oyw(self) -> int:
         return max(1, (_round_up(self.in_h, 32) // 4).bit_length())
@@ -127,6 +148,10 @@ class WarpPlan:
     @property
     def meta1_bits_strip(self) -> int:
         return max(1, (_round_up(self.in_w, 128) // 128).bit_length())
+
+    @property
+    def meta1_bits_level(self) -> int:
+        return 2 if self.mip_max else 0
 
 
 def _round_up(x: int, m: int) -> int:
@@ -190,6 +215,8 @@ def plan_warp(
     in_camera: Camera,
     max_correction_deg: float = 6.0,
     out_size: Tuple[int, int] | None = None,
+    trip_rows: int = 8,
+    mip_levels: int = 0,
 ) -> WarpPlan:
     """Choose static window sizes by probing the map over worst-case rotations.
 
@@ -212,8 +239,9 @@ def plan_warp(
         probes.append(_rodrigues_np(np.asarray(axis, np.float64)))
 
     ny, nx = out_h // TILE_H, out_w // TILE_W
-    max_dx = 0.0
-    max_dy = 0.0
+    span_x_t = np.zeros((ny, nx))  # per-tile source spans, max over probes
+    span_y_t = np.zeros((ny, nx))
+    smin_t = np.full((ny, nx), np.inf)  # per-tile min map-Jacobian sigma
     dip_x = 0.0  # how far the true extremum escapes the sampled bound
     dip_y = 0.0
     for rot in probes:
@@ -228,8 +256,37 @@ def plan_warp(
         tmin_x = bx.min(axis=(1, 3))
         tmin_y = by.min(axis=(1, 3))
         tmax_y = by.max(axis=(1, 3))
-        max_dx = max(max_dx, float((bx.max(axis=(1, 3)) - tmin_x).max()))
-        max_dy = max(max_dy, float((tmax_y - tmin_y).max()))
+        span_x_t = np.maximum(span_x_t, bx.max(axis=(1, 3)) - tmin_x)
+        span_y_t = np.maximum(span_y_t, tmax_y - tmin_y)
+        if mip_levels:
+            # Smallest singular value of the map Jacobian per pixel,
+            # reduced to a per-tile min: sampling from level l is
+            # blur-free wherever sigma_min >= 2^l. Only pixels that are
+            # actually rendered constrain the level: out-of-image sources
+            # (clipped above -> zero gradients) fill with the border
+            # value, and the grid padding beyond the crop is never
+            # emitted.
+            ga = np.gradient(sx, axis=1)
+            gb = np.gradient(sx, axis=0)
+            gc = np.gradient(sy, axis=1)
+            gd = np.gradient(sy, axis=0)
+            e = ga * ga + gb * gb + gc * gc + gd * gd
+            det = ga * gd - gb * gc
+            disc = np.sqrt(np.maximum(e * e - 4.0 * det * det, 0.0))
+            smin = np.sqrt(np.maximum((e - disc) * 0.5, 0.0))
+            rendered = (
+                (cmap[..., 0] > -1.0)
+                & (cmap[..., 0] < in_camera.width)
+                & (cmap[..., 1] > -1.0)
+                & (cmap[..., 1] < in_camera.height)
+            )
+            rendered[crop_h:, :] = False
+            rendered[:, crop_w:] = False
+            smin = np.where(rendered, smin, 1e9)
+            smin_t = np.minimum(
+                smin_t,
+                smin.reshape(ny, TILE_H, nx, TILE_W).min(axis=(1, 3)),
+            )
         sw = np.lib.stride_tricks.sliding_window_view
         sgx = sx[::SUB_Y, ::SUB_X]
         sgy = sy[::SUB_Y, ::SUB_X]
@@ -281,6 +338,23 @@ def plan_warp(
         dip_x = max(dip_x, dip_col)
         dip_y = max(dip_y, dip_col)
 
+    # Per-tile mip levels: the deepest level still blur-free for EVERY
+    # pixel of the tile (with a 5% guard); source spans then shrink by
+    # 2^-level, which is what sizes the shared window below.
+    if mip_levels:
+        smin_t = np.minimum(smin_t, 1e9)  # never-rendered tiles: deepest
+        lv = np.floor(np.log2(np.maximum(smin_t / 1.05, 1.0)))
+        lv = np.clip(lv, 0, mip_levels).astype(np.uint8)
+        mip_max = int(lv.max())
+        levels_blob = lv.tobytes() if mip_max else b""
+        scale_t = 0.5 ** lv.astype(np.float64)
+    else:
+        mip_max = 0
+        levels_blob = b""
+        scale_t = 1.0
+    max_dx = float((span_x_t * scale_t).max())
+    max_dy = float((span_y_t * scale_t).max())
+
     # Dips measured on the probe set; +0.75 guards sub-probe rotations.
     dip_x += 0.75
     dip_y += 0.75
@@ -309,10 +383,14 @@ def plan_warp(
         margin_y=margin_y,
         dip_x=dip_x,
         dip_y=dip_y,
+        trip_rows=trip_rows,
+        mip_max=mip_max,
+        levels_blob=levels_blob,
     )
     meta1_bits = (
         plan.meta1_bits_oyw
         + plan.meta1_bits_strip
+        + plan.meta1_bits_level
         + plan.slots.bit_length()
     )
     assert meta1_bits <= 31, (meta1_bits, plan)
@@ -378,6 +456,17 @@ def _tile_origins(
     )
     del max_x, max_y
     ny, nx = plan.grid
+    if plan.mip_max:
+        # Per-tile mip: bounds move to the tile's level-l coordinate
+        # frame, x_l = (x + 0.5) * 2^-l - 0.5 (box_downsample pixel-center
+        # convention). Everything downstream (origins, section touch
+        # tests, row ranges) then describes the downsampled plane the
+        # kernel samples. Dips/margins stay in full-res pixels —
+        # conservative at level > 0.
+        s_t = jnp.asarray(0.5 ** plan.levels.astype(np.float32))
+        off_t = jnp.asarray((plan.levels > 0).astype(np.float32))
+        min_x = (min_x + 0.5) * s_t - 0.5 + off_t
+        min_y = (min_y + 0.5) * s_t - 0.5 + off_t
     ox = jnp.floor(min_x - plan.margin_x).astype(jnp.int32)
     oy = jnp.floor(min_y - plan.margin_y).astype(jnp.int32)
     in_h_pad = _round_up(plan.in_h, 32)
@@ -421,6 +510,11 @@ def _tile_origins(
     # bound sets (a python loop here costs hundreds of tiny HLO ops that
     # dominate the per-frame origin pass).
     cb = jnp.stack([jnp.stack(b) for b in colbs])  # (NX_SUB, 4, ny, nx)
+    if plan.mip_max:
+        # colbs un-negates the reduce_window channels: all four are plain
+        # coordinates (min_x, max_x, min_y, max_y) — one uniform level
+        # transform.
+        cb = (cb + 0.5) * s_t - 0.5 + off_t
     lo_b = oxf[None] + 128.0 * jnp.arange(nsec, dtype=jnp.float32).reshape(
         nsec, 1, 1
     )
@@ -452,15 +546,16 @@ def _tile_origins(
         plan.wh_words,
     )
     wr_hi = jnp.maximum(wr_hi, wr_lo)
-    # Schedule entries carry exact word-row STARTS (8-row trips at
-    # wr_lo, wr_lo+8, ...), not 8-aligned block indices: a typical
-    # ~7-word span then costs ONE trip instead of two. Visiting rows
-    # outside [wr_lo, wr_hi) is harmless (row weights match by value and
+    # Schedule entries carry exact word-row STARTS (trip_rows-row trips
+    # at wr_lo, wr_lo+trip_rows, ...), not aligned block indices: a span
+    # one short of two trips then costs ONE trip. Visiting rows outside
+    # [wr_lo, wr_hi) is harmless (row weights match by value and
     # out-of-section taps are masked); visiting a row TWICE would double
     # its contribution, so the start chain is shifted down — never
     # re-chunked — when its last trip would run past the window.
-    nblk = jnp.maximum((wr_hi - wr_lo + 7) // 8, 0)
-    blo = jnp.minimum(wr_lo, plan.wh_words - 8 * nblk)  # (S, ny, nx)
+    tr = plan.trip_rows
+    nblk = jnp.maximum((wr_hi - wr_lo + tr - 1) // tr, 0)
+    blo = jnp.minimum(wr_lo, plan.wh_words - tr * nblk)  # (S, ny, nx)
     cum = jnp.cumsum(nblk, axis=0)  # inclusive prefix counts
     total = cum[-1]
     # Flatten the per-section block ranges into a per-tile SCHEDULE: a
@@ -481,7 +576,7 @@ def _tile_origins(
     )
     prefix = sel(cum_excl)
     blo_of = sel(blo)
-    entry = (blo_of + 8 * (js[:, 0] - prefix)) | (
+    entry = (blo_of + tr * (js[:, 0] - prefix)) | (
         sec_of << plan.entry_bits_w
     )
     entry = jnp.where(js[:, 0] < total[None], entry, 0)  # (slots, ny, nx)
@@ -503,11 +598,14 @@ def _tile_origins(
     # wasted ~6x the SMEM budget on 4K batches. meta1 packs the window
     # origin (word row + strip) AND the schedule count; meta2 is the
     # packed schedule words, tile-major.
-    meta1 = (
-        oyw
-        | ((ox // 128) << plan.meta1_bits_oyw)
-        | (total << (plan.meta1_bits_oyw + plan.meta1_bits_strip))
-    )
+    shift = plan.meta1_bits_oyw + plan.meta1_bits_strip
+    meta1 = oyw | ((ox // 128) << plan.meta1_bits_oyw)
+    if plan.mip_max:
+        meta1 = meta1 | (
+            jnp.asarray(plan.levels.astype(np.int32)) << shift
+        )
+        shift += plan.meta1_bits_level
+    meta1 = meta1 | (total << shift)
     meta2 = words_.transpose(1, 2, 0).reshape(ny * nx * plan.slot_words)
     return meta1.reshape(ny * nx), meta2
 
@@ -602,15 +700,23 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
                 midx = g
                 src = in_hbm
             m1_ = meta1_ref[midx]
+            shift = b_oyw + b_strip
+            if plan.mip_max:
+                lvl = (m1_ >> shift) & 3  # this tile's mip level
+                shift += plan.meta1_bits_level
+                src = src.at[lvl]
+            else:
+                lvl = 0
             return (
                 m1_ & ((1 << b_oyw) - 1),  # word-row origin (word-granular)
                 (m1_ >> b_oyw) & ((1 << b_strip) - 1),  # strip index
-                m1_ >> (b_oyw + b_strip),  # schedule entry count
+                m1_ >> shift,  # schedule entry count
                 midx,
+                lvl,
                 src,
             )
 
-        oyw, cs, total, midx, src = tile_meta(gidx)
+        oyw, cs, total, midx, lvl, src = tile_meta(gidx)
         copy = pltpu.make_async_copy(
             src.at[pl.ds(cs, nsec), pl.ds(oyw, wh_words), :], win, sem
         )
@@ -653,6 +759,15 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             (sx > -1.0) & (sx < in_w + 0.0) & (sy > -1.0) & (sy < in_h + 0.0)
             & (vz > 1e-6)
         )
+
+        if plan.mip_max:
+            # Per-tile mip: sample the level-l plane at scaled coords
+            # (validity above stays in full-res pixels). Levels > 0 are
+            # stored shifted by one edge-replicated pixel (+1 here).
+            sl = jnp.exp2(-lvl.astype(jnp.float32))
+            off = jnp.where(lvl > 0, 1.0, 0.0)
+            sx = (sx + 0.5) * sl - 0.5 + off
+            sy = (sy + 0.5) * sl - 0.5 + off
 
         sxr = sx - (cs * 128).astype(jnp.float32)
         syr = sy - (oyw * 4).astype(jnp.float32)
@@ -701,7 +816,7 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             e = word >> ((i & epw_mask) * bits)
             w8 = e & ((1 << bits_w) - 1)  # word-row start (word-granular)
             sec = (e >> bits_w) & ((1 << plan.entry_bits_s) - 1)
-            blkv = win[sec, pl.ds(w8, 8), :]
+            blkv = win[sec, pl.ds(w8, plan.trip_rows), :]
             local = ix0 - sec * 128
             # Gather indices and out-of-section masks are loop-invariant
             # across the 8 rows: hoist them (4 VPU ops/row saved).
@@ -709,7 +824,7 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             m1 = (local + 1).astype(jnp.uint32) < jnp.uint32(128)
             lidx0 = local & 127
             lidx1 = (local + 1) & 127
-            for rr_ in range(8):
+            for rr_ in range(plan.trip_rows):
                 seg = jnp.broadcast_to(
                     blkv[rr_ : rr_ + 1, :], (TILE_H, TILE_W)
                 )
@@ -745,6 +860,93 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
         out_ref[...] = result[None] if batched else result
 
     return kernel
+
+
+def box_downsample(frame: jax.Array, level: int) -> jax.Array:
+    """``level`` rounds of 2x2 box averaging (the mip prefilter).
+
+    Odd trailing rows/columns are edge-replicated so averages never pull
+    toward a pad constant. Returns float32 for ``level > 0`` (the pack
+    rounds to bytes); passes the input through untouched for level 0.
+    """
+    if level <= 0:
+        return frame
+    f = frame.astype(jnp.float32)
+    for _ in range(level):
+        h, w = f.shape
+        if h % 2 or w % 2:
+            f = jnp.pad(f, ((0, h % 2), (0, w % 2)), mode="edge")
+        f = jax.lax.reduce_window(
+            f, 0.0, jax.lax.add, (2, 2), (2, 2), "VALID"
+        ) * 0.25
+    return f
+
+
+def mip_camera(cam: Camera, level: int) -> Camera:
+    """Camera of ``cam``'s plane after ``level`` rounds of 2x2 box
+    downsampling (dims follow :func:`box_downsample`'s edge-padded ceil)."""
+    if level <= 0:
+        return cam
+    w, h = cam.width, cam.height
+    for _ in range(level):
+        w = (w + 1) // 2
+        h = (h + 1) // 2
+    s = 0.5 ** level
+    return Camera.make(
+        float(cam.fx) * s,
+        float(cam.fy) * s,
+        (float(cam.cx) + 0.5) * s - 0.5,
+        (float(cam.cy) + 0.5) * s - 0.5,
+        w,
+        h,
+        cam.model,
+        dist=cam.dist,
+    )
+
+
+def mip_prefilter_level(
+    out_camera: Camera,
+    in_camera: Camera,
+    out_size: Tuple[int, int],
+    max_levels: int = 2,
+) -> int:
+    """Highest mip level that cannot blur ANY output pixel.
+
+    The warp map's Jacobian at each output pixel gives the local source
+    stretch; sampling from mip level L is lossless wherever the smallest
+    singular value stays >= 2^L (every output direction still spans at
+    least one source pixel at that level). The level is chosen from the
+    MINIMUM over in-image pixels, so mixed fields (fisheye centres that
+    magnify while edges minify) never prefilter — only genuinely
+    minifying configurations (e.g. 4K input rendered to 1080p) do, where
+    plain bilinear both aliases and pays window rows proportional to the
+    scale. The reference's ``cv::remap INTER_LINEAR`` (and ffmpeg's
+    scalers at default flags) alias in that regime; this is why the
+    prefilter is opt-in (``--prefilter auto``) — the PSNR-vs-oracle gate
+    compares against the aliasing reference.
+    """
+    cmap = _warp_map_np(out_camera, in_camera, np.eye(3), out_size)
+    sx, sy = cmap[..., 0], cmap[..., 1]
+    valid = (
+        (sx >= 0) & (sx < in_camera.width)
+        & (sy >= 0) & (sy < in_camera.height)
+    )
+    if not valid.any():
+        return 0
+    a = np.gradient(sx, axis=1)
+    b = np.gradient(sx, axis=0)
+    c = np.gradient(sy, axis=1)
+    d = np.gradient(sy, axis=0)
+    e = a * a + b * b + c * c + d * d
+    det = a * d - b * c
+    disc = np.sqrt(np.maximum(e * e - 4.0 * det * det, 0.0))
+    smin = np.sqrt(np.maximum((e - disc) * 0.5, 0.0))
+    s = float(smin[valid].min())
+    level = 0
+    while level < max_levels and s >= 2.0:
+        s /= 2.0
+        level += 1
+    return level
 
 
 def _camera_key(cam: Camera):
@@ -851,9 +1053,48 @@ def pack_frame_words(frame: jax.Array, in_h: int, in_w: int,
     )
 
 
+def pack_frame_words_mip(frame: jax.Array, plan: WarpPlan,
+                         pad_value: int = 0, use_kernel: bool = False):
+    """Pack the input AND its mip chain for a per-tile-level plan.
+
+    Returns (mip_max+1, sections0, wh_rows0, 128): every level's packed
+    words padded to the LEVEL-0 padded geometry so the kernel addresses
+    any level with the same window arithmetic. Levels > 0 carry one
+    border-valued pixel on EVERY side (and the level coordinate
+    transform shifts by +1): a full-res coordinate at the image edge
+    maps to level coordinate -0.25, whose lower bilinear tap must read
+    the border value (cv::remap BORDER_CONSTANT semantics) instead of
+    falling off the plane and silently losing its weight.
+    """
+    levels = [frame]
+    f = frame
+    for _ in range(plan.mip_max):
+        f = box_downsample(f, 1)
+        levels.append(jnp.pad(f, ((1, 1), (1, 1)),
+                              constant_values=float(pad_value)))
+    return jnp.stack([
+        pack_frame_words(p, plan.in_h, plan.in_w, pad_value=pad_value,
+                         use_kernel=use_kernel)
+        for p in levels
+    ])
+
+
+def _pack_input(frame: jax.Array, plan: WarpPlan, mip: int,
+                pad_value: int, use_kernel: bool):
+    """Input packing for a builder: per-tile mip stack, global
+    pre-downsample, or the plain single-plane pack."""
+    if plan.mip_max:
+        assert mip == 0, "global mip and per-tile mip do not compose"
+        return pack_frame_words_mip(frame, plan, pad_value=pad_value,
+                                    use_kernel=use_kernel)
+    return pack_frame_words(box_downsample(frame, mip), plan.in_h,
+                            plan.in_w, pad_value=pad_value,
+                            use_kernel=use_kernel)
+
+
 @functools.lru_cache(maxsize=64)
 def _build_warp_fn(plan: WarpPlan, out_key, in_key, interpret: bool,
-                   border: float = 0.0):
+                   border: float = 0.0, mip: int = 0):
     out_camera = _camera_from_key(out_key)
     in_camera = _camera_from_key(in_key)
     kernel = _make_kernel(plan, out_camera, in_camera, border=border)
@@ -885,10 +1126,8 @@ def _build_warp_fn(plan: WarpPlan, out_key, in_key, interpret: bool,
     def run(frame: jax.Array, rotation: jax.Array) -> jax.Array:
         meta1, meta2 = _tile_origins(plan, out_camera, in_camera, rotation)
         rot9 = jnp.reshape(rotation.astype(jnp.float32), (9,))
-        words = pack_frame_words(
-            frame, plan.in_h, plan.in_w, pad_value=int(border),
-            use_kernel=not interpret,
-        )
+        words = _pack_input(frame, plan, mip, int(border),
+                            not interpret)
         out = call(rot9, meta1, meta2, words)
         return out[: plan.crop_h, : plan.crop_w]
 
@@ -942,10 +1181,7 @@ def _build_warp_batch_fn(plan: WarpPlan, out_key, in_key, t: int,
             m2.reshape(t * ny * nx * plan.slot_words),
         )
     pack = jax.vmap(
-        lambda f: pack_frame_words(
-            f, plan.in_h, plan.in_w, pad_value=int(border),
-            use_kernel=not interpret,
-        )
+        lambda f: _pack_input(f, plan, 0, int(border), not interpret)
     )
 
     @jax.jit
@@ -980,7 +1216,8 @@ def warp_frames_pallas(
 
 @functools.lru_cache(maxsize=64)
 def _build_warp_planes_fn(plan: WarpPlan, out_key, in_key, t: int,
-                          interpret: bool, border: float = 0.0):
+                          interpret: bool, border: float = 0.0,
+                          mip: int = 0):
     """Multi-plane variant: grid (T, ny, nx) with ONE shared rotation and
     one set of tile metas — U and V chroma planes of a frame share the
     map, so warping them in one dispatch halves the per-call overhead."""
@@ -1020,13 +1257,8 @@ def _build_warp_planes_fn(plan: WarpPlan, out_key, in_key, t: int,
         # Stack INSIDE the jit: an eager per-frame jnp.stack costs ~1 ms
         # of dispatch on the remote backend.
         words = jnp.stack(
-            [
-                pack_frame_words(
-                    f, plan.in_h, plan.in_w, pad_value=int(border),
-                    use_kernel=not interpret,
-                )
-                for f in planes
-            ]
+            [_pack_input(f, plan, mip, int(border), not interpret)
+             for f in planes]
         )
         out = call(rot9, meta1, meta2, words)
         return tuple(
@@ -1044,14 +1276,16 @@ def warp_planes_pallas(
     in_camera: Camera,
     interpret: bool = False,
     border: float = 0.0,
+    mip: int = 0,
 ):
     """Warp T same-geometry planes with one rotation in one dispatch."""
     t = len(planes)
-    for f in planes:
-        assert f.shape == (plan.in_h, plan.in_w), (f.shape, plan)
+    if mip == 0:
+        for f in planes:
+            assert f.shape == (plan.in_h, plan.in_w), (f.shape, plan)
     fn = _build_warp_planes_fn(
         plan, _camera_key(out_camera), _camera_key(in_camera), t, interpret,
-        border,
+        border, mip,
     )
     return fn(tuple(planes), rotation)
 
@@ -1059,7 +1293,7 @@ def warp_planes_pallas(
 @functools.lru_cache(maxsize=16)
 def _build_warp_yuv_fn(plan_y: WarpPlan, out_key_y, in_key_y,
                        plan_c: WarpPlan, out_key_c, in_key_c,
-                       interpret: bool):
+                       interpret: bool, mip: int = 0):
     """ONE jitted dispatch per frame: pack Y/U/V, both origin passes, the
     luma kernel, the 2-plane chroma kernel, uint8 outputs.
 
@@ -1126,13 +1360,11 @@ def _build_warp_yuv_fn(plan_y: WarpPlan, out_key_y, in_key_y,
     def run(y, u, v, rotation):
         rot9 = jnp.reshape(rotation.astype(jnp.float32), (9,))
         m1y, m2y = _tile_origins(plan_y, out_cam_y, in_cam_y, rotation)
-        words_y = pack_frame_words(y, plan_y.in_h, plan_y.in_w,
-                                   use_kernel=use_kernel)
+        words_y = _pack_input(y, plan_y, mip, 0, use_kernel)
         wy = call_y(rot9, m1y, m2y, words_y)
         m1c, m2c = _tile_origins(plan_c, out_cam_c, in_cam_c, rotation)
         words_uv = jnp.stack([
-            pack_frame_words(p, plan_c.in_h, plan_c.in_w, pad_value=128,
-                             use_kernel=use_kernel)
+            _pack_input(p, plan_c, mip, 128, use_kernel)
             for p in (u, v)
         ])
         wc = call_c(rot9, m1c, m2c, words_uv)
@@ -1157,12 +1389,18 @@ def warp_yuv_pallas(
     out_camera_c: Camera,
     in_camera_c: Camera,
     interpret: bool = False,
+    mip: int = 0,
 ):
-    """Warp a full YUV 4:2:0 frame in one dispatch; returns uint8 planes."""
+    """Warp a full YUV 4:2:0 frame in one dispatch; returns uint8 planes.
+
+    ``mip > 0`` box-downsamples the inputs that many levels inside the
+    dispatch (the opt-in minification prefilter); the cameras and plans
+    must already describe the DOWNSAMPLED planes (:func:`mip_camera`).
+    """
     fn = _build_warp_yuv_fn(
         plan_y, _camera_key(out_camera), _camera_key(in_camera),
         plan_c, _camera_key(out_camera_c), _camera_key(in_camera_c),
-        interpret,
+        interpret, mip,
     )
     return fn(y, u, v, rotation)
 
@@ -1170,7 +1408,7 @@ def warp_yuv_pallas(
 @functools.lru_cache(maxsize=16)
 def _build_warp_yuv_batch_fn(plan_y: WarpPlan, out_key_y, in_key_y,
                              plan_c: WarpPlan, out_key_c, in_key_c,
-                             t: int, interpret: bool):
+                             t: int, interpret: bool, mip: int = 0):
     """T frames per dispatch: one batched luma kernel (grid (T, ny, nx))
     and one batched chroma kernel over the 2T half-res planes, plus all
     packs and origin passes, in ONE jitted call.
@@ -1227,8 +1465,7 @@ def _build_warp_yuv_batch_fn(plan_y: WarpPlan, out_key_y, in_key_y,
             lambda r: _tile_origins(plan_y, out_cam_y, in_cam_y, r)
         )(rots)
         words_y = jnp.stack([
-            pack_frame_words(y, plan_y.in_h, plan_y.in_w,
-                             use_kernel=use_kernel)
+            _pack_input(y, plan_y, mip, 0, use_kernel)
             for y in ys
         ])
         wy = call_y(
@@ -1243,8 +1480,7 @@ def _build_warp_yuv_batch_fn(plan_y: WarpPlan, out_key_y, in_key_y,
         # Planes of frame i sit at rows 2i (U) and 2i+1 (V); metas and
         # rotations repeat per plane pair.
         words_uv = jnp.stack([
-            pack_frame_words(p, plan_c.in_h, plan_c.in_w, pad_value=128,
-                             use_kernel=use_kernel)
+            _pack_input(p, plan_c, mip, 128, use_kernel)
             for pair in zip(us, vs) for p in pair
         ])
         wc = call_c(
@@ -1277,13 +1513,14 @@ def warp_yuv_batch_pallas(
     out_camera_c: Camera,
     in_camera_c: Camera,
     interpret: bool = False,
+    mip: int = 0,
 ):
     """Warp T YUV 4:2:0 frames in one dispatch; list of uint8 plane triples."""
     t = len(ys)
     fn = _build_warp_yuv_batch_fn(
         plan_y, _camera_key(out_camera), _camera_key(in_camera),
         plan_c, _camera_key(out_camera_c), _camera_key(in_camera_c),
-        t, interpret,
+        t, interpret, mip,
     )
     return fn(tuple(ys), tuple(us), tuple(vs), rotations)
 
@@ -1296,6 +1533,7 @@ def warp_frame_pallas(
     in_camera: Camera,
     interpret: bool = False,
     border: float = 0.0,
+    mip: int = 0,
 ) -> jax.Array:
     """Warp one (H, W) frame (uint8-valued). Returns (crop_h, crop_w) f32.
 
@@ -1306,10 +1544,14 @@ def warp_frame_pallas(
     (cv::remap BORDER_CONSTANT with a per-plane border value). Taps beyond
     the window at the top/left image edge still blend toward 0 (a <=1 px
     deviation, invisible in crop_borders configs which never sample it).
+
+    ``mip > 0`` box-downsamples the frame that many levels inside the
+    dispatch; ``plan``/``in_camera`` must describe the downsampled plane.
     """
-    assert frame.shape == (plan.in_h, plan.in_w), (frame.shape, plan)
+    if mip == 0:
+        assert frame.shape == (plan.in_h, plan.in_w), (frame.shape, plan)
     fn = _build_warp_fn(
         plan, _camera_key(out_camera), _camera_key(in_camera), interpret,
-        border,
+        border, mip,
     )
     return fn(frame, rotation)

@@ -35,6 +35,10 @@ def warp_streams_sharded(
     on the devices that read them."""
     if out_size is None:
         out_size = (out_camera.height, out_camera.width)
+    if space_axis is not None and out_size[0] % mesh.shape[space_axis]:
+        # Output rows not divisible by the space axis (odd auto-fit
+        # heights): shard over streams only rather than erroring.
+        space_axis = None
 
     def one(frame, rot):
         coords = compute_warp_map(out_camera, in_camera, rot, out_size)

@@ -63,7 +63,8 @@ def render_compare(
         traj = Trajectory(np.zeros((n, 3)), "so3", meta.fps, meta.width, meta.height, source)
 
     in_cam, out_cam = build_cameras(meta, options)
-    warper = FrameWarper(in_cam, out_cam, options.max_correction_deg)
+    warper = FrameWarper(in_cam, out_cam, options.max_correction_deg,
+                         prefilter=options.prefilter == "auto")
     per_mode = []
     for m in modes:
         o = dataclasses.replace(options, stabilise=m)

@@ -42,6 +42,9 @@ from video_annotator_tpu.ops.lk import pyramidal_lk
 from video_annotator_tpu.ops.lk_pallas import pyramidal_lk_pallas
 from video_annotator_tpu.ops.ransac import estimate_rotation, rotation_with_fallback
 from video_annotator_tpu.ops.warp_pallas import (  # noqa: F401
+    box_downsample,
+    mip_camera,
+    mip_prefilter_level,
     warp_yuv_pallas,
     warp_yuv_batch_pallas,
     plan_warp,
@@ -104,6 +107,10 @@ class RenderOptions:
     frame_rate: Optional[float] = None
     # engine
     max_correction_deg: float = 8.0
+    # "auto": box-downsample minifying inputs to the matching mip level
+    # before warping (antialias + smaller kernel windows). "off" keeps
+    # exact bilinear-on-full-res semantics (the reference's behavior).
+    prefilter: str = "off"  # off | auto
     verbose: bool = False
 
 
@@ -403,28 +410,49 @@ class FrameWarper:
     Pallas on TPU; pure-XLA gather on CPU (tests / no-accelerator hosts).
     """
 
-    def __init__(self, in_cam: Camera, out_cam: Camera, max_correction_deg: float):
+    def __init__(self, in_cam: Camera, out_cam: Camera,
+                 max_correction_deg: float, prefilter: bool = False):
         self.in_cam = in_cam
         self.out_cam = out_cam
         # Even output dims for 4:2:0 chroma.
         self.out_w = out_cam.width - out_cam.width % 2
         self.out_h = out_cam.height - out_cam.height % 2
-        self.in_half = _scaled_camera(in_cam, 0.5)
-        self.out_half = _scaled_camera(out_cam, 0.5)
         # The Pallas kernel inlines rectilinear output-ray math; other
         # output projections (fisheye/equirect) take the XLA path.
         self._use_pallas = (
             jax.default_backend() not in ("cpu",)
             and out_cam.model == CameraModel.RECTILINEAR
         )
+        # Opt-in minification prefilter: minifying regions sample from a
+        # box-downsampled mip level — antialiased AND ~4x less kernel
+        # window work per level. The Pallas path picks the level PER
+        # OUTPUT TILE at plan time (mixed fisheye fields magnify at the
+        # stretched corners while the bulk minifies), guaranteeing no
+        # tile ever blurs. The XLA fallback uses one conservative global
+        # level (the minimum over the field — often 0). prefilter=False
+        # is bit-identical to the unfiltered path everywhere.
+        self.mip = 0  # global level (XLA fallback path only)
         if self._use_pallas:
+            self.in_eff = in_cam
+            self.in_half = _scaled_camera(in_cam, 0.5)
+            self.out_half = _scaled_camera(out_cam, 0.5)
+            mip_levels = 2 if prefilter else 0
             self.plan_y = plan_warp(
-                out_cam, in_cam, max_correction_deg, (self.out_h, self.out_w)
+                out_cam, in_cam, max_correction_deg,
+                (self.out_h, self.out_w), mip_levels=mip_levels,
             )
             self.plan_c = plan_warp(
                 self.out_half, self.in_half, max_correction_deg,
-                (self.out_h // 2, self.out_w // 2),
+                (self.out_h // 2, self.out_w // 2), mip_levels=mip_levels,
             )
+        else:
+            if prefilter:
+                self.mip = mip_prefilter_level(
+                    out_cam, in_cam, (self.out_h, self.out_w)
+                )
+            self.in_eff = mip_camera(in_cam, self.mip)
+            self.in_half = _scaled_camera(self.in_eff, 0.5)
+            self.out_half = _scaled_camera(out_cam, 0.5)
 
     def __call__(self, y, u, v, rotation):
         # Chroma out-of-image regions must come out neutral (128 = black
@@ -437,14 +465,18 @@ class FrameWarper:
         # serialize), so each call plans inline.
         if self._use_pallas:
             wy = warp_frame_pallas(y, rotation, self.plan_y, self.out_cam,
-                                   self.in_cam)
+                                   self.in_eff, mip=self.mip)
             # U and V share the map: one dispatch, one origin pass.
             wu, wv = warp_planes_pallas(
                 (u, v), rotation, self.plan_c, self.out_half,
-                self.in_half, border=128.0,
+                self.in_half, border=128.0, mip=self.mip,
             )
             return wy, wu, wv
-        wy = warp_image_xla(y, self.out_cam, self.in_cam, rotation,
+        if self.mip:
+            y = box_downsample(y, self.mip)
+            u = box_downsample(u, self.mip)
+            v = box_downsample(v, self.mip)
+        wy = warp_image_xla(y, self.out_cam, self.in_eff, rotation,
                             (self.out_h, self.out_w))
         wu = warp_image_xla(u - 128.0, self.out_half, self.in_half, rotation,
                             (self.out_h // 2, self.out_w // 2))
@@ -462,8 +494,8 @@ class FrameWarper:
         """
         if self._use_pallas:
             return warp_yuv_pallas(
-                y, u, v, rotation, self.plan_y, self.out_cam, self.in_cam,
-                self.plan_c, self.out_half, self.in_half,
+                y, u, v, rotation, self.plan_y, self.out_cam, self.in_eff,
+                self.plan_c, self.out_half, self.in_half, mip=self.mip,
             )
         wy, wu, wv = self(y, u, v, rotation)
         cast = lambda p: jnp.clip(jnp.round(p), 0, 255).astype(jnp.uint8)  # noqa: E731
@@ -479,7 +511,8 @@ class FrameWarper:
         if self._use_pallas:
             return warp_yuv_batch_pallas(
                 ys, us, vs, rotations, self.plan_y, self.out_cam,
-                self.in_cam, self.plan_c, self.out_half, self.in_half,
+                self.in_eff, self.plan_c, self.out_half, self.in_half,
+                mip=self.mip,
             )
         return [
             self.warp_yuv(y, u, v, rotations[i])
@@ -501,7 +534,8 @@ def encode(
     in_cam, out_cam = build_cameras(meta, options)
     corrections = compute_corrections(traj, options)
 
-    warper = FrameWarper(in_cam, out_cam, options.max_correction_deg)
+    warper = FrameWarper(in_cam, out_cam, options.max_correction_deg,
+                         prefilter=options.prefilter == "auto")
     out_meta = VideoMeta(
         width=warper.out_w,
         height=warper.out_h,
