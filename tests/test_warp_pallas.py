@@ -425,3 +425,26 @@ def test_per_tile_mip_antialiases_checkerboard():
         out_m[c].std(), out_0[c].std()
     )
     assert abs(float(out_m[c].mean()) - 120.0) < 8.0
+
+
+def test_trip_group_matches_single():
+    """Grouped schedule walks (N entries/iteration, dead padding, split
+    accumulators) are pure perf knobs: outputs identical for every
+    combination, short and long schedules alike."""
+    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (320, 240))
+    out_cam = get_output_camera(in_cam, scale=1.0, crop_borders=False)
+    rng = np.random.default_rng(21)
+    img = np.round(rng.uniform(0, 255, size=(240, 320))).astype(np.float32)
+    for wvec in ([0.01, -0.02, 0.03], [0.06, 0.0, -0.05], [0.0, 0.0, 0.0]):
+        rot = so3.exp(jnp.asarray(wvec, jnp.float32))
+        base = None
+        for group, split in ((1, False), (2, False), (2, True), (4, True)):
+            plan = plan_warp(out_cam, in_cam, 6.0, trip_group=group,
+                             split_acc=split)
+            got = np.asarray(warp_frame_pallas(
+                jnp.asarray(img), rot, plan, out_cam, in_cam, interpret=True
+            ))
+            if base is None:
+                base = got
+            else:
+                np.testing.assert_array_equal(base, got)

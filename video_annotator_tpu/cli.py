@@ -21,10 +21,12 @@ import argparse
 import sys
 
 
-def _parse_time(value: str | None):
-    """Accept seconds ('12.5') or 'hh:mm:ss(.ms)' timecodes."""
+def _parse_time(value):
+    """Accept seconds ('12.5' or 12.5) or 'hh:mm:ss(.ms)' timecodes."""
     if value is None:
         return None
+    if isinstance(value, (int, float)):
+        return float(value)
     if ":" in value:
         parts = [float(p) for p in value.split(":")]
         secs = 0.0

@@ -83,6 +83,19 @@ class WarpPlan:
     # amortize per-trip setup (entry decode + window slice). Tuned by
     # measurement per configuration.
     trip_rows: int = 8
+    # Schedule entries walked per fori_loop iteration (1 disables). The
+    # loop's per-iteration overhead measures ~110 cycles on v5e (scalar
+    # decode -> vector dependency bubble + loop bookkeeping) — comparable
+    # to a whole 8-row trip's vector work — so grouping entries amortizes
+    # it (group=2: luma 2.61 -> 2.27 ms; group=4 + split accumulators:
+    # 2.08 ms at 4K). Short schedules pad with DEAD entries pointing at
+    # the phantom section (index `sections`), whose gathers mask to zero
+    # for every pixel.
+    trip_group: int = 1
+    # With grouping, alternate entries accumulate into independent
+    # register pairs (summed once after the loop): halves the FMA
+    # dependency chain the loop carries.
+    split_acc: bool = False
     # Per-TILE mip levels (the minification prefilter): level l tiles
     # sample from the l-times box-downsampled input through coordinates
     # scaled by 2^-l. mip_max == 0 disables the machinery entirely (the
@@ -111,6 +124,12 @@ class WarpPlan:
         return self.wh // 4
 
     @property
+    def win_sections(self) -> int:
+        # +1 phantom section for DEAD padding entries (never DMA'd;
+        # its gathers mask to zero).
+        return self.sections + (1 if self.trip_group > 1 else 0)
+
+    @property
     def slots(self) -> int:
         # Max (section, trip) schedule entries per tile: every section
         # spanning its worst-case trip count.
@@ -128,7 +147,9 @@ class WarpPlan:
 
     @property
     def entry_bits_s(self) -> int:
-        return max(1, (self.sections - 1).bit_length())
+        # One spare value above sections-1: the DEAD entry's phantom
+        # section (trip-group padding).
+        return max(1, self.sections.bit_length())
 
     @property
     def entries_per_word(self) -> int:
@@ -217,6 +238,8 @@ def plan_warp(
     out_size: Tuple[int, int] | None = None,
     trip_rows: int = 8,
     mip_levels: int = 0,
+    trip_group: int | None = None,
+    split_acc: bool | None = None,
 ) -> WarpPlan:
     """Choose static window sizes by probing the map over worst-case rotations.
 
@@ -225,6 +248,11 @@ def plan_warp(
     and measures the maximum source extent of any (8, 128) output tile plus
     how far true extrema escape the sub-tile sampled bounds.
     """
+    import os
+    if trip_group is None:
+        trip_group = int(os.environ.get("VAT_TRIP_GROUP", "4"))
+    if split_acc is None:
+        split_acc = os.environ.get("VAT_SPLIT_ACC", "1") != "0"
     if out_size is None:
         out_size = (out_camera.height, out_camera.width)
     crop_h, crop_w = out_size
@@ -384,6 +412,8 @@ def plan_warp(
         dip_x=dip_x,
         dip_y=dip_y,
         trip_rows=trip_rows,
+        trip_group=trip_group,
+        split_acc=split_acc,
         mip_max=mip_max,
         levels_blob=levels_blob,
     )
@@ -579,7 +609,11 @@ def _tile_origins(
     entry = (blo_of + tr * (js[:, 0] - prefix)) | (
         sec_of << plan.entry_bits_w
     )
-    entry = jnp.where(js[:, 0] < total[None], entry, 0)  # (slots, ny, nx)
+    # Pad beyond the schedule with DEAD entries (w8=0, phantom section):
+    # grouped-trip kernels visit pad entries on short totals and their
+    # gathers mask to zero for every pixel.
+    dead = nsec << plan.entry_bits_w
+    entry = jnp.where(js[:, 0] < total[None], entry, dead)  # (slots, ny, nx)
     # Pack entries several per int32 word (entry_bits_w + entry_bits_s
     # bits each): SMEM prefetch space is ~1MB and batched 4K schedules
     # would not fit uncompressed.
@@ -717,8 +751,9 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             )
 
         oyw, cs, total, midx, lvl, src = tile_meta(gidx)
+        win_tgt = win.at[pl.ds(0, nsec)] if plan.trip_group > 1 else win
         copy = pltpu.make_async_copy(
-            src.at[pl.ds(cs, nsec), pl.ds(oyw, wh_words), :], win, sem
+            src.at[pl.ds(cs, nsec), pl.ds(oyw, wh_words), :], win_tgt, sem
         )
         copy.start()
 
@@ -810,10 +845,8 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
         epw_mask = plan.entries_per_word - 1
         mbase = midx * plan.slot_words
 
-        def body(i, accs):
-            acc_l, acc_r = accs
-            word = meta2_ref[mbase + (i >> epw_shift)]
-            e = word >> ((i & epw_mask) * bits)
+        def visit_entry(e, accs, slot):
+            acc_l, acc_r = accs[2 * slot], accs[2 * slot + 1]
             w8 = e & ((1 << bits_w) - 1)  # word-row start (word-granular)
             sec = (e >> bits_w) & ((1 << plan.entry_bits_s) - 1)
             blkv = win[sec, pl.ds(w8, plan.trip_rows), :]
@@ -846,10 +879,43 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
                 v11 = ((g1 >> sh1) & 0xFF).astype(jnp.float32)
                 acc_l = acc_l + (a0 * v00 + a1 * v01)
                 acc_r = acc_r + (a0 * v10 + a1 * v11)
-            return acc_l, acc_r
+            out = list(accs)
+            out[2 * slot], out[2 * slot + 1] = acc_l, acc_r
+            return tuple(out)
 
+        def entry_at(i):
+            word = meta2_ref[mbase + (i >> epw_shift)]
+            return word >> ((i & epw_mask) * bits)
+
+        group = max(1, plan.trip_group)
+        n_pairs = 2 if (plan.split_acc and group > 1) else 1
+
+        def body(i, accs):
+            # `group` entries per iteration amortize the loop's
+            # per-iteration overhead (~110 cycles measured — rivals a
+            # trip's vector work); tail iterations visit DEAD pad
+            # entries (phantom section -> gathers fully masked). With
+            # split_acc, alternating entries feed independent
+            # accumulator pairs to halve the loop's FMA dependency
+            # chain.
+            for j in range(group):
+                accs = visit_entry(
+                    entry_at(group * i + j) if group > 1 else entry_at(i),
+                    accs,
+                    j % n_pairs,
+                )
+            return accs
+
+        nloop = (total + group - 1) // group if group > 1 else total
         zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        acc_l, acc_r = jax.lax.fori_loop(0, total, body, (zero, zero))
+        accs = jax.lax.fori_loop(
+            0, nloop, body,
+            tuple(zero for _ in range(2 * n_pairs)),
+        )
+        if n_pairs == 2:
+            acc_l, acc_r = accs[0] + accs[2], accs[1] + accs[3]
+        else:
+            acc_l, acc_r = accs
         acc = one_m_fx * acc_l + fx * acc_r
         result = jnp.where(valid, acc, border)
         if out_u8:
@@ -1111,7 +1177,7 @@ def _build_warp_fn(plan: WarpPlan, out_key, in_key, interpret: bool,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((plan.sections, plan.wh_words, 128), jnp.int32),
+            pltpu.VMEM((plan.win_sections, plan.wh_words, 128), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -1159,7 +1225,7 @@ def _build_warp_batch_fn(plan: WarpPlan, out_key, in_key, t: int,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((plan.sections, plan.wh_words, 128), jnp.int32),
+            pltpu.VMEM((plan.win_sections, plan.wh_words, 128), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -1237,7 +1303,7 @@ def _build_warp_planes_fn(plan: WarpPlan, out_key, in_key, t: int,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((plan.sections, plan.wh_words, 128), jnp.int32),
+            pltpu.VMEM((plan.win_sections, plan.wh_words, 128), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -1322,7 +1388,7 @@ def _build_warp_yuv_fn(plan_y: WarpPlan, out_key_y, in_key_y,
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((plan_y.sections, plan_y.wh_words, 128), jnp.int32),
+                pltpu.VMEM((plan_y.win_sections, plan_y.wh_words, 128), jnp.int32),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
@@ -1347,7 +1413,7 @@ def _build_warp_yuv_fn(plan_y: WarpPlan, out_key_y, in_key_y,
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((plan_c.sections, plan_c.wh_words, 128), jnp.int32),
+                pltpu.VMEM((plan_c.win_sections, plan_c.wh_words, 128), jnp.int32),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
@@ -1409,52 +1475,74 @@ def warp_yuv_pallas(
 def _build_warp_yuv_batch_fn(plan_y: WarpPlan, out_key_y, in_key_y,
                              plan_c: WarpPlan, out_key_c, in_key_c,
                              t: int, interpret: bool, mip: int = 0):
-    """T frames per dispatch: one batched luma kernel (grid (T, ny, nx))
-    and one batched chroma kernel over the 2T half-res planes, plus all
-    packs and origin passes, in ONE jitted call.
+    """T frames per dispatch: all packs, origin passes, and per-frame
+    kernels in ONE jitted call.
 
     Amortizes per-dispatch host overhead (~0.35 ms on a tunneled backend)
-    and lets the kernels pipeline back-to-back on device. Inputs arrive as
-    per-frame tuples (device arrays) and are stacked inside the jit — an
-    eager host-side stack would cost a full extra pass over the frames.
+    and lets the kernels pipeline back-to-back on device. Each frame runs
+    the SINGLE-frame (ny, nx)-grid kernels: a combined (T, ny, nx) grid
+    with (1, 8, 128) out blocks measured ~0.75 ms/frame SLOWER than T
+    2D-grid invocations in the same program (the leading grid dim's
+    per-step out-block handling is pure overhead). Inputs arrive as
+    per-frame tuples (device arrays); chroma planes of a frame still
+    share one dispatch (the "planes" kernel) and one meta set.
     """
     out_cam_y = _camera_from_key(out_key_y)
     in_cam_y = _camera_from_key(in_key_y)
     out_cam_c = _camera_from_key(out_key_c)
     in_cam_c = _camera_from_key(in_key_c)
 
-    def make_call(plan, out_cam, in_cam, n, border):
-        kern = _make_kernel(plan, out_cam, in_cam, batched=True,
-                            border=border, out_u8=True)
-        ny, nx = plan.grid
-        return pl.pallas_call(
-            kern,
-            out_shape=jax.ShapeDtypeStruct(
-                (n, plan.out_h, plan.out_w), jnp.uint8
-            ),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=3,
-                grid=(n, ny, nx),
-                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-                out_specs=pl.BlockSpec(
-                    (1, TILE_H, TILE_W),
-                    lambda ti, ty, tx, *pf: (ti, ty, tx),
-                    memory_space=pltpu.VMEM,
-                ),
-                scratch_shapes=[
-                    pltpu.VMEM(
-                        (plan.sections, plan.wh_words, 128), jnp.int32
-                    ),
-                    pltpu.SemaphoreType.DMA,
-                ],
-            ),
-            interpret=interpret,
-        )
-
-    call_y = make_call(plan_y, out_cam_y, in_cam_y, t, 0.0)
-    call_c = make_call(plan_c, out_cam_c, in_cam_c, 2 * t, 128.0)
+    kernel_y = _make_kernel(plan_y, out_cam_y, in_cam_y, out_u8=True)
     nyy, nxy = plan_y.grid
+    call_y = pl.pallas_call(
+        kernel_y,
+        out_shape=jax.ShapeDtypeStruct(
+            (plan_y.out_h, plan_y.out_w), jnp.uint8
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nyy, nxy),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (TILE_H, TILE_W),
+                lambda ty, tx, *pf: (ty, tx),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (plan_y.win_sections, plan_y.wh_words, 128), jnp.int32
+                ),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        interpret=interpret,
+    )
+    kernel_c = _make_kernel(plan_c, out_cam_c, in_cam_c, batched="planes",
+                            border=128.0, out_u8=True)
     nyc, nxc = plan_c.grid
+    call_c = pl.pallas_call(
+        kernel_c,
+        out_shape=jax.ShapeDtypeStruct(
+            (2, plan_c.out_h, plan_c.out_w), jnp.uint8
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(2, nyc, nxc),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, TILE_H, TILE_W),
+                lambda ti, ty, tx, *pf: (ti, ty, tx),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (plan_c.win_sections, plan_c.wh_words, 128), jnp.int32
+                ),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        interpret=interpret,
+    )
     use_kernel = not interpret
 
     @jax.jit
@@ -1464,39 +1552,22 @@ def _build_warp_yuv_batch_fn(plan_y: WarpPlan, out_key_y, in_key_y,
         m1y, m2y = jax.vmap(
             lambda r: _tile_origins(plan_y, out_cam_y, in_cam_y, r)
         )(rots)
-        words_y = jnp.stack([
-            _pack_input(y, plan_y, mip, 0, use_kernel)
-            for y in ys
-        ])
-        wy = call_y(
-            rot9,
-            m1y.reshape(t * nyy * nxy),
-            m2y.reshape(t * nyy * nxy * plan_y.slot_words),
-            words_y,
-        )
         m1c, m2c = jax.vmap(
             lambda r: _tile_origins(plan_c, out_cam_c, in_cam_c, r)
         )(rots)
-        # Planes of frame i sit at rows 2i (U) and 2i+1 (V); metas and
-        # rotations repeat per plane pair.
-        words_uv = jnp.stack([
-            _pack_input(p, plan_c, mip, 128, use_kernel)
-            for pair in zip(us, vs) for p in pair
-        ])
-        wc = call_c(
-            jnp.repeat(rot9, 2, axis=0),
-            jnp.repeat(m1c, 2, axis=0).reshape(2 * t * nyc * nxc),
-            jnp.repeat(m2c, 2, axis=0).reshape(
-                2 * t * nyc * nxc * plan_c.slot_words
-            ),
-            words_uv,
-        )
         out = []
         for i in range(t):
+            words_y = _pack_input(ys[i], plan_y, mip, 0, use_kernel)
+            wy = call_y(rot9[i], m1y[i], m2y[i], words_y)
+            words_uv = jnp.stack([
+                _pack_input(p, plan_c, mip, 128, use_kernel)
+                for p in (us[i], vs[i])
+            ])
+            wc = call_c(rot9[i], m1c[i], m2c[i], words_uv)
             out.append((
-                wy[i, : plan_y.crop_h, : plan_y.crop_w],
-                wc[2 * i, : plan_c.crop_h, : plan_c.crop_w],
-                wc[2 * i + 1, : plan_c.crop_h, : plan_c.crop_w],
+                wy[: plan_y.crop_h, : plan_y.crop_w],
+                wc[0, : plan_c.crop_h, : plan_c.crop_w],
+                wc[1, : plan_c.crop_h, : plan_c.crop_w],
             ))
         return out
 
