@@ -1,0 +1,59 @@
+"""CLI surface: option parsing mirrors the reference's commander options
+(``src/cli.ts:34-178``), including the time parser that fixes the
+reference's ``=== NaN`` bug (``src/utils.ts:13-19``)."""
+
+import numpy as np
+
+from video_annotator_tpu.cli import _parse_time, _render_options, build_parser
+
+
+def test_parse_time_forms():
+    assert _parse_time(None) is None
+    assert _parse_time("90") == 90.0
+    assert _parse_time("1:30") == 90.0
+    assert _parse_time("0:01:30") == 90.0
+    assert _parse_time("01:02:03") == 3723.0
+    assert _parse_time(12.5) == 12.5
+
+
+def test_render_options_mapping():
+    p = build_parser()
+    args = p.parse_args([
+        "render", "in.mp4", "out.mp4",
+        "-s", "10", "-e", "1:00", "-w", "1920", "-h2", "1080",
+        "--roll", "2", "--pitch", "-1", "--yaw", "0.5",
+        "--filter", "vidstab", "--stabilise", "smooth",
+        "--stabilise-radius", "45", "--stabilise-buffer", "10",
+        "--input-dfov", "120", "--projection", "fisheye",
+        "--prefilter", "auto", "--encoder", "mp4v", "-v",
+    ])
+    o = _render_options(args)
+    assert o.start == 10.0 and o.end == 60.0
+    assert (o.width, o.height) == (1920, 1080)
+    assert (o.roll, o.pitch, o.yaw) == (2.0, -1.0, 0.5)
+    assert o.filter in ("vidstab", "similarity")  # alias normalization
+    assert o.stabilise == "smooth" and o.stabilise_radius == 45
+    assert o.stabilise_buffer == 10.0
+    assert o.input_dfov == 120.0 and o.projection == "fisheye"
+    assert o.prefilter == "auto" and o.verbose
+
+
+def test_parser_has_reference_option_surface():
+    """Every capability knob of the reference CLI exists here."""
+    p = build_parser()
+    help_text = p.format_help()
+    sub = None
+    for a in p._subparsers._group_actions[0].choices.items():  # noqa: SLF001
+        if a[0] == "render":
+            sub = a[1]
+    text = sub.format_help()
+    for opt in ("--start", "--duration", "--end", "--width", "--height",
+                "--roll", "--pitch", "--yaw", "--upsample", "--crop",
+                "--filter", "--stabilise", "--stabilise-radius",
+                "--interpolate-radius", "--stabilise-buffer",
+                "--input-dfov", "--output-dfov", "--projection",
+                "--encode-only", "--analyse-only", "--no-output",
+                "--encoder", "--frame-rate", "--compare", "--debug"):
+        assert opt in text, opt
+    for cmd in ("join", "render", "workflow", "calibrate", "compare"):
+        assert cmd in help_text, cmd
