@@ -96,6 +96,14 @@ class WarpPlan:
     # register pairs (summed once after the loop): halves the FMA
     # dependency chain the loop carries.
     split_acc: bool = False
+    # Predicated tail: the grouped loop walks only total // group FULL
+    # groups; the up-to-(group-1) remaining entries run under scalar
+    # lax.cond guards. Without it, short schedules pad to a full group
+    # with DEAD entries whose gathers mask to zero but whose vector work
+    # (gathers + extracts + FMAs over the whole tile) still executes —
+    # at mean ~3.7 entries/tile and group 4 that wasted ~1.8 entries
+    # (~25% of kernel time). A not-taken cond costs a scalar branch.
+    pred_tail: bool = True
     # Per-TILE mip levels (the minification prefilter): level l tiles
     # sample from the l-times box-downsampled input through coordinates
     # scaled by 2^-l. mip_max == 0 disables the machinery entirely (the
@@ -253,6 +261,7 @@ def plan_warp(
         trip_group = int(os.environ.get("VAT_TRIP_GROUP", "4"))
     if split_acc is None:
         split_acc = os.environ.get("VAT_SPLIT_ACC", "1") != "0"
+    pred_tail = os.environ.get("VAT_PRED_TAIL", "1") != "0"
     if out_size is None:
         out_size = (out_camera.height, out_camera.width)
     crop_h, crop_w = out_size
@@ -414,6 +423,7 @@ def plan_warp(
         trip_rows=trip_rows,
         trip_group=trip_group,
         split_acc=split_acc,
+        pred_tail=pred_tail,
         mip_max=mip_max,
         levels_blob=levels_blob,
     )
@@ -424,6 +434,16 @@ def plan_warp(
         + plan.slots.bit_length()
     )
     assert meta1_bits <= 31, (meta1_bits, plan)
+    # The schedule's shift-down trick (never re-chunk a chain whose last
+    # trip would run past the window) assumes trip chains can always be
+    # placed inside [0, wh_words); ceil(span/trip_rows)*trip_rows can
+    # exceed wh_words when trip_rows does not divide it (a full-window
+    # span then overruns the VMEM window slice — garbage taps).
+    assert plan.wh_words % plan.trip_rows == 0, (
+        "trip_rows must divide the window word rows",
+        plan.trip_rows,
+        plan.wh_words,
+    )
     return plan
 
 
@@ -698,12 +718,24 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
     in_fisheye = in_camera.model == CameraModel.FISHEYE
     k1, k2, k3, k4 = [float(v) for v in np.asarray(in_camera.dist)]
 
+    nplanes = 2 if batched == "uv" else 1
+
     def kernel(rot_ref, meta1_ref, meta2_ref, in_hbm, out_ref, win, sem):
         # NOTE: a double-buffered variant (prefetch the next tile's window
         # during compute) was measured SLOWER on v5e (both the original
         # parity-select-on-values form and a slot-indexed-scratch form).
         # Single buffer, DMA started before the map math.
-        if batched:
+        if batched == "uv":
+            # BOTH chroma planes of one frame per grid step: the planes
+            # share the rotation, metas, map math, and schedule walk —
+            # only the gathered data differs. Versus the "planes" grid
+            # (one plane per step) this halves the per-tile scalar and
+            # map work and fuses the two planes' windows into the same
+            # schedule walk (measured ~25% faster on the chroma pass).
+            ty = pl.program_id(0)
+            tx = pl.program_id(1)
+            gidx = ty * nx + tx
+        elif batched:
             # "frames": leading grid dim is frames with per-frame rotation
             # and (frame-folded) metas. "planes": leading dim is planes of
             # ONE frame sharing one rotation and one set of metas (U+V in
@@ -723,10 +755,11 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
         def tile_meta(g):
             # Metas are FLAT 1D SMEM arrays indexed by global tile id
             # (2D prefetch layouts pad rows to 128 words and blow SMEM).
-            if batched == "planes":
-                # Planes of one frame share metas: fold out the plane idx.
-                midx = jax.lax.rem(g, ny * nx)
-                src = in_hbm.at[g // (ny * nx)]
+            if batched in ("planes", "uv"):
+                # Planes of one frame share metas: fold out the plane idx
+                # ("planes": leading grid dim; "uv": leading input dim).
+                midx = jax.lax.rem(g, ny * nx) if batched == "planes" else g
+                src = in_hbm.at[g // (ny * nx)] if batched == "planes" else in_hbm
             elif batched:
                 midx = g
                 src = in_hbm.at[g // (ny * nx)]
@@ -738,7 +771,8 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             if plan.mip_max:
                 lvl = (m1_ >> shift) & 3  # this tile's mip level
                 shift += plan.meta1_bits_level
-                src = src.at[lvl]
+                if batched != "uv":  # uv applies the level per plane
+                    src = src.at[lvl]
             else:
                 lvl = 0
             return (
@@ -751,18 +785,38 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             )
 
         oyw, cs, total, midx, lvl, src = tile_meta(gidx)
-        win_tgt = win.at[pl.ds(0, nsec)] if plan.trip_group > 1 else win
-        copy = pltpu.make_async_copy(
-            src.at[pl.ds(cs, nsec), pl.ds(oyw, wh_words), :], win_tgt, sem
-        )
-        copy.start()
+        copies = []
+        if batched == "uv":
+            # One DMA per plane into the stacked window; sem is a (2,)
+            # DMA semaphore array.
+            for p in range(2):
+                sp = src.at[p]
+                if plan.mip_max:
+                    sp = sp.at[lvl]
+                win_p = (
+                    win.at[p, pl.ds(0, nsec)]
+                    if plan.trip_group > 1
+                    else win.at[p]
+                )
+                copies.append(pltpu.make_async_copy(
+                    sp.at[pl.ds(cs, nsec), pl.ds(oyw, wh_words), :],
+                    win_p,
+                    sem.at[p],
+                ))
+        else:
+            win_tgt = win.at[pl.ds(0, nsec)] if plan.trip_group > 1 else win
+            copies.append(pltpu.make_async_copy(
+                src.at[pl.ds(cs, nsec), pl.ds(oyw, wh_words), :], win_tgt, sem
+            ))
+        for c in copies:
+            c.start()
 
         # --- map computation (the createMap math), in-register ------------
         ys = (ty * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)).astype(jnp.float32)
         xs = (tx * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)).astype(jnp.float32)
         rx = (xs - ocx) / ofx
         ry = (ys - ocy) / ofy
-        if batched and batched != "planes":
+        if batched and batched not in ("planes", "uv"):
             r = [rot_ref[ti, i] for i in range(9)]
         else:
             r = [rot_ref[i] for i in range(9)]
@@ -822,7 +876,8 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
         sh1 = ((ty0 + 1) & 3) << 3
         wy0 = 1.0 - fy
 
-        copy.wait()
+        for c in copies:
+            c.wait()
 
         # Single loop over the tile's precomputed (block, section)
         # SCHEDULE from SMEM. Each 128-column window section iterates only
@@ -846,10 +901,16 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
         mbase = midx * plan.slot_words
 
         def visit_entry(e, accs, slot):
-            acc_l, acc_r = accs[2 * slot], accs[2 * slot + 1]
+            base = 2 * nplanes * slot
             w8 = e & ((1 << bits_w) - 1)  # word-row start (word-granular)
             sec = (e >> bits_w) & ((1 << plan.entry_bits_s) - 1)
-            blkv = win[sec, pl.ds(w8, plan.trip_rows), :]
+            if nplanes == 2:
+                blkvs = [
+                    win[p, sec, pl.ds(w8, plan.trip_rows), :]
+                    for p in range(2)
+                ]
+            else:
+                blkvs = [win[sec, pl.ds(w8, plan.trip_rows), :]]
             local = ix0 - sec * 128
             # Gather indices and out-of-section masks are loop-invariant
             # across the 8 rows: hoist them (4 VPU ops/row saved).
@@ -857,30 +918,35 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             m1 = (local + 1).astype(jnp.uint32) < jnp.uint32(128)
             lidx0 = local & 127
             lidx1 = (local + 1) & 127
+            out = list(accs)
             for rr_ in range(plan.trip_rows):
-                seg = jnp.broadcast_to(
-                    blkv[rr_ : rr_ + 1, :], (TILE_H, TILE_W)
-                )
-                g0 = jnp.where(m0, jnp.take_along_axis(seg, lidx0, axis=1), 0)
-                g1 = jnp.where(m1, jnp.take_along_axis(seg, lidx1, axis=1), 0)
                 # Vertical taps via per-pixel byte extraction: tap t
                 # contributes wy0 when its word row q0 is this row, tap
                 # t+1 contributes fy when q1 is (75% of the time the same
                 # word, both handled in one visit). The horizontal blend
                 # factors (one_m_fx / fx) are constant across rows, so the
                 # left/right taps accumulate separately and blend once
-                # after the loop.
+                # after the loop. Row weights are shared across planes.
                 row = w8 + rr_
                 a0 = jnp.where(q0 == row, wy0, 0.0)
                 a1 = jnp.where(q1 == row, fy, 0.0)
-                v00 = ((g0 >> sh0) & 0xFF).astype(jnp.float32)
-                v01 = ((g0 >> sh1) & 0xFF).astype(jnp.float32)
-                v10 = ((g1 >> sh0) & 0xFF).astype(jnp.float32)
-                v11 = ((g1 >> sh1) & 0xFF).astype(jnp.float32)
-                acc_l = acc_l + (a0 * v00 + a1 * v01)
-                acc_r = acc_r + (a0 * v10 + a1 * v11)
-            out = list(accs)
-            out[2 * slot], out[2 * slot + 1] = acc_l, acc_r
+                for p in range(nplanes):
+                    seg = jnp.broadcast_to(
+                        blkvs[p][rr_ : rr_ + 1, :], (TILE_H, TILE_W)
+                    )
+                    g0 = jnp.where(
+                        m0, jnp.take_along_axis(seg, lidx0, axis=1), 0
+                    )
+                    g1 = jnp.where(
+                        m1, jnp.take_along_axis(seg, lidx1, axis=1), 0
+                    )
+                    v00 = ((g0 >> sh0) & 0xFF).astype(jnp.float32)
+                    v01 = ((g0 >> sh1) & 0xFF).astype(jnp.float32)
+                    v10 = ((g1 >> sh0) & 0xFF).astype(jnp.float32)
+                    v11 = ((g1 >> sh1) & 0xFF).astype(jnp.float32)
+                    k = base + 2 * p
+                    out[k] = out[k] + (a0 * v00 + a1 * v01)
+                    out[k + 1] = out[k + 1] + (a0 * v10 + a1 * v11)
             return tuple(out)
 
         def entry_at(i):
@@ -888,16 +954,17 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             return word >> ((i & epw_mask) * bits)
 
         group = max(1, plan.trip_group)
-        n_pairs = 2 if (plan.split_acc and group > 1) else 1
+        # The uv kernel already carries 4 accumulators (2 planes x
+        # left/right) — plenty of FMA-chain parallelism; splitting would
+        # double register pressure for no measured gain.
+        n_pairs = 2 if (plan.split_acc and group > 1 and nplanes == 1) else 1
 
         def body(i, accs):
             # `group` entries per iteration amortize the loop's
             # per-iteration overhead (~110 cycles measured — rivals a
-            # trip's vector work); tail iterations visit DEAD pad
-            # entries (phantom section -> gathers fully masked). With
-            # split_acc, alternating entries feed independent
-            # accumulator pairs to halve the loop's FMA dependency
-            # chain.
+            # trip's vector work). With split_acc, alternating entries
+            # feed independent accumulator pairs to halve the loop's FMA
+            # dependency chain.
             for j in range(group):
                 accs = visit_entry(
                     entry_at(group * i + j) if group > 1 else entry_at(i),
@@ -906,24 +973,53 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
                 )
             return accs
 
-        nloop = (total + group - 1) // group if group > 1 else total
         zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        accs = jax.lax.fori_loop(
-            0, nloop, body,
-            tuple(zero for _ in range(2 * n_pairs)),
-        )
-        if n_pairs == 2:
-            acc_l, acc_r = accs[0] + accs[2], accs[1] + accs[3]
+        init = tuple(zero for _ in range(2 * nplanes * n_pairs))
+        if group > 1 and plan.pred_tail:
+            # FULL groups in the loop; the up-to-(group-1) leftover
+            # entries run under scalar lax.cond guards. A not-taken
+            # guard costs a scalar branch; a DEAD pad entry would cost
+            # a whole trip's vector work.
+            nfull = total // group
+            accs = jax.lax.fori_loop(0, nfull, body, init)
+            base = nfull * group
+            for j in range(group - 1):
+                accs = jax.lax.cond(
+                    base + j < total,
+                    lambda a, jj=j: visit_entry(
+                        entry_at(base + jj), a, jj % n_pairs
+                    ),
+                    lambda a: a,
+                    accs,
+                )
         else:
-            acc_l, acc_r = accs
-        acc = one_m_fx * acc_l + fx * acc_r
-        result = jnp.where(valid, acc, border)
-        if out_u8:
-            # Emit video bytes directly: quarters the output DMA and
-            # removes the separate XLA rounding pass in the encode loop.
-            # Mosaic has no f32->u8 cast; round through int32.
-            result = jnp.round(result).astype(jnp.int32).astype(jnp.uint8)
-        out_ref[...] = result[None] if batched else result
+            # Tail iterations visit DEAD pad entries (phantom section
+            # -> gathers fully masked).
+            nloop = (total + group - 1) // group if group > 1 else total
+            accs = jax.lax.fori_loop(0, nloop, body, init)
+        stride = 2 * nplanes
+        results = []
+        for p in range(nplanes):
+            acc_l, acc_r = accs[2 * p], accs[2 * p + 1]
+            if n_pairs == 2:
+                acc_l = acc_l + accs[stride + 2 * p]
+                acc_r = acc_r + accs[stride + 2 * p + 1]
+            acc = one_m_fx * acc_l + fx * acc_r
+            result = jnp.where(valid, acc, border)
+            if out_u8:
+                # Emit video bytes directly: quarters the output DMA and
+                # removes the separate XLA rounding pass in the encode
+                # loop. Mosaic has no f32->u8 cast; round through int32.
+                result = jnp.round(result).astype(jnp.int32).astype(
+                    jnp.uint8
+                )
+            results.append(result)
+        if batched == "uv":
+            out_ref[...] = jnp.stack(results)
+        elif batched:
+            out_ref[...] = results[0][None]
+        else:
+            out_ref[...] = results[0]
 
     return kernel
 
@@ -1395,7 +1491,7 @@ def _build_warp_yuv_fn(plan_y: WarpPlan, out_key_y, in_key_y,
         interpret=interpret,
     )
 
-    kernel_c = _make_kernel(plan_c, out_cam_c, in_cam_c, batched="planes",
+    kernel_c = _make_kernel(plan_c, out_cam_c, in_cam_c, batched="uv",
                             border=128.0, out_u8=True)
     nyc, nxc = plan_c.grid
     call_c = pl.pallas_call(
@@ -1405,16 +1501,19 @@ def _build_warp_yuv_fn(plan_y: WarpPlan, out_key_y, in_key_y,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(2, nyc, nxc),
+            grid=(nyc, nxc),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
-                (1, TILE_H, TILE_W),
-                lambda ti, ty, tx, *pf: (ti, ty, tx),
+                (2, TILE_H, TILE_W),
+                lambda ty, tx, *pf: (0, ty, tx),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((plan_c.win_sections, plan_c.wh_words, 128), jnp.int32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM(
+                    (2, plan_c.win_sections, plan_c.wh_words, 128),
+                    jnp.int32,
+                ),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         interpret=interpret,
@@ -1517,7 +1616,7 @@ def _build_warp_yuv_batch_fn(plan_y: WarpPlan, out_key_y, in_key_y,
         ),
         interpret=interpret,
     )
-    kernel_c = _make_kernel(plan_c, out_cam_c, in_cam_c, batched="planes",
+    kernel_c = _make_kernel(plan_c, out_cam_c, in_cam_c, batched="uv",
                             border=128.0, out_u8=True)
     nyc, nxc = plan_c.grid
     call_c = pl.pallas_call(
@@ -1527,18 +1626,19 @@ def _build_warp_yuv_batch_fn(plan_y: WarpPlan, out_key_y, in_key_y,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(2, nyc, nxc),
+            grid=(nyc, nxc),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
-                (1, TILE_H, TILE_W),
-                lambda ti, ty, tx, *pf: (ti, ty, tx),
+                (2, TILE_H, TILE_W),
+                lambda ty, tx, *pf: (0, ty, tx),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
                 pltpu.VMEM(
-                    (plan_c.win_sections, plan_c.wh_words, 128), jnp.int32
+                    (2, plan_c.win_sections, plan_c.wh_words, 128),
+                    jnp.int32,
                 ),
-                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         interpret=interpret,
