@@ -104,6 +104,15 @@ class WarpPlan:
     # at mean ~3.7 entries/tile and group 4 that wasted ~1.8 entries
     # (~25% of kernel time). A not-taken cond costs a scalar branch.
     pred_tail: bool = True
+    # Double-buffered window DMA: at grid step g, issue step g+1's
+    # window copy into the other slot before waiting on this step's.
+    # Component-stripped timing showed the window DMA costs ~450 ns/tile
+    # of pure LATENCY (52% of the luma kernel; the 48 KB itself is
+    # ~60 ns of HBM bandwidth) and overlaps with nothing — the map math
+    # is only ~95 ns. (An earlier double-buffer attempt measured slower,
+    # but that was before the schedule walk was cut 3x; the DMA stall
+    # now dominates.)
+    dbuf: bool = True
     # Per-TILE mip levels (the minification prefilter): level l tiles
     # sample from the l-times box-downsampled input through coordinates
     # scaled by 2^-l. mip_max == 0 disables the machinery entirely (the
@@ -187,6 +196,27 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def warp_scratch_shapes(plan: "WarpPlan", mode=None):
+    """Scratch shapes (window VMEM + DMA semaphores) for a warp kernel.
+
+    Must mirror what :func:`_make_kernel` indexes: ``mode="uv"`` stacks
+    the two chroma planes' windows; ``plan.dbuf`` doubles both window
+    and semaphores for the double-buffered window pipeline.
+    """
+    win = (plan.win_sections, plan.wh_words, 128)
+    sem = ()
+    if mode == "uv":
+        win = (2,) + win
+        sem = (2,) + sem
+    if plan.dbuf:
+        win = (2,) + win
+        sem = (2,) + sem
+    return [
+        pltpu.VMEM(win, jnp.int32),
+        pltpu.SemaphoreType.DMA(sem) if sem else pltpu.SemaphoreType.DMA,
+    ]
+
+
 def _warp_map_np(out_camera: Camera, in_camera: Camera, rot: np.ndarray, out_size):
     """NumPy twin of :func:`compute_warp_map` for host-side planning.
 
@@ -262,6 +292,7 @@ def plan_warp(
     if split_acc is None:
         split_acc = os.environ.get("VAT_SPLIT_ACC", "1") != "0"
     pred_tail = os.environ.get("VAT_PRED_TAIL", "1") != "0"
+    dbuf = os.environ.get("VAT_DBUF", "1") != "0"
     if out_size is None:
         out_size = (out_camera.height, out_camera.width)
     crop_h, crop_w = out_size
@@ -424,6 +455,7 @@ def plan_warp(
         trip_group=trip_group,
         split_acc=split_acc,
         pred_tail=pred_tail,
+        dbuf=dbuf,
         mip_max=mip_max,
         levels_blob=levels_blob,
     )
@@ -785,31 +817,72 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             )
 
         oyw, cs, total, midx, lvl, src = tile_meta(gidx)
-        copies = []
-        if batched == "uv":
-            # One DMA per plane into the stacked window; sem is a (2,)
-            # DMA semaphore array.
-            for p in range(2):
-                sp = src.at[p]
-                if plan.mip_max:
-                    sp = sp.at[lvl]
-                win_p = (
-                    win.at[p, pl.ds(0, nsec)]
+
+        def window_copies(g, win_slot, sem_slot):
+            """DMA descriptors for tile g's window into the given slots."""
+            oyw_, cs_, _t, _m, lvl_, src_ = tile_meta(g)
+            out = []
+            if batched == "uv":
+                # One DMA per plane into the stacked window; sem is a
+                # per-plane DMA semaphore array.
+                for p in range(2):
+                    sp = src_.at[p]
+                    if plan.mip_max:
+                        sp = sp.at[lvl_]
+                    win_p = (
+                        win_slot.at[p, pl.ds(0, nsec)]
+                        if plan.trip_group > 1
+                        else win_slot.at[p]
+                    )
+                    out.append(pltpu.make_async_copy(
+                        sp.at[pl.ds(cs_, nsec), pl.ds(oyw_, wh_words), :],
+                        win_p,
+                        sem_slot.at[p],
+                    ))
+            else:
+                tgt = (
+                    win_slot.at[pl.ds(0, nsec)]
                     if plan.trip_group > 1
-                    else win.at[p]
+                    else win_slot
                 )
-                copies.append(pltpu.make_async_copy(
-                    sp.at[pl.ds(cs, nsec), pl.ds(oyw, wh_words), :],
-                    win_p,
-                    sem.at[p],
+                out.append(pltpu.make_async_copy(
+                    src_.at[pl.ds(cs_, nsec), pl.ds(oyw_, wh_words), :],
+                    tgt,
+                    sem_slot,
                 ))
+            return out
+
+        if plan.dbuf:
+            # Double-buffered window pipeline: tile g's window was
+            # started at step g-1; start g+1's into the other slot, then
+            # wait for g's. Hides the DMA latency (~450 ns/tile, over
+            # half the kernel) behind the previous tile's compute. gidx
+            # is the FLAT grid step in every mode, so g+1 is always the
+            # next step's tile (crossing frame/plane boundaries too).
+            nsteps = 1
+            for d in range(3 if (batched and batched != "uv") else 2):
+                nsteps *= pl.num_programs(d)
+            slot = jax.lax.rem(gidx, 2)
+
+            @pl.when(gidx == 0)
+            def _():
+                for c in window_copies(gidx, win.at[slot], sem.at[slot]):
+                    c.start()
+
+            @pl.when(gidx + 1 < nsteps)
+            def _():
+                for c in window_copies(
+                    gidx + 1, win.at[1 - slot], sem.at[1 - slot]
+                ):
+                    c.start()
+
+            win_view = win.at[slot]
+            copies = window_copies(gidx, win_view, sem.at[slot])
         else:
-            win_tgt = win.at[pl.ds(0, nsec)] if plan.trip_group > 1 else win
-            copies.append(pltpu.make_async_copy(
-                src.at[pl.ds(cs, nsec), pl.ds(oyw, wh_words), :], win_tgt, sem
-            ))
-        for c in copies:
-            c.start()
+            win_view = win
+            copies = window_copies(gidx, win, sem)
+            for c in copies:
+                c.start()
 
         # --- map computation (the createMap math), in-register ------------
         ys = (ty * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)).astype(jnp.float32)
@@ -906,11 +979,11 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             sec = (e >> bits_w) & ((1 << plan.entry_bits_s) - 1)
             if nplanes == 2:
                 blkvs = [
-                    win[p, sec, pl.ds(w8, plan.trip_rows), :]
+                    win_view[p, sec, pl.ds(w8, plan.trip_rows), :]
                     for p in range(2)
                 ]
             else:
-                blkvs = [win[sec, pl.ds(w8, plan.trip_rows), :]]
+                blkvs = [win_view[sec, pl.ds(w8, plan.trip_rows), :]]
             local = ix0 - sec * 128
             # Gather indices and out-of-section masks are loop-invariant
             # across the 8 rows: hoist them (4 VPU ops/row saved).
@@ -1129,12 +1202,12 @@ def _camera_from_key(key) -> Camera:
     return Camera.make(fx, fy, cx, cy, w, h, model, dist=jnp.asarray(dist))
 
 
-def _pack_kernel_body(nsec: int):
+def _pack_kernel_body(nsec: int, rows: int):
     def kernel(in_ref, out_ref):
-        x = in_ref[...]  # (32, W_pad) uint8
+        x = in_ref[...]  # (rows, W_pad) uint8
         for s in range(nsec):
-            seg = jax.lax.slice(x, (0, s * 128), (32, (s + 1) * 128))
-            # pltpu.bitcast of a (32, 128) uint8 tile to int32 packs 4
+            seg = jax.lax.slice(x, (0, s * 128), (rows, (s + 1) * 128))
+            # pltpu.bitcast of a (rows, 128) uint8 tile to int32 packs 4
             # consecutive sublanes into each word's bytes little-endian —
             # exactly the quad-row word layout (verified vs the arithmetic
             # pack). This makes the pack a pure VMEM relayout at copy speed.
@@ -1145,16 +1218,21 @@ def _pack_kernel_body(nsec: int):
 @functools.lru_cache(maxsize=32)
 def _pack_call(in_h_pad: int, in_w_pad: int):
     nsec = in_w_pad // 128
+    # Rows per grid step: bigger blocks amortize per-step overhead (the
+    # pack is step-count-bound, not bandwidth-bound; 256-row blocks of a
+    # 4K frame are ~1 MB of VMEM in + 1 MB out).
+    rows = next(r for r in (256, 128, 64, 32) if in_h_pad % r == 0)
     return pl.pallas_call(
-        _pack_kernel_body(nsec),
-        grid=(in_h_pad // 32,),
+        _pack_kernel_body(nsec, rows),
+        grid=(in_h_pad // rows,),
         in_specs=[
             pl.BlockSpec(
-                (32, in_w_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (rows, in_w_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
             )
         ],
         out_specs=pl.BlockSpec(
-            (nsec, 8, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (nsec, rows // 4, 128), lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (nsec, in_h_pad // 4, 128), jnp.int32
@@ -1272,14 +1350,16 @@ def _build_warp_fn(plan: WarpPlan, out_key, in_key, interpret: bool,
             lambda ty, tx, *prefetch: (ty, tx),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((plan.win_sections, plan.wh_words, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=warp_scratch_shapes(plan),
     )
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((plan.out_h, plan.out_w), jnp.float32),
+        # Logical output is the exact crop: pallas masks the partial
+        # edge blocks, which removes the (lane-unaligned, surprisingly
+        # expensive ~0.7 ms/frame at 4K) crop-slice relayout entirely.
+        out_shape=jax.ShapeDtypeStruct(
+            (plan.crop_h, plan.crop_w), jnp.float32
+        ),
         grid_spec=grid_spec,
         interpret=interpret,
     )
@@ -1290,8 +1370,7 @@ def _build_warp_fn(plan: WarpPlan, out_key, in_key, interpret: bool,
         rot9 = jnp.reshape(rotation.astype(jnp.float32), (9,))
         words = _pack_input(frame, plan, mip, int(border),
                             not interpret)
-        out = call(rot9, meta1, meta2, words)
-        return out[: plan.crop_h, : plan.crop_w]
+        return call(rot9, meta1, meta2, words)
 
     return run
 
@@ -1320,14 +1399,13 @@ def _build_warp_batch_fn(plan: WarpPlan, out_key, in_key, t: int,
             lambda ti, ty, tx, *pf: (ti, ty, tx),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((plan.win_sections, plan.wh_words, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=warp_scratch_shapes(plan),
     )
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((t, plan.out_h, plan.out_w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (t, plan.crop_h, plan.crop_w), jnp.float32
+        ),
         grid_spec=grid_spec,
         interpret=interpret,
     )
@@ -1351,8 +1429,7 @@ def _build_warp_batch_fn(plan: WarpPlan, out_key, in_key, t: int,
         meta1, meta2 = origins(rotations)
         rot9 = jnp.reshape(rotations.astype(jnp.float32), (t, 9))
         words = pack(frames)
-        out = call(rot9, meta1, meta2, words)
-        return out[:, : plan.crop_h, : plan.crop_w]
+        return call(rot9, meta1, meta2, words)
 
     return run
 
@@ -1398,15 +1475,12 @@ def _build_warp_planes_fn(plan: WarpPlan, out_key, in_key, t: int,
             lambda ti, ty, tx, *pf: (ti, ty, tx),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((plan.win_sections, plan.wh_words, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=warp_scratch_shapes(plan),
     )
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (t, plan.out_h, plan.out_w), jnp.float32
+            (t, plan.crop_h, plan.crop_w), jnp.float32
         ),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -1423,9 +1497,7 @@ def _build_warp_planes_fn(plan: WarpPlan, out_key, in_key, t: int,
              for f in planes]
         )
         out = call(rot9, meta1, meta2, words)
-        return tuple(
-            out[i, : plan.crop_h, : plan.crop_w] for i in range(t)
-        )
+        return tuple(out[i] for i in range(t))
 
     return run
 
@@ -1472,7 +1544,7 @@ def _build_warp_yuv_fn(plan_y: WarpPlan, out_key_y, in_key_y,
     call_y = pl.pallas_call(
         kernel_y,
         out_shape=jax.ShapeDtypeStruct(
-            (plan_y.out_h, plan_y.out_w), jnp.uint8
+            (plan_y.crop_h, plan_y.crop_w), jnp.uint8
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -1483,10 +1555,7 @@ def _build_warp_yuv_fn(plan_y: WarpPlan, out_key_y, in_key_y,
                 lambda ty, tx, *pf: (ty, tx),
                 memory_space=pltpu.VMEM,
             ),
-            scratch_shapes=[
-                pltpu.VMEM((plan_y.win_sections, plan_y.wh_words, 128), jnp.int32),
-                pltpu.SemaphoreType.DMA,
-            ],
+            scratch_shapes=warp_scratch_shapes(plan_y),
         ),
         interpret=interpret,
     )
@@ -1497,7 +1566,7 @@ def _build_warp_yuv_fn(plan_y: WarpPlan, out_key_y, in_key_y,
     call_c = pl.pallas_call(
         kernel_c,
         out_shape=jax.ShapeDtypeStruct(
-            (2, plan_c.out_h, plan_c.out_w), jnp.uint8
+            (2, plan_c.crop_h, plan_c.crop_w), jnp.uint8
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -1508,13 +1577,7 @@ def _build_warp_yuv_fn(plan_y: WarpPlan, out_key_y, in_key_y,
                 lambda ty, tx, *pf: (0, ty, tx),
                 memory_space=pltpu.VMEM,
             ),
-            scratch_shapes=[
-                pltpu.VMEM(
-                    (2, plan_c.win_sections, plan_c.wh_words, 128),
-                    jnp.int32,
-                ),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            scratch_shapes=warp_scratch_shapes(plan_c, "uv"),
         ),
         interpret=interpret,
     )
@@ -1533,11 +1596,7 @@ def _build_warp_yuv_fn(plan_y: WarpPlan, out_key_y, in_key_y,
             for p in (u, v)
         ])
         wc = call_c(rot9, m1c, m2c, words_uv)
-        return (
-            wy[: plan_y.crop_h, : plan_y.crop_w],
-            wc[0, : plan_c.crop_h, : plan_c.crop_w],
-            wc[1, : plan_c.crop_h, : plan_c.crop_w],
-        )
+        return (wy, wc[0], wc[1])
 
     return run
 
@@ -1596,7 +1655,7 @@ def _build_warp_yuv_batch_fn(plan_y: WarpPlan, out_key_y, in_key_y,
     call_y = pl.pallas_call(
         kernel_y,
         out_shape=jax.ShapeDtypeStruct(
-            (plan_y.out_h, plan_y.out_w), jnp.uint8
+            (plan_y.crop_h, plan_y.crop_w), jnp.uint8
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -1607,12 +1666,7 @@ def _build_warp_yuv_batch_fn(plan_y: WarpPlan, out_key_y, in_key_y,
                 lambda ty, tx, *pf: (ty, tx),
                 memory_space=pltpu.VMEM,
             ),
-            scratch_shapes=[
-                pltpu.VMEM(
-                    (plan_y.win_sections, plan_y.wh_words, 128), jnp.int32
-                ),
-                pltpu.SemaphoreType.DMA,
-            ],
+            scratch_shapes=warp_scratch_shapes(plan_y),
         ),
         interpret=interpret,
     )
@@ -1622,7 +1676,7 @@ def _build_warp_yuv_batch_fn(plan_y: WarpPlan, out_key_y, in_key_y,
     call_c = pl.pallas_call(
         kernel_c,
         out_shape=jax.ShapeDtypeStruct(
-            (2, plan_c.out_h, plan_c.out_w), jnp.uint8
+            (2, plan_c.crop_h, plan_c.crop_w), jnp.uint8
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -1633,13 +1687,7 @@ def _build_warp_yuv_batch_fn(plan_y: WarpPlan, out_key_y, in_key_y,
                 lambda ty, tx, *pf: (0, ty, tx),
                 memory_space=pltpu.VMEM,
             ),
-            scratch_shapes=[
-                pltpu.VMEM(
-                    (2, plan_c.win_sections, plan_c.wh_words, 128),
-                    jnp.int32,
-                ),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            scratch_shapes=warp_scratch_shapes(plan_c, "uv"),
         ),
         interpret=interpret,
     )
@@ -1664,11 +1712,7 @@ def _build_warp_yuv_batch_fn(plan_y: WarpPlan, out_key_y, in_key_y,
                 for p in (us[i], vs[i])
             ])
             wc = call_c(rot9[i], m1c[i], m2c[i], words_uv)
-            out.append((
-                wy[: plan_y.crop_h, : plan_y.crop_w],
-                wc[0, : plan_c.crop_h, : plan_c.crop_w],
-                wc[1, : plan_c.crop_h, : plan_c.crop_w],
-            ))
+            out.append((wy, wc[0], wc[1]))
         return out
 
     return run
