@@ -561,7 +561,7 @@ def _tile_origins(
     # origins made ~6-word spans straddle two blocks, nearly doubling the
     # kernel's row visits).
     oy = (jnp.clip(oy, 0, max(in_h_pad - plan.wh, 0)) // 4) * 4
-    oyw = oy // 4  # word-row origin (any integer)
+    # (word-row origin oyw is derived after the flatten below)
 
     # Per-tile 32-px column INTERVALS: interval k of tile tx is bounded by
     # sample columns 4*tx+k and 4*tx+k+1; a pixel's source coordinates are
@@ -580,7 +580,6 @@ def _tile_origins(
         )
         for k in range(NX_SUB)
     ]
-    oxf = ox.astype(jnp.float32)
     # Tap coverage bounds from measured dips (NOT the conservative origin
     # margins): true source x in [xmin-dip, xmax+dip]; taps floor(x) and
     # floor(x)+1. A section is touched iff the tap interval
@@ -588,7 +587,7 @@ def _tile_origins(
     mx1 = plan.dip_x
     mx2 = plan.dip_x + 1.0
     nsec = plan.sections
-    # Vectorized over sections: (S, ny, nx) bounds from the NX_SUB interval
+    # Vectorized over sections: (S, ...) bounds from the NX_SUB interval
     # bound sets (a python loop here costs hundreds of tiny HLO ops that
     # dominate the per-frame origin pass).
     cb = jnp.stack([jnp.stack(b) for b in colbs])  # (NX_SUB, 4, ny, nx)
@@ -597,6 +596,28 @@ def _tile_origins(
         # coordinates (min_x, max_x, min_y, max_y) — one uniform level
         # transform.
         cb = (cb + 0.5) * s_t - 0.5 + off_t
+
+    # Flatten the (ny, nx) tile grid to dense (mrows, 128) blocks for
+    # ALL the schedule math below: (.., ny, nx)-shaped tensors put nx on
+    # the lane axis (19 of 128 lanes used at 4K — ~6x vreg waste for
+    # ~100 elementwise ops). The broadcast ranks are unchanged, so the
+    # arithmetic below is identical; only the layout differs.
+    n_t = ny * nx
+    n_pad = _round_up(n_t, 128)
+    mrows = n_pad // 128
+
+    def flat(a):
+        a2 = a.reshape(a.shape[:-2] + (n_t,))
+        if n_pad != n_t:
+            widths = [(0, 0)] * (a2.ndim - 1) + [(0, n_pad - n_t)]
+            a2 = jnp.pad(a2, widths)
+        return a2.reshape(a.shape[:-2] + (mrows, 128))
+
+    cb = flat(cb)
+    ox = flat(ox)
+    oy = flat(oy)
+    oyw = oy // 4
+    oxf = ox.astype(jnp.float32)
     lo_b = oxf[None] + 128.0 * jnp.arange(nsec, dtype=jnp.float32).reshape(
         nsec, 1, 1
     )
@@ -665,7 +686,7 @@ def _tile_origins(
     # grouped-trip kernels visit pad entries on short totals and their
     # gathers mask to zero for every pixel.
     dead = nsec << plan.entry_bits_w
-    entry = jnp.where(js[:, 0] < total[None], entry, dead)  # (slots, ny, nx)
+    entry = jnp.where(js[:, 0] < total[None], entry, dead)
     # Pack entries several per int32 word (entry_bits_w + entry_bits_s
     # bits each): SMEM prefetch space is ~1MB and batched 4K schedules
     # would not fit uncompressed.
@@ -674,11 +695,11 @@ def _tile_origins(
     pad = plan.slot_words * epw - slots
     if pad:
         entry = jnp.concatenate(
-            [entry, jnp.zeros((pad, ny, nx), jnp.int32)], axis=0
+            [entry, jnp.zeros((pad, mrows, 128), jnp.int32)], axis=0
         )
-    entry = entry.reshape(plan.slot_words, epw, ny, nx)
+    entry = entry.reshape(plan.slot_words, epw, mrows, 128)
     shifts = (jnp.arange(epw, dtype=jnp.int32) * bits).reshape(1, epw, 1, 1)
-    words_ = jnp.sum(entry << shifts, axis=1)  # (slot_words, ny, nx)
+    words_ = jnp.sum(entry << shifts, axis=1)  # (slot_words, mrows, 128)
     # Both metas are FLAT 1D prefetch arrays: SMEM pads the trailing dim
     # of prefetch operands to 128 words, which for per-row 2D layouts
     # wasted ~6x the SMEM budget on 4K batches. meta1 packs the window
@@ -688,12 +709,16 @@ def _tile_origins(
     meta1 = oyw | ((ox // 128) << plan.meta1_bits_oyw)
     if plan.mip_max:
         meta1 = meta1 | (
-            jnp.asarray(plan.levels.astype(np.int32)) << shift
+            flat(jnp.asarray(plan.levels.astype(np.int32))) << shift
         )
         shift += plan.meta1_bits_level
     meta1 = meta1 | (total << shift)
-    meta2 = words_.transpose(1, 2, 0).reshape(ny * nx * plan.slot_words)
-    return meta1.reshape(ny * nx), meta2
+    meta2 = (
+        words_.reshape(plan.slot_words, n_pad)
+        .T[:n_t]
+        .reshape(n_t * plan.slot_words)
+    )
+    return meta1.reshape(n_pad)[:n_t], meta2
 
 
 def _atan(x: jax.Array) -> jax.Array:
