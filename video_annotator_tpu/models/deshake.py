@@ -36,30 +36,47 @@ def analyse_deshake(
     reader = open_reader(source)
     meta = reader.meta
 
+    @jax.jit
+    def track_step(prev_gray, gray, acc):
+        # d such that curr(x) ~= prev(x - d): camera moved by +d. Runs
+        # and accumulates on device — no per-frame host sync (each
+        # blocked round trip costs ~30-90 ms over a remote backend).
+        d, _peak = phase_correlate(
+            gray.astype(jnp.float32), prev_gray.astype(jnp.float32)
+        )
+        return acc + d
+
     first, last = _frame_range(meta, options)
-    acc = np.zeros(2)
+    acc = jnp.zeros(2, jnp.float32)
     out = []
     prev_gray = None
     idx = -1
-    for y, _, _ in prof.wrap_iter("decode", iter(reader)):
+    from video_annotator_tpu.io.prefetch import DevicePrefetcher
+
+    pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)))
+    for y, _, _ in pre:
         idx += 1
         if idx < first:
             continue
         if idx >= last:
             break
-        gray = jnp.asarray(y, jnp.float32)
+        gray = y
         if prev_gray is None:
-            out.append(np.zeros(2))
+            out.append(acc)
         else:
             with prof.stage("track"):
-                # d such that curr(x) ~= prev(x - d): camera moved by +d.
-                d, _peak = phase_correlate(gray, prev_gray)
-                acc = acc + np.asarray(d, np.float64)
-                out.append(acc.copy())
+                acc = track_step(prev_gray, gray, acc)
+                out.append(acc)
         prev_gray = gray
+    pre.close()
     reader.close()
+    with prof.stage("collect"):
+        params_np = (
+            np.asarray(jnp.stack(out), np.float64)
+            if out else np.zeros((0, 2))
+        )
     return Trajectory(
-        params=np.asarray(out, np.float64),
+        params=params_np,
         kind="translation",
         fps=meta.fps,
         width=meta.width,

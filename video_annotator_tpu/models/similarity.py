@@ -26,6 +26,7 @@ from video_annotator_tpu.ops.affine import (
 )
 from video_annotator_tpu.ops.corners import detect_corners
 from video_annotator_tpu.ops.lk import pyramidal_lk
+from video_annotator_tpu.ops.lk_pallas import pyramidal_lk_pallas
 from video_annotator_tpu.pipeline.profiler import StageProfiler
 from video_annotator_tpu.pipeline.trajectory import Trajectory
 from video_annotator_tpu.smoothing.savgol import savgol_weights
@@ -51,53 +52,79 @@ def analyse_similarity(
     min_refresh = max(20, int(round(150 * res_scale)))
     min_inliers = max(10, int(round(40 * res_scale)))
 
-    @jax.jit
-    def track_step(prev_gray, gray, pts, valid, prev_params):
-        new_pts, status = pyramidal_lk(prev_gray, gray, pts, valid)
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnames=("refresh_age",))
+    def track_step(prev_gray, gray, pts, valid, prev_params, acc, refresh_age):
+        """Fully-device analyse step (same shape as the rotation family's,
+        ``pipeline/render.py``): track + fit + accumulate + conditional
+        corner refresh, with no per-frame host read. Over a remote backend
+        a blocked device->host round trip costs ~30-90 ms/frame — this
+        loop syncs once, at the end of the clip."""
+        lk = pyramidal_lk if jax.default_backend() == "cpu" else pyramidal_lk_pallas
+        new_pts, status = lk(prev_gray, gray, pts, valid)
         params, inliers = fit_similarity(pts, new_pts, status)
         params = jnp.where(inliers >= min_inliers, params, prev_params)
-        return new_pts, status, params, inliers
+        acc = compose_similarity(params, acc)
+        if refresh_age:
+            out_pts, out_valid = detect_corners(
+                gray, max_corners=MAX_CORNERS, min_distance=min_distance
+            )
+        else:
+            out_pts, out_valid = jax.lax.cond(
+                jnp.sum(status) < min_refresh,
+                lambda: detect_corners(
+                    gray, max_corners=MAX_CORNERS, min_distance=min_distance
+                ),
+                lambda: (new_pts, status),
+            )
+        return out_pts, out_valid, params, acc
 
     @jax.jit
     def detect_step(gray):
         return detect_corners(gray, max_corners=MAX_CORNERS, min_distance=min_distance)
 
     first, last = _frame_range(meta, options)
-    acc = jnp.zeros(4)
-    prev_params = jnp.zeros(4)
+    acc = jnp.zeros(4, jnp.float32)
+    prev_params = jnp.zeros(4, jnp.float32)
     out = []
     prev_gray = None
     pts = valid = None
     age = 0
     idx = -1
-    for y, _, _ in prof.wrap_iter("decode", iter(reader)):
+    from video_annotator_tpu.io.prefetch import DevicePrefetcher
+
+    pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)))
+    for y, _, _ in pre:
         idx += 1
         if idx < first:
             continue
         if idx >= last:
             break
-        gray = jnp.asarray(y, jnp.float32)
+        gray = y
         if prev_gray is None:
             with prof.stage("detect"):
                 pts, valid = detect_step(gray)
-            out.append(np.zeros(4))
+            out.append(acc)
         else:
             with prof.stage("track"):
-                pts, valid, params, _ = track_step(
-                    prev_gray, gray, pts, valid, prev_params
+                pts, valid, prev_params, acc = track_step(
+                    prev_gray, gray, pts, valid, prev_params, acc,
+                    refresh_age=age >= KEY_FRAME_MAX_AGE,
                 )
-                prev_params = params
-                acc = compose_similarity(params, acc)
-                out.append(np.asarray(acc, np.float64))
-            age += 1
-            if age > KEY_FRAME_MAX_AGE or int(jnp.sum(valid)) < min_refresh:
-                with prof.stage("detect"):
-                    pts, valid = detect_step(gray)
-                age = 0
+                out.append(acc)
+            age = 0 if age >= KEY_FRAME_MAX_AGE else age + 1
         prev_gray = gray
+    pre.close()
     reader.close()
+    # One device->host sync for the whole trajectory.
+    with prof.stage("collect"):
+        params_np = (
+            np.asarray(jnp.stack(out), np.float64)
+            if out else np.zeros((0, 4))
+        )
     return Trajectory(
-        params=np.asarray(out, np.float64),
+        params=params_np,
         kind="similarity",
         fps=meta.fps,
         width=meta.width,
