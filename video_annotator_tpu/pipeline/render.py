@@ -558,10 +558,12 @@ def encode(
     # (or a device-array slice) inside the frame loop costs ~1-3 ms each on
     # the remote backend.
     corr = np.asarray(corrections, np.float32)
-    # 16-frame batches halve the wall clock vs 8 on the remote backend
-    # (~20 ms of per-dispatch overhead amortizes over the batch; device
-    # time is ~2.9 ms/frame at 4K).
-    batch = max(1, int(os.environ.get("VAT_WARP_BATCH", "16")))
+    # Measured 4K sweep (best-of-5, two dispatches in flight): batch 16
+    # 3.41 ms/frame, 24 3.14, 32 2.69, 48/64 flat (2.7-2.8) — dispatch
+    # overhead and inter-kernel glue amortize up to ~32 frames, beyond
+    # which live-buffer pressure eats the gain. 32 frames of 4K YUV in +
+    # out, twice in flight, is ~2 GB of HBM (16 GB chip).
+    batch = max(1, int(os.environ.get("VAT_WARP_BATCH", "32")))
     rots_dev = [
         jax.device_put(
             np.concatenate([corr[i : i + batch]]
