@@ -1471,11 +1471,23 @@ def warp_frames_pallas(
     """Warp a batch of frames with per-frame rotations; (T, crop_h, crop_w)."""
     t = frames.shape[0]
     assert frames.shape[1:] == (plan.in_h, plan.in_w), frames.shape
-    fn = _build_warp_batch_fn(
-        plan, _camera_key(out_camera), _camera_key(in_camera), t, interpret,
-        border,
-    )
-    return fn(frames, rotations)
+    # The whole batch's tile metadata is prefetched into SMEM (~1 MB):
+    # cap the per-dispatch frame count so it fits (at 4K luma that is
+    # ~80 KB/frame of schedule words) and chunk larger batches. The YUV
+    # hot path sidesteps this with per-frame 2D grids; this float path
+    # keeps the simpler 3D grid.
+    ny, nx = plan.grid
+    words_per_frame = ny * nx * (1 + plan.slot_words) + 9
+    max_t = max(1, (700_000 // 4) // max(words_per_frame, 1))
+    outs = []
+    for i in range(0, t, max_t):
+        n = min(max_t, t - i)
+        fn = _build_warp_batch_fn(
+            plan, _camera_key(out_camera), _camera_key(in_camera), n,
+            interpret, border,
+        )
+        outs.append(fn(frames[i:i + n], rotations[i:i + n]))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
 @functools.lru_cache(maxsize=64)
