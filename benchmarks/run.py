@@ -241,7 +241,7 @@ def bench_1080p_full_pipeline():
     )
     smooth = jax.jit(smooth_rotations_kalman)
 
-    batch = 16
+    batch = 32
 
     def full_run(sync):
         pts, valid = detect(frames[0])
@@ -321,7 +321,7 @@ def bench_4k_gyro_fused():
     y = jnp.asarray(rng.integers(0, 255, (h, w), dtype=np.uint8))
     u = jnp.asarray(rng.integers(0, 255, (h // 2, w // 2), dtype=np.uint8))
     v = jnp.asarray(rng.integers(0, 255, (h // 2, w // 2), dtype=np.uint8))
-    batch = 16
+    batch = 32
     ys, us, vs = (y,) * batch, (u,) * batch, (v,) * batch
 
     def run():
