@@ -45,7 +45,10 @@ def write_minimal_gpmf_mp4(path, payloads, timescale=1000, delta=1001):
         struct.pack(">I", o) for o in offsets))
     stsc = _full(b"stsc", struct.pack(">I", 1) + struct.pack(">III", 1, 1, 1))
     stts = _full(b"stts", struct.pack(">I", 1) + struct.pack(">II", n, delta))
-    stsd = _full(b"stsd", struct.pack(">I", 0))
+    # One 'gpmd' sample entry (16-byte generic sample description), as in
+    # real GoPro files — libav demuxers reject an empty stsd.
+    gpmd = struct.pack(">I4s", 16, b"gpmd") + b"\x00" * 6 + struct.pack(">H", 1)
+    stsd = _full(b"stsd", struct.pack(">I", 1) + gpmd)
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
     minf = _box(b"minf", stbl)
     hdlr = _full(
@@ -58,7 +61,11 @@ def write_minimal_gpmf_mp4(path, payloads, timescale=1000, delta=1001):
     )
     mdia = _box(b"mdia", mdhd + hdlr + minf)
     trak = _box(b"trak", mdia)
-    mvhd = _full(b"mvhd", b"\x00" * 96)
+    # Valid movie header: timescale + duration (libav rejects timescale 0).
+    mvhd = _full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, n * delta) + b"\x00" * 80,
+    )
     moov = _box(b"moov", mvhd + trak)
     with open(path, "wb") as f:
         f.write(ftyp + mdat + moov)

@@ -75,6 +75,30 @@ def test_batched_matches_single():
         np.testing.assert_allclose(batch[t], single, atol=1e-4)
 
 
+def test_batched_chunks_match_unchunked():
+    """SMEM chunking (max_t) must be invisible in the result: a 3-frame
+    batch forced through 2-frame dispatches equals the single-dispatch
+    batch (the 4K cap is ~10 frames of tile metadata per 1 MB SMEM)."""
+    from video_annotator_tpu.ops.warp_pallas import warp_frames_pallas
+
+    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (320, 240))
+    out_cam = get_output_camera(in_cam, scale=1.0, crop_borders=True)
+    plan = plan_warp(out_cam, in_cam, max_correction_deg=6.0)
+    rng = np.random.default_rng(5)
+    frames = jnp.asarray(
+        np.round(rng.uniform(0, 255, (3, 240, 320))).astype(np.float32)
+    )
+    rots = so3.exp(jnp.asarray(rng.normal(size=(3, 3)) * 0.02, jnp.float32))
+    whole = np.asarray(
+        warp_frames_pallas(frames, rots, plan, out_cam, in_cam, interpret=True)
+    )
+    chunked = np.asarray(
+        warp_frames_pallas(frames, rots, plan, out_cam, in_cam, interpret=True,
+                           max_t=2)
+    )
+    np.testing.assert_allclose(chunked, whole, atol=1e-5)
+
+
 def test_chroma_border_fill_preserves_sub_neutral_values():
     """Chroma planes warp raw with border=128: values below neutral must
     survive (regression: the packed path clipped u-128 at 0, wiping all

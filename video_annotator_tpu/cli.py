@@ -99,8 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Generate trajectory only")
     r.add_argument("--no-output", action="store_true",
                    help="Run the pipeline but discard output")
-    r.add_argument("--encoder", default="mp4v",
-                   help="fourcc for cv2 encoder (mp4 outputs)")
+    r.add_argument("--encoder", default=None,
+                   help="libav encoder name (libx264 QP19 when the native "
+                        "writer is built — the reference's default, "
+                        "src/cli.ts:120) or 4-char cv2 fourcc; default auto")
     r.add_argument("--frame-rate", type=float, default=None)
     r.add_argument("--compare", type=str, default=None,
                    help="Comma-separated stabilise modes to tile side-by-side")
@@ -128,7 +130,7 @@ def build_parser() -> argparse.ArgumentParser:
     wf.add_argument("--concurrency", type=int, default=1)
     wf.add_argument("--sets-json", default=None,
                     help="Non-interactive set list for 'tag'")
-    wf.add_argument("--encoder", default="mp4v")
+    wf.add_argument("--encoder", default=None)
     wf.add_argument("--render-args", default=None,
                     help="Extra args passed to each split render "
                          "(space-separated)")
@@ -145,6 +147,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _render_options(args) -> "RenderOptions":
     from video_annotator_tpu.camera import CameraPreset
+    from video_annotator_tpu.io.video import default_encoder
     from video_annotator_tpu.pipeline.render import RenderOptions
 
     preset = None
@@ -176,7 +179,7 @@ def _render_options(args) -> "RenderOptions":
         analyse_only=getattr(args, "analyse_only", False),
         encode_only=getattr(args, "encode_only", False),
         no_output=getattr(args, "no_output", False),
-        encoder=getattr(args, "encoder", "mp4v"),
+        encoder=getattr(args, "encoder", None) or default_encoder(),
         frame_rate=getattr(args, "frame_rate", None),
         prefilter=getattr(args, "prefilter", "off"),
         verbose=getattr(args, "verbose", False),
@@ -184,6 +187,8 @@ def _render_options(args) -> "RenderOptions":
 
 
 def main(argv=None) -> int:
+    from video_annotator_tpu.io.video import default_encoder
+
     args = build_parser().parse_args(argv)
     try:
         if args.command == "join":
@@ -227,7 +232,8 @@ def main(argv=None) -> int:
                     args.code, args.directory, args.concurrency, extra
                 )
             elif args.action == "encode":
-                workflow.encode(args.code, args.directory, args.encoder)
+                workflow.encode(args.code, args.directory,
+                                args.encoder or default_encoder())
         elif args.command == "calibrate":
             from video_annotator_tpu.calibrate import calibrate_cli
 

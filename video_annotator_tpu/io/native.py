@@ -103,3 +103,92 @@ class NativeVideoSource:
         if self._h:
             self._lib.va_close(self._h)
             self._h = None
+
+
+_WRITER_LIB_PATH = os.path.join(os.path.dirname(_LIB_PATH), "libvawriter.so")
+_wlib = None
+
+
+def load_writer_library():
+    global _wlib
+    if _wlib is not None:
+        return _wlib
+    if not os.path.exists(_WRITER_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_WRITER_LIB_PATH)
+    except OSError:
+        return None
+    lib.vaw_open.restype = ctypes.c_void_p
+    lib.vaw_open.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int,
+    ]
+    lib.vaw_write.restype = ctypes.c_int
+    lib.vaw_write.argtypes = [ctypes.c_void_p] + [
+        ctypes.POINTER(ctypes.c_uint8)
+    ] * 3
+    lib.vaw_close.restype = ctypes.c_int
+    lib.vaw_close.argtypes = [ctypes.c_void_p]
+    lib.vaw_error.restype = ctypes.c_char_p
+    lib.vaw_error.argtypes = [ctypes.c_void_p]
+    _wlib = lib
+    return lib
+
+
+def native_writer_available() -> bool:
+    return load_writer_library() is not None
+
+
+class NativeVideoWriter:
+    """Sink backed by the C++ encoder (libx264 QP 19 by default).
+
+    The reference's encode semantics: ``-c:v libx264 -qp 19`` (visually
+    lossless, ``src/render.ts:12-19``) with the source's audio and GPMF
+    data tracks stream-copied alongside (``src/join.ts:56-82``). Pass
+    ``copy_streams_from`` (and the trim window, source-time seconds) to
+    enable the passthrough.
+    """
+
+    def __init__(self, path: str, meta: VideoMeta, encoder: str = "libx264",
+                 qp: int = 19, copy_streams_from: Optional[str] = None,
+                 trim_start: float = 0.0, trim_end: float = -1.0,
+                 ring_frames: int = 8):
+        lib = load_writer_library()
+        if lib is None:
+            raise RuntimeError("native writer not built (make -C native)")
+        self._lib = lib
+        self._w, self._h2 = meta.width, meta.height
+        fps = Fraction(meta.fps)
+        self._handle = lib.vaw_open(
+            path.encode(), meta.width, meta.height,
+            fps.numerator, fps.denominator, encoder.encode(), qp,
+            copy_streams_from.encode() if copy_streams_from else None,
+            float(trim_start), float(trim_end), ring_frames,
+        )
+        if not self._handle:
+            raise RuntimeError(
+                f"native writer cannot open {path} ({encoder})"
+            )
+
+    def write(self, planes):
+        y, u, v = (np.ascontiguousarray(p, np.uint8) for p in planes)
+        assert y.shape == (self._h2, self._w), (y.shape, self._w, self._h2)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        r = self._lib.vaw_write(
+            self._handle, y.ctypes.data_as(u8p), u.ctypes.data_as(u8p),
+            v.ctypes.data_as(u8p),
+        )
+        if r != 1:
+            err = self._lib.vaw_error(self._handle)
+            raise RuntimeError(
+                f"native encode failed: {err.decode() if err else r}"
+            )
+
+    def close(self):
+        if self._handle:
+            h, self._handle = self._handle, None
+            status = self._lib.vaw_close(h)
+            if status != 0:
+                raise RuntimeError(f"native writer close failed ({status})")

@@ -182,9 +182,50 @@ class _NullSink:
         pass
 
 
-def open_writer(path: Optional[str], meta: VideoMeta, encoder: str = "mp4v"):
+# Encoder names routed to the native libav writer (libx264 at constant
+# QP 19 — the reference's "visually lossless" setting, src/render.ts:12-19).
+# 4-char fourcc names (mp4v, avc1, ...) keep going through OpenCV.
+_NATIVE_ENCODERS = {"libx264", "x264", "h264", "libx265", "hevc", "mpeg4"}
+
+
+def default_encoder() -> str:
+    """libx264 when the native writer is built (the reference's default,
+    ``src/cli.ts:120``); OpenCV's mp4v otherwise."""
+    try:
+        from video_annotator_tpu.io.native import native_writer_available
+
+        if native_writer_available():
+            return "libx264"
+    except Exception:
+        pass
+    return "mp4v"
+
+
+def open_writer(path: Optional[str], meta: VideoMeta, encoder: str = "mp4v",
+                copy_streams_from: Optional[str] = None,
+                trim_start: float = 0.0, trim_end: float = -1.0):
+    """Open a frame sink. ``copy_streams_from`` stream-copies the source's
+    audio and GPMF data tracks into the output container (native writer
+    only; the reference maps them in ``src/join.ts:56-82``), restricted to
+    the ``[trim_start, trim_end)`` source window (seconds)."""
     if path is None:
         return _NullSink()
     if path.endswith(".y4m"):
         return _Y4MSink(path, meta)
+    if encoder in _NATIVE_ENCODERS or copy_streams_from is not None:
+        try:
+            from video_annotator_tpu.io.native import (
+                NativeVideoWriter,
+                native_writer_available,
+            )
+
+            if native_writer_available():
+                name = "libx264" if encoder in ("x264", "h264") else encoder
+                return NativeVideoWriter(
+                    path, meta, encoder=name, qp=19,
+                    copy_streams_from=copy_streams_from,
+                    trim_start=trim_start, trim_end=trim_end,
+                )
+        except (RuntimeError, OSError):
+            pass
     return _CvSink(path, meta, fourcc=encoder if len(encoder) == 4 else "mp4v")

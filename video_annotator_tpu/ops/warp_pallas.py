@@ -1467,6 +1467,7 @@ def warp_frames_pallas(
     in_camera: Camera,
     interpret: bool = False,
     border: float = 0.0,
+    max_t: int | None = None,
 ) -> jax.Array:
     """Warp a batch of frames with per-frame rotations; (T, crop_h, crop_w)."""
     t = frames.shape[0]
@@ -1475,10 +1476,11 @@ def warp_frames_pallas(
     # cap the per-dispatch frame count so it fits (at 4K luma that is
     # ~80 KB/frame of schedule words) and chunk larger batches. The YUV
     # hot path sidesteps this with per-frame 2D grids; this float path
-    # keeps the simpler 3D grid.
+    # keeps the simpler 3D grid. ``max_t`` overrides the cap (tests).
     ny, nx = plan.grid
     words_per_frame = ny * nx * (1 + plan.slot_words) + 9
-    max_t = max(1, (700_000 // 4) // max(words_per_frame, 1))
+    if max_t is None:
+        max_t = max(1, (700_000 // 4) // max(words_per_frame, 1))
     outs = []
     for i in range(0, t, max_t):
         n = min(max_t, t - i)

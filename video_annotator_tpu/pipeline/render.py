@@ -114,6 +114,29 @@ class RenderOptions:
     verbose: bool = False
 
 
+def _passthrough_kwargs(source: str, meta: VideoMeta, o: RenderOptions):
+    """Audio/GPMF stream-copy window for the native writer.
+
+    The reference's render keeps the source's audio alongside the encoded
+    video and its joiner maps the GPMF track explicitly
+    (``src/join.ts:56-82``); here any container source gets its non-video
+    streams copied into the output, restricted to the trim window."""
+    if source.startswith("synthetic://") or source.endswith(".y4m"):
+        return {}
+    start = o.start or 0.0
+    if o.end is not None:
+        end = float(o.end)
+    elif o.duration is not None:
+        end = start + float(o.duration)
+    else:
+        end = -1.0
+    return {
+        "copy_streams_from": source,
+        "trim_start": start,
+        "trim_end": end,
+    }
+
+
 def _frame_range(meta: VideoMeta, o: RenderOptions):
     fps = float(meta.fps)
     first = int(round((o.start or 0.0) * fps))
@@ -548,7 +571,8 @@ def encode(
 
     writer = AsyncFrameWriter(
         open_writer(None if options.no_output else dest, out_meta,
-                    encoder=options.encoder)
+                    encoder=options.encoder,
+                    **_passthrough_kwargs(source, meta, options))
     )
 
     first, last = _frame_range(meta, options)
@@ -650,7 +674,8 @@ def encode_2d(
         num_frames=traj.num_frames,
     )
     writer = open_writer(None if options.no_output else dest, out_meta,
-                         encoder=options.encoder)
+                         encoder=options.encoder,
+                         **_passthrough_kwargs(source, meta, options))
     first, last = _frame_range(meta, options)
     idx = -1
     t = 0

@@ -203,7 +203,8 @@ def encode(code: str, directory: str = ".", encoder: str = "mp4v"):
             print(f"set {i + 1}: already encoded")
             continue
         reader = open_reader(src)
-        writer = open_writer(out, reader.meta, encoder=encoder)
+        writer = open_writer(out, reader.meta, encoder=encoder,
+                             copy_streams_from=src)
         n = 0
         for planes in reader:
             writer.write(planes)
