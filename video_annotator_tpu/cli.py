@@ -104,6 +104,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "writer is built — the reference's default, "
                         "src/cli.ts:120) or 4-char cv2 fourcc; default auto")
     r.add_argument("--frame-rate", type=float, default=None)
+    # Hardware-configurator analogues (the reference plans VAAPI/OpenCL
+    # wiring + frame pools, src/render.ts:95-252; here the knobs are the
+    # device dispatch batch, prefetch depth, and native-IO fallback —
+    # the counterpart of --no-map-open-cl-from-vaapi/--copy-vaapi-frames
+    # selecting slower interop paths).
+    r.add_argument("--warp-batch", type=int, default=None,
+                   help="frames per warp dispatch (default 32)")
+    r.add_argument("--prefetch-depth", type=int, default=3,
+                   help="host->device frames in flight")
+    r.add_argument("--no-native-io", dest="native_io", action="store_false",
+                   help="use cv2/pure-python IO instead of the C++ "
+                        "libav decoder/encoder")
     r.add_argument("--compare", type=str, default=None,
                    help="Comma-separated stabilise modes to tile side-by-side")
     r.add_argument("--debug", action="store_true")
@@ -181,6 +193,9 @@ def _render_options(args) -> "RenderOptions":
         no_output=getattr(args, "no_output", False),
         encoder=getattr(args, "encoder", None) or default_encoder(),
         frame_rate=getattr(args, "frame_rate", None),
+        warp_batch=getattr(args, "warp_batch", None),
+        prefetch_depth=getattr(args, "prefetch_depth", 3),
+        native_io=getattr(args, "native_io", True),
         prefilter=getattr(args, "prefilter", "off"),
         verbose=getattr(args, "verbose", False),
     )

@@ -203,7 +203,8 @@ def default_encoder() -> str:
 
 def open_writer(path: Optional[str], meta: VideoMeta, encoder: str = "mp4v",
                 copy_streams_from: Optional[str] = None,
-                trim_start: float = 0.0, trim_end: float = -1.0):
+                trim_start: float = 0.0, trim_end: float = -1.0,
+                allow_native: bool = True):
     """Open a frame sink. ``copy_streams_from`` stream-copies the source's
     audio and GPMF data tracks into the output container (native writer
     only; the reference maps them in ``src/join.ts:56-82``), restricted to
@@ -212,7 +213,8 @@ def open_writer(path: Optional[str], meta: VideoMeta, encoder: str = "mp4v",
         return _NullSink()
     if path.endswith(".y4m"):
         return _Y4MSink(path, meta)
-    if encoder in _NATIVE_ENCODERS or copy_streams_from is not None:
+    if allow_native and (encoder in _NATIVE_ENCODERS
+                         or copy_streams_from is not None):
         try:
             from video_annotator_tpu.io.native import (
                 NativeVideoWriter,

@@ -105,7 +105,16 @@ class RenderOptions:
     # encoding
     encoder: str = "mp4v"
     frame_rate: Optional[float] = None
-    # engine
+    # engine / "hardware configurator" analogues: the reference plans
+    # VAAPI/OpenCL device wiring and frame-pool sizes
+    # (src/render.ts:95-252); here device placement is jax, so the knobs
+    # are the dispatch batch, the host->device prefetch depth, and
+    # whether the native (C++/libav) IO paths are used at all (the
+    # fallback switch mirroring --no-map-open-cl-from-vaapi /
+    # --copy-vaapi-frames picking slower interop paths).
+    warp_batch: Optional[int] = None  # None: env VAT_WARP_BATCH or 32
+    prefetch_depth: int = 3
+    native_io: bool = True
     max_correction_deg: float = 8.0
     # "auto": box-downsample minifying inputs to the matching mip level
     # before warping (antialias + smaller kernel windows). "off" keeps
@@ -122,7 +131,7 @@ def _passthrough_kwargs(source: str, meta: VideoMeta, o: RenderOptions):
     (``src/join.ts:56-82``); here any container source gets its non-video
     streams copied into the output, restricted to the trim window."""
     if source.startswith("synthetic://") or source.endswith(".y4m"):
-        return {}
+        return {"allow_native": o.native_io}
     start = o.start or 0.0
     if o.end is not None:
         end = float(o.end)
@@ -134,6 +143,7 @@ def _passthrough_kwargs(source: str, meta: VideoMeta, o: RenderOptions):
         "copy_streams_from": source,
         "trim_start": start,
         "trim_end": end,
+        "allow_native": o.native_io,
     }
 
 
@@ -202,7 +212,7 @@ def analyse(
 ) -> Trajectory:
     """Estimate the per-frame accumulated camera rotation trajectory."""
     prof = profiler or StageProfiler()
-    reader = open_reader(source)
+    reader = open_reader(source, prefer_native=options.native_io)
     meta = reader.meta
     in_cam_full = (
         get_preset_camera(options.preset, (meta.width, meta.height))
@@ -285,7 +295,8 @@ def analyse(
     # Uploads happen uint8 on the prefetch thread (the jitted steps
     # convert); an in-loop host-side device_put serializes the loop on
     # transfer bandwidth.
-    pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)))
+    pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)),
+                           depth=options.prefetch_depth)
     for y, _, _ in pre:
         idx += 1
         if idx < first:
@@ -552,7 +563,7 @@ def encode(
 ) -> VideoMeta:
     """Smooth + warp + write. Returns the output metadata."""
     prof = profiler or StageProfiler()
-    reader = open_reader(source)
+    reader = open_reader(source, prefer_native=options.native_io)
     meta = reader.meta
     in_cam, out_cam = build_cameras(meta, options)
     corrections = compute_corrections(traj, options)
@@ -587,7 +598,8 @@ def encode(
     # overhead and inter-kernel glue amortize up to ~32 frames, beyond
     # which live-buffer pressure eats the gain. 32 frames of 4K YUV in +
     # out, twice in flight, is ~2 GB of HBM (16 GB chip).
-    batch = max(1, int(os.environ.get("VAT_WARP_BATCH", "32")))
+    batch = options.warp_batch or max(
+        1, int(os.environ.get("VAT_WARP_BATCH", "32")))
     rots_dev = [
         jax.device_put(
             np.concatenate([corr[i : i + batch]]
@@ -596,7 +608,8 @@ def encode(
         for i in range(0, len(corr), batch)
     ]
 
-    pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)))
+    pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)),
+                           depth=options.prefetch_depth)
     idx = -1
     t = 0
     pending = []
@@ -654,7 +667,7 @@ def encode_2d(
     )
 
     prof = profiler or StageProfiler()
-    reader = open_reader(source)
+    reader = open_reader(source, prefer_native=options.native_io)
     meta = reader.meta
     if traj.kind == "similarity":
         corrections = similarity_corrections(traj, options)
