@@ -116,6 +116,60 @@ def test_gpmf_passthrough_and_trim(tmp_path):
     assert samples[0][1] == pytest.approx(0.001, abs=0.05)
 
 
+def test_native_concat_lossless_with_gpmf(tmp_path):
+    """GoPro chapter join: byte-preserving video packets and GPMF samples
+    from every segment, timestamps advancing across the splice."""
+    from tests.test_gpmf import write_minimal_gpmf_mp4
+    from video_annotator_tpu.io.gopro import join
+    from video_annotator_tpu.io.gpmf import build_gpmf_payload
+    from video_annotator_tpu.io.mp4 import find_gpmf_track, read_track_samples
+    from video_annotator_tpu.io.native import (
+        native_concat_available,
+    )
+
+    if not native_concat_available():
+        pytest.skip("native concat not built")
+
+    w, h = 128, 96
+    all_payloads = []
+    for seg_i, name in enumerate(["GOPR7777.MP4", "GP017777.MP4"]):
+        gp = str(tmp_path / f"gp{seg_i}.mp4")
+        payloads = [
+            build_gpmf_payload(np.full((4, 3), 0.1 * (seg_i * 2 + k)))
+            for k in range(2)
+        ]
+        all_payloads += payloads
+        write_minimal_gpmf_mp4(gp, payloads)
+        wr = NativeVideoWriter(
+            str(tmp_path / name), VideoMeta(w, h, Fraction(30, 1)),
+            copy_streams_from=gp,
+        )
+        for i in range(60):  # 2 s per segment, covers both GPMF samples
+            wr.write((
+                np.full((h, w), (seg_i * 100 + i) % 255, np.uint8),
+                np.full((h // 2, w // 2), 128, np.uint8),
+                np.full((h // 2, w // 2), 128, np.uint8),
+            ))
+        wr.close()
+
+    out = str(tmp_path / "joined.mp4")
+    join("7777", out, directory=str(tmp_path))
+
+    r = open_reader(out)
+    frames = list(iter(r))
+    r.close()
+    assert len(frames) == 120
+
+    track = find_gpmf_track(out)
+    assert track is not None
+    samples = list(read_track_samples(out, track))
+    assert [bytes(s) for s, _ in samples] == all_payloads
+    times = [t for _, t in samples]
+    assert times == sorted(times)
+    # Second segment's samples land after the first segment's 2 s.
+    assert times[2] >= 2.0 - 0.1
+
+
 def test_open_writer_fourcc_falls_back_to_cv2(tmp_path):
     path = str(tmp_path / "cv.mp4")
     wr = open_writer(path, VideoMeta(64, 48, Fraction(30, 1)), encoder="mp4v")

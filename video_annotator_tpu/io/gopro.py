@@ -120,8 +120,26 @@ def _join_reencode(segments: List[str], output: str) -> None:
 
 
 def join(code: str, output: str, directory: str = ".") -> None:
-    """Join the segments of a recording into a single file."""
+    """Join the segments of a recording into a single file.
+
+    Preference order: native libav stream copy (lossless, keeps audio +
+    GPMF — ``src/join.ts:59-82``), ffmpeg binary concat, y4m raw concat,
+    cv2 re-encode as last resort."""
     segments = find_source_segments(code, directory)
+    if not output.endswith(".y4m") and not all(
+        s.endswith(".y4m") for s in segments
+    ):
+        try:
+            from video_annotator_tpu.io.native import (
+                native_concat,
+                native_concat_available,
+            )
+
+            if native_concat_available():
+                native_concat(segments, output)
+                return
+        except (RuntimeError, OSError) as e:
+            print(f"warning: native concat failed ({e}); falling back")
     if shutil.which("ffmpeg") and not output.endswith(".y4m"):
         _join_ffmpeg(segments, output)
     elif all(s.endswith(".y4m") for s in segments) or output.endswith(".y4m"):

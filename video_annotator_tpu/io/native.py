@@ -192,3 +192,48 @@ class NativeVideoWriter:
             status = self._lib.vaw_close(h)
             if status != 0:
                 raise RuntimeError(f"native writer close failed ({status})")
+
+
+_CONCAT_LIB_PATH = os.path.join(os.path.dirname(_LIB_PATH), "libvaconcat.so")
+_clib = None
+
+
+def load_concat_library():
+    global _clib
+    if _clib is not None:
+        return _clib
+    if not os.path.exists(_CONCAT_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_CONCAT_LIB_PATH)
+    except OSError:
+        return None
+    lib.va_concat.restype = ctypes.c_int
+    lib.va_concat.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_char_p,
+    ]
+    lib.va_concat_error.restype = ctypes.c_char_p
+    lib.va_concat_error.argtypes = []
+    _clib = lib
+    return lib
+
+
+def native_concat_available() -> bool:
+    return load_concat_library() is not None
+
+
+def native_concat(segments, output: str) -> None:
+    """Lossless stream-copy concat of homogeneous segments (video +
+    audio + GPMF data tracks) — the reference's `join`
+    (``src/join.ts:59-82``), without an ffmpeg binary."""
+    lib = load_concat_library()
+    if lib is None:
+        raise RuntimeError("native concat not built (make -C native)")
+    arr = (ctypes.c_char_p * len(segments))(
+        *[s.encode() for s in segments]
+    )
+    if lib.va_concat(arr, len(segments), output.encode()) != 0:
+        err = lib.va_concat_error()
+        raise RuntimeError(
+            f"native concat failed: {err.decode() if err else 'unknown'}"
+        )
