@@ -119,6 +119,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--compare", type=str, default=None,
                    help="Comma-separated stabilise modes to tile side-by-side")
     r.add_argument("--debug", action="store_true")
+    r.add_argument("--trace", default=None, metavar="DIR",
+                   help="write a jax.profiler device trace (view with "
+                        "TensorBoard/Perfetto) alongside the per-stage "
+                        "wall-clock report")
     r.add_argument("-v", "--verbose", action="store_true",
                    help="Print the per-stage profiler report")
 
@@ -211,15 +215,33 @@ def main(argv=None) -> int:
 
             join(args.code, args.output, directory=args.directory)
         elif args.command == "render":
-            if args.compare:
-                from video_annotator_tpu.pipeline.compare import render_compare
+            import contextlib
 
-                modes = [m.strip() for m in args.compare.split(",") if m.strip()]
-                render_compare(args.source, args.dest, modes, _render_options(args))
+            trace_dir = getattr(args, "trace", None)
+            if trace_dir:
+                import jax
+
+                trace_cm = jax.profiler.trace(trace_dir)
             else:
-                from video_annotator_tpu.pipeline.render import render
+                trace_cm = contextlib.nullcontext()
+            with trace_cm:
+                if args.compare:
+                    from video_annotator_tpu.pipeline.compare import (
+                        render_compare,
+                    )
 
-                render(args.source, args.dest, _render_options(args))
+                    modes = [
+                        m.strip() for m in args.compare.split(",") if m.strip()
+                    ]
+                    render_compare(
+                        args.source, args.dest, modes, _render_options(args)
+                    )
+                else:
+                    from video_annotator_tpu.pipeline.render import render
+
+                    render(args.source, args.dest, _render_options(args))
+            if trace_dir:
+                print(f"device trace written to {trace_dir}")
         elif args.command == "compare":
             from video_annotator_tpu.pipeline.compare import render_compare
 
