@@ -37,6 +37,67 @@ def test_pallas_matches_xla_oracle(crop_borders):
     np.testing.assert_allclose(ours, ref, atol=0.05)
 
 
+@pytest.mark.parametrize("out_model", ["fisheye", "equirect"])
+def test_pallas_nonrect_output_matches_oracle(out_model):
+    """Non-rectilinear OUTPUT projections (--projection fisheye/equirect)
+    run through the precomputed-ray-grid kernel path and must match the
+    XLA oracle like the inlined rectilinear path does."""
+    from video_annotator_tpu.camera import CameraModel, camera_from_dfov
+
+    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (320, 240))
+    model = (
+        CameraModel.FISHEYE if out_model == "fisheye" else CameraModel.EQUIRECT
+    )
+    out_cam = camera_from_dfov(110.0, (256, 192), model)
+    plan = plan_warp(out_cam, in_cam, max_correction_deg=6.0)
+
+    rng = np.random.default_rng(2)
+    img = np.round(rng.uniform(0, 255, size=(240, 320))).astype(np.float32)
+    rot = so3.exp(jnp.array([0.03, -0.02, 0.04]))
+
+    ours = np.asarray(
+        warp_frame_pallas(jnp.asarray(img), rot, plan, out_cam, in_cam,
+                          interpret=True)
+    )
+    ref = np.asarray(warp_image_xla(jnp.asarray(img), out_cam, in_cam, rot))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=0.06)
+
+
+def test_pallas_nonrect_yuv_batch_matches_single():
+    from video_annotator_tpu.camera import CameraModel, camera_from_dfov
+    from video_annotator_tpu.ops.warp_pallas import (
+        warp_yuv_batch_pallas,
+        warp_yuv_pallas,
+    )
+    from video_annotator_tpu.ops.warp_xla import _scaled_camera
+
+    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (192, 144))
+    out_cam = camera_from_dfov(100.0, (160, 120), CameraModel.FISHEYE)
+    in_h = _scaled_camera(in_cam, 0.5)
+    out_h = _scaled_camera(out_cam, 0.5)
+    plan_y = plan_warp(out_cam, in_cam, 6.0, (120, 160))
+    plan_c = plan_warp(out_h, in_h, 6.0, (60, 80))
+
+    rng = np.random.default_rng(3)
+    mk = lambda h, w: jnp.asarray(  # noqa: E731
+        rng.integers(0, 255, (h, w), dtype=np.uint8)
+    )
+    ys = [mk(144, 192) for _ in range(2)]
+    us = [mk(72, 96) for _ in range(2)]
+    vs = [mk(72, 96) for _ in range(2)]
+    rots = so3.exp(jnp.asarray(rng.normal(size=(2, 3)) * 0.02, jnp.float32))
+
+    batch = warp_yuv_batch_pallas(ys, us, vs, rots, plan_y, out_cam, in_cam,
+                                  plan_c, out_h, in_h, interpret=True)
+    for i in range(2):
+        single = warp_yuv_pallas(ys[i], us[i], vs[i], rots[i], plan_y,
+                                 out_cam, in_cam, plan_c, out_h, in_h,
+                                 interpret=True)
+        for a, b in zip(batch[i], single):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pallas_rotation_extremes_within_plan():
     """Rotations up to the planned correction bound stay artifact-free."""
     in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (320, 240))

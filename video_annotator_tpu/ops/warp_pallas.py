@@ -217,6 +217,39 @@ def warp_scratch_shapes(plan: "WarpPlan", mode=None):
     ]
 
 
+def _unproject_np(out_camera: Camera, ys: np.ndarray, xs: np.ndarray):
+    """NumPy twin of ``Camera.unproject`` (f64): (..., 3) output rays.
+
+    Host-side planning and the non-rectilinear kernels' precomputed ray
+    grids both need exact output-model unprojection without a device
+    round trip.
+    """
+    xd = (xs - float(out_camera.cx)) / float(out_camera.fx)
+    yd = (ys - float(out_camera.cy)) / float(out_camera.fy)
+    if out_camera.model == CameraModel.EQUIRECT:
+        lon, lat = xd, yd
+        cl = np.cos(lat)
+        return np.stack(
+            [cl * np.sin(lon), np.sin(lat), cl * np.cos(lon)], axis=-1
+        )
+    if out_camera.model == CameraModel.RECTILINEAR:
+        return np.stack([xd, yd, np.ones_like(xd)], axis=-1)
+    # Equidistant fisheye: solve theta_d = theta * (1 + k.theta^2...) by
+    # fixed point (camera.py's _undistort_theta), then r = tan(theta).
+    theta_d = np.sqrt(xd * xd + yd * yd)
+    k = np.asarray(out_camera.dist, np.float64)
+    theta = theta_d.copy()
+    if np.any(np.abs(k) > 0):
+        for _ in range(10):
+            t2 = theta * theta
+            theta = theta_d / (
+                1.0 + t2 * (k[0] + t2 * (k[1] + t2 * (k[2] + t2 * k[3])))
+            )
+    r = np.tan(np.clip(theta, 0.0, np.pi / 2 - 1e-3))
+    scale = np.where(theta_d > 1e-8, r / np.maximum(theta_d, 1e-8), 1.0)
+    return np.stack([xd * scale, yd * scale, np.ones_like(xd)], axis=-1)
+
+
 def _warp_map_np(out_camera: Camera, in_camera: Camera, rot: np.ndarray, out_size):
     """NumPy twin of :func:`compute_warp_map` for host-side planning.
 
@@ -226,13 +259,16 @@ def _warp_map_np(out_camera: Camera, in_camera: Camera, rot: np.ndarray, out_siz
     """
     h, w = out_size
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
-    rx = (xs - float(out_camera.cx)) / float(out_camera.fx)
-    ry = (ys - float(out_camera.cy)) / float(out_camera.fy)
-    rays = np.stack([rx, ry, np.ones_like(rx)], axis=-1)
+    rays = _unproject_np(out_camera, ys, xs)
     rot = np.asarray(rot, np.float64)
     v = rays @ rot.T
-    a = v[..., 0] / v[..., 2]
-    b = v[..., 1] / v[..., 2]
+    # Behind-camera rays (possible with equirect output past 90 deg)
+    # render as border; pin them far outside so the planner's clip
+    # handles them and no NaN/Inf leaks into the bound reductions.
+    behind = v[..., 2] <= 1e-9
+    vz = np.where(behind, 1.0, v[..., 2])
+    a = np.where(behind, -1e6, v[..., 0] / vz)
+    b = np.where(behind, -1e6, v[..., 1] / vz)
     if in_camera.model == CameraModel.FISHEYE:
         r = np.sqrt(a * a + b * b)
         theta = np.arctan(r)
@@ -774,10 +810,21 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
     icx, icy = float(in_camera.cx), float(in_camera.cy)
     in_fisheye = in_camera.model == CameraModel.FISHEYE
     k1, k2, k3, k4 = [float(v) for v in np.asarray(in_camera.dist)]
+    # Non-rectilinear OUTPUT projections (--projection fisheye/equirect,
+    # the v360 reprojection modes): the output unprojection needs
+    # tan/sin/cos, which Mosaic lacks — instead the builder pipelines a
+    # PRECOMPUTED per-pixel ray grid (exact f64 host math, static for the
+    # clip; only the rotation changes per frame) as an extra (3, 8, 128)
+    # VMEM block per tile, and the kernel applies the full 3x3 rotation.
+    ray_grid = out_camera.model != CameraModel.RECTILINEAR
 
     nplanes = 2 if batched == "uv" else 1
 
-    def kernel(rot_ref, meta1_ref, meta2_ref, in_hbm, out_ref, win, sem):
+    def kernel(rot_ref, meta1_ref, meta2_ref, in_hbm, *rest):
+        if ray_grid:
+            rays_ref, out_ref, win, sem = rest
+        else:
+            out_ref, win, sem = rest
         # NOTE: a double-buffered variant (prefetch the next tile's window
         # during compute) was measured SLOWER on v5e (both the original
         # parity-select-on-values form and a slot-indexed-scratch form).
@@ -910,18 +957,27 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
                 c.start()
 
         # --- map computation (the createMap math), in-register ------------
-        ys = (ty * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)).astype(jnp.float32)
-        xs = (tx * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)).astype(jnp.float32)
-        rx = (xs - ocx) / ofx
-        ry = (ys - ocy) / ofy
         if batched and batched not in ("planes", "uv"):
             r = [rot_ref[ti, i] for i in range(9)]
         else:
             r = [rot_ref[i] for i in range(9)]
-        vx = r[0] * rx + r[1] * ry + r[2]
-        vy = r[3] * rx + r[4] * ry + r[5]
-        vz = r[6] * rx + r[7] * ry + r[8]
-        inv_z = 1.0 / vz
+        if ray_grid:
+            gx = rays_ref[0]
+            gy = rays_ref[1]
+            gz = rays_ref[2]
+            vx = r[0] * gx + r[1] * gy + r[2] * gz
+            vy = r[3] * gx + r[4] * gy + r[5] * gz
+            vz = r[6] * gx + r[7] * gy + r[8] * gz
+            inv_z = 1.0 / jnp.maximum(vz, 1e-6)  # behind rays masked below
+        else:
+            ys = (ty * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)).astype(jnp.float32)
+            xs = (tx * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)).astype(jnp.float32)
+            rx = (xs - ocx) / ofx
+            ry = (ys - ocy) / ofy
+            vx = r[0] * rx + r[1] * ry + r[2]
+            vy = r[3] * rx + r[4] * ry + r[5]
+            vz = r[6] * rx + r[7] * ry + r[8]
+            inv_z = 1.0 / vz
         a = vx * inv_z
         b = vy * inv_z
         if in_fisheye:
@@ -1357,6 +1413,33 @@ def _pack_input(frame: jax.Array, plan: WarpPlan, mip: int,
                             use_kernel=use_kernel)
 
 
+@functools.lru_cache(maxsize=16)
+def _ray_grid_np(out_key, out_h: int, out_w: int) -> np.ndarray:
+    """(3, out_h, out_w) f32 output-ray field for non-rectilinear output
+    models (tan/sin/cos evaluated exactly on host; static per clip)."""
+    cam = _camera_from_key(out_key)
+    ys, xs = np.mgrid[0:out_h, 0:out_w].astype(np.float64)
+    rays = np.moveaxis(_unproject_np(cam, ys, xs), -1, 0)
+    rays = np.nan_to_num(rays, nan=0.0, posinf=0.0, neginf=0.0)
+    return np.ascontiguousarray(rays.astype(np.float32))
+
+
+@functools.lru_cache(maxsize=16)
+def _ray_grid_dev(out_key, out_h: int, out_w: int):
+    return jax.device_put(_ray_grid_np(out_key, out_h, out_w))
+
+
+def _ray_in_spec(plan: WarpPlan, lead_dims: int):
+    """BlockSpec for the pipelined per-tile ray block. ``lead_dims`` is
+    the number of leading grid dims before (ty, tx) — rays are shared
+    across frames/planes, so the index map ignores them."""
+    if lead_dims:
+        idx = lambda ti, ty, tx, *pf: (0, ty, tx)  # noqa: E731
+    else:
+        idx = lambda ty, tx, *pf: (0, ty, tx)  # noqa: E731
+    return pl.BlockSpec((3, TILE_H, TILE_W), idx, memory_space=pltpu.VMEM)
+
+
 @functools.lru_cache(maxsize=64)
 def _build_warp_fn(plan: WarpPlan, out_key, in_key, interpret: bool,
                    border: float = 0.0, mip: int = 0):
@@ -1364,11 +1447,15 @@ def _build_warp_fn(plan: WarpPlan, out_key, in_key, interpret: bool,
     in_camera = _camera_from_key(in_key)
     kernel = _make_kernel(plan, out_camera, in_camera, border=border)
     ny, nx = plan.grid
+    ray_grid = out_camera.model != CameraModel.RECTILINEAR
 
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    if ray_grid:
+        in_specs.append(_ray_in_spec(plan, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(ny, nx),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (TILE_H, TILE_W),
             # index_map also receives the scalar-prefetch refs; ignore them.
@@ -1390,13 +1477,16 @@ def _build_warp_fn(plan: WarpPlan, out_key, in_key, interpret: bool,
     )
 
     @jax.jit
-    def run(frame: jax.Array, rotation: jax.Array) -> jax.Array:
+    def run(frame: jax.Array, rotation: jax.Array, *rays) -> jax.Array:
         meta1, meta2 = _tile_origins(plan, out_camera, in_camera, rotation)
         rot9 = jnp.reshape(rotation.astype(jnp.float32), (9,))
         words = _pack_input(frame, plan, mip, int(border),
                             not interpret)
-        return call(rot9, meta1, meta2, words)
+        return call(rot9, meta1, meta2, words, *rays)
 
+    if ray_grid:
+        rays_dev = _ray_grid_dev(out_key, plan.out_h, plan.out_w)
+        return lambda frame, rotation: run(frame, rotation, rays_dev)
     return run
 
 
@@ -1414,11 +1504,15 @@ def _build_warp_batch_fn(plan: WarpPlan, out_key, in_key, t: int,
     kernel = _make_kernel(plan, out_camera, in_camera, batched=True,
                           border=border)
     ny, nx = plan.grid
+    ray_grid = out_camera.model != CameraModel.RECTILINEAR
 
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    if ray_grid:
+        in_specs.append(_ray_in_spec(plan, 1))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(t, ny, nx),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, TILE_H, TILE_W),
             lambda ti, ty, tx, *pf: (ti, ty, tx),
@@ -1450,12 +1544,15 @@ def _build_warp_batch_fn(plan: WarpPlan, out_key, in_key, t: int,
     )
 
     @jax.jit
-    def run(frames: jax.Array, rotations: jax.Array) -> jax.Array:
+    def run(frames: jax.Array, rotations: jax.Array, *rays) -> jax.Array:
         meta1, meta2 = origins(rotations)
         rot9 = jnp.reshape(rotations.astype(jnp.float32), (t, 9))
         words = pack(frames)
-        return call(rot9, meta1, meta2, words)
+        return call(rot9, meta1, meta2, words, *rays)
 
+    if ray_grid:
+        rays_dev = _ray_grid_dev(out_key, plan.out_h, plan.out_w)
+        return lambda frames, rotations: run(frames, rotations, rays_dev)
     return run
 
 
@@ -1504,11 +1601,15 @@ def _build_warp_planes_fn(plan: WarpPlan, out_key, in_key, t: int,
     kernel = _make_kernel(plan, out_camera, in_camera, batched="planes",
                           border=border)
     ny, nx = plan.grid
+    ray_grid = out_camera.model != CameraModel.RECTILINEAR
 
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    if ray_grid:
+        in_specs.append(_ray_in_spec(plan, 1))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(t, ny, nx),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, TILE_H, TILE_W),
             lambda ti, ty, tx, *pf: (ti, ty, tx),
@@ -1526,7 +1627,7 @@ def _build_warp_planes_fn(plan: WarpPlan, out_key, in_key, t: int,
     )
 
     @jax.jit
-    def run(planes, rotation: jax.Array):
+    def run(planes, rotation: jax.Array, *rays):
         meta1, meta2 = _tile_origins(plan, out_camera, in_camera, rotation)
         rot9 = jnp.reshape(rotation.astype(jnp.float32), (9,))
         # Stack INSIDE the jit: an eager per-frame jnp.stack costs ~1 ms
@@ -1535,9 +1636,12 @@ def _build_warp_planes_fn(plan: WarpPlan, out_key, in_key, t: int,
             [_pack_input(f, plan, mip, int(border), not interpret)
              for f in planes]
         )
-        out = call(rot9, meta1, meta2, words)
+        out = call(rot9, meta1, meta2, words, *rays)
         return tuple(out[i] for i in range(t))
 
+    if ray_grid:
+        rays_dev = _ray_grid_dev(out_key, plan.out_h, plan.out_w)
+        return lambda planes, rotation: run(planes, rotation, rays_dev)
     return run
 
 
@@ -1578,8 +1682,12 @@ def _build_warp_yuv_fn(plan_y: WarpPlan, out_key_y, in_key_y,
     out_cam_c = _camera_from_key(out_key_c)
     in_cam_c = _camera_from_key(in_key_c)
 
+    ray_grid = out_cam_y.model != CameraModel.RECTILINEAR
     kernel_y = _make_kernel(plan_y, out_cam_y, in_cam_y, out_u8=True)
     ny, nx = plan_y.grid
+    in_specs_y = [pl.BlockSpec(memory_space=pl.ANY)]
+    if ray_grid:
+        in_specs_y.append(_ray_in_spec(plan_y, 0))
     call_y = pl.pallas_call(
         kernel_y,
         out_shape=jax.ShapeDtypeStruct(
@@ -1588,7 +1696,7 @@ def _build_warp_yuv_fn(plan_y: WarpPlan, out_key_y, in_key_y,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(ny, nx),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=in_specs_y,
             out_specs=pl.BlockSpec(
                 (TILE_H, TILE_W),
                 lambda ty, tx, *pf: (ty, tx),
@@ -1602,6 +1710,9 @@ def _build_warp_yuv_fn(plan_y: WarpPlan, out_key_y, in_key_y,
     kernel_c = _make_kernel(plan_c, out_cam_c, in_cam_c, batched="uv",
                             border=128.0, out_u8=True)
     nyc, nxc = plan_c.grid
+    in_specs_c = [pl.BlockSpec(memory_space=pl.ANY)]
+    if ray_grid:
+        in_specs_c.append(_ray_in_spec(plan_c, 0))
     call_c = pl.pallas_call(
         kernel_c,
         out_shape=jax.ShapeDtypeStruct(
@@ -1610,7 +1721,7 @@ def _build_warp_yuv_fn(plan_y: WarpPlan, out_key_y, in_key_y,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(nyc, nxc),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=in_specs_c,
             out_specs=pl.BlockSpec(
                 (2, TILE_H, TILE_W),
                 lambda ty, tx, *pf: (0, ty, tx),
@@ -1624,19 +1735,24 @@ def _build_warp_yuv_fn(plan_y: WarpPlan, out_key_y, in_key_y,
     use_kernel = not interpret
 
     @jax.jit
-    def run(y, u, v, rotation):
+    def run(y, u, v, rotation, *rays):
         rot9 = jnp.reshape(rotation.astype(jnp.float32), (9,))
         m1y, m2y = _tile_origins(plan_y, out_cam_y, in_cam_y, rotation)
         words_y = _pack_input(y, plan_y, mip, 0, use_kernel)
-        wy = call_y(rot9, m1y, m2y, words_y)
+        wy = call_y(rot9, m1y, m2y, words_y, *rays[:1])
         m1c, m2c = _tile_origins(plan_c, out_cam_c, in_cam_c, rotation)
         words_uv = jnp.stack([
             _pack_input(p, plan_c, mip, 128, use_kernel)
             for p in (u, v)
         ])
-        wc = call_c(rot9, m1c, m2c, words_uv)
+        wc = call_c(rot9, m1c, m2c, words_uv, *rays[1:])
         return (wy, wc[0], wc[1])
 
+    if ray_grid:
+        rays_y = _ray_grid_dev(out_key_y, plan_y.out_h, plan_y.out_w)
+        rays_c = _ray_grid_dev(out_key_c, plan_c.out_h, plan_c.out_w)
+        return lambda y, u, v, rotation: run(y, u, v, rotation,
+                                             rays_y, rays_c)
     return run
 
 
@@ -1689,8 +1805,12 @@ def _build_warp_yuv_batch_fn(plan_y: WarpPlan, out_key_y, in_key_y,
     out_cam_c = _camera_from_key(out_key_c)
     in_cam_c = _camera_from_key(in_key_c)
 
+    ray_grid = out_cam_y.model != CameraModel.RECTILINEAR
     kernel_y = _make_kernel(plan_y, out_cam_y, in_cam_y, out_u8=True)
     nyy, nxy = plan_y.grid
+    in_specs_y = [pl.BlockSpec(memory_space=pl.ANY)]
+    if ray_grid:
+        in_specs_y.append(_ray_in_spec(plan_y, 0))
     call_y = pl.pallas_call(
         kernel_y,
         out_shape=jax.ShapeDtypeStruct(
@@ -1699,7 +1819,7 @@ def _build_warp_yuv_batch_fn(plan_y: WarpPlan, out_key_y, in_key_y,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(nyy, nxy),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=in_specs_y,
             out_specs=pl.BlockSpec(
                 (TILE_H, TILE_W),
                 lambda ty, tx, *pf: (ty, tx),
@@ -1712,6 +1832,9 @@ def _build_warp_yuv_batch_fn(plan_y: WarpPlan, out_key_y, in_key_y,
     kernel_c = _make_kernel(plan_c, out_cam_c, in_cam_c, batched="uv",
                             border=128.0, out_u8=True)
     nyc, nxc = plan_c.grid
+    in_specs_c = [pl.BlockSpec(memory_space=pl.ANY)]
+    if ray_grid:
+        in_specs_c.append(_ray_in_spec(plan_c, 0))
     call_c = pl.pallas_call(
         kernel_c,
         out_shape=jax.ShapeDtypeStruct(
@@ -1720,7 +1843,7 @@ def _build_warp_yuv_batch_fn(plan_y: WarpPlan, out_key_y, in_key_y,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(nyc, nxc),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=in_specs_c,
             out_specs=pl.BlockSpec(
                 (2, TILE_H, TILE_W),
                 lambda ty, tx, *pf: (0, ty, tx),
@@ -1733,7 +1856,7 @@ def _build_warp_yuv_batch_fn(plan_y: WarpPlan, out_key_y, in_key_y,
     use_kernel = not interpret
 
     @jax.jit
-    def run(ys, us, vs, rotations):
+    def run(ys, us, vs, rotations, *rays):
         rots = rotations.astype(jnp.float32)
         rot9 = rots.reshape(t, 9)
         m1y, m2y = jax.vmap(
@@ -1745,15 +1868,20 @@ def _build_warp_yuv_batch_fn(plan_y: WarpPlan, out_key_y, in_key_y,
         out = []
         for i in range(t):
             words_y = _pack_input(ys[i], plan_y, mip, 0, use_kernel)
-            wy = call_y(rot9[i], m1y[i], m2y[i], words_y)
+            wy = call_y(rot9[i], m1y[i], m2y[i], words_y, *rays[:1])
             words_uv = jnp.stack([
                 _pack_input(p, plan_c, mip, 128, use_kernel)
                 for p in (us[i], vs[i])
             ])
-            wc = call_c(rot9[i], m1c[i], m2c[i], words_uv)
+            wc = call_c(rot9[i], m1c[i], m2c[i], words_uv, *rays[1:])
             out.append((wy, wc[0], wc[1]))
         return out
 
+    if ray_grid:
+        rays_y = _ray_grid_dev(out_key_y, plan_y.out_h, plan_y.out_w)
+        rays_c = _ray_grid_dev(out_key_c, plan_c.out_h, plan_c.out_w)
+        return lambda ys, us, vs, rotations: run(ys, us, vs, rotations,
+                                                 rays_y, rays_c)
     return run
 
 

@@ -452,11 +452,9 @@ class FrameWarper:
         self.out_w = out_cam.width - out_cam.width % 2
         self.out_h = out_cam.height - out_cam.height % 2
         # The Pallas kernel inlines rectilinear output-ray math; other
-        # output projections (fisheye/equirect) take the XLA path.
-        self._use_pallas = (
-            jax.default_backend() not in ("cpu",)
-            and out_cam.model == CameraModel.RECTILINEAR
-        )
+        # output projections (fisheye/equirect, the v360 reprojection
+        # modes) pipeline a precomputed host-exact ray grid per tile.
+        self._use_pallas = jax.default_backend() not in ("cpu",)
         # Opt-in minification prefilter: minifying regions sample from a
         # box-downsampled mip level — antialiased AND ~4x less kernel
         # window work per level. The Pallas path picks the level PER
