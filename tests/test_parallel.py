@@ -92,3 +92,27 @@ def test_warp_streams_sharded_matches_single():
             # map math runs at a different matmul precision under pjit;
             # coords differing by ~1e-4 px move bilinear values by ~2e-2
             np.testing.assert_allclose(np.asarray(out[b]), want, atol=5e-2)
+
+
+def test_warp_streams_pallas_sharded_matches_unsharded():
+    """The fused Pallas kernel inside a shard_map DP shard (the
+    production multi-chip encode path) equals the single-device batch."""
+    from video_annotator_tpu.ops.warp_pallas import plan_warp, warp_frames_pallas
+    from video_annotator_tpu.parallel.streams import warp_streams_pallas_sharded
+
+    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (128, 96))
+    out_cam = get_output_camera(in_cam, scale=1.0, crop_borders=True)
+    plan = plan_warp(out_cam, in_cam, max_correction_deg=6.0)
+    mesh = make_mesh(4, axis_names=("data",))
+    rng = np.random.default_rng(7)
+    frames = jnp.asarray(
+        np.round(rng.uniform(0, 255, (4, 96, 128))).astype(np.float32)
+    )
+    rots = _random_rotations(4, seed=8)
+
+    out = warp_streams_pallas_sharded(
+        frames, rots, plan, out_cam, in_cam, mesh
+    )
+    want = warp_frames_pallas(frames, rots, plan, out_cam, in_cam,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-4)

@@ -1279,8 +1279,21 @@ def _camera_key(cam: Camera):
 
 
 def _camera_from_key(key) -> Camera:
+    """Camera with NUMPY leaf fields: safe to build/close over inside
+    shard_map / jit traces (np literals stay concrete; jnp constants
+    created inside a trace become tracers, and closed-over jax Arrays get
+    lifted to tracers). The builders run at trace time when wrapped in an
+    outer jit or shard_map, so this must never touch jnp."""
     fx, fy, cx, cy, dist, w, h, model = key
-    return Camera.make(fx, fy, cx, cy, w, h, model, dist=jnp.asarray(dist))
+    return Camera(
+        fx=np.float32(fx), fy=np.float32(fy),
+        cx=np.float32(cx), cy=np.float32(cy),
+        dist=np.asarray(dist, np.float32),
+        width=w, height=h, model=model,
+    )
+
+
+_camera_from_key_np = _camera_from_key
 
 
 def _pack_kernel_body(nsec: int, rows: int):
