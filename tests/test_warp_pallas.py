@@ -382,6 +382,30 @@ def test_warp_yuv_mip_matches_manual_downsample():
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w_))
 
 
+def test_per_tile_mip_with_nonrect_output():
+    """--prefilter with a non-rect output (ray-grid kernel path): minifying
+    fisheye-out render still matches the unfiltered oracle on smooth
+    content (the per-tile levels compose with the ray grid)."""
+    from video_annotator_tpu.camera import CameraModel, camera_from_dfov
+
+    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (512, 384))
+    out_cam = camera_from_dfov(100.0, (128, 96), CameraModel.FISHEYE)
+    plan = plan_warp(out_cam, in_cam, 4.0, mip_levels=2)
+    assert plan.mip_max >= 1  # heavy minification: levels actually engage
+
+    yy, xx = np.mgrid[0:384, 0:512].astype(np.float32)
+    img = 128 + 60 * np.sin(xx / 60.0) * np.cos(yy / 60.0)
+    rot = so3.exp(jnp.array([0.01, -0.01, 0.02]))
+    ours = np.asarray(
+        warp_frame_pallas(jnp.asarray(img), rot, plan, out_cam, in_cam,
+                          interpret=True)
+    )
+    ref = np.asarray(warp_image_xla(jnp.asarray(img), out_cam, in_cam, rot))
+    # Smooth content: box prefilter changes values by << 1 grey level.
+    valid = ref > 1.0
+    assert np.abs(ours - ref)[valid].max() < 2.0
+
+
 def test_frame_warper_prefilter_cpu_path():
     """CPU/XLA fallback honours prefilter; smooth content stays faithful."""
     from video_annotator_tpu.pipeline.render import FrameWarper
