@@ -44,3 +44,27 @@ def test_render_compare_end_to_end(tmp_path):
     assert np.abs(cell0 - cell1).mean() > 0.1  # not identical frames
     # Both cells carry real image content (not blank).
     assert cell0.std() > 5 and cell1.std() > 5
+
+
+def test_render_compare_family_grid(tmp_path):
+    """The reference's 4-way comp grid (dewobble_test.sh:47-62):
+    dewobble-none / dewobble-sg / vidstab / deshake_opencl in one video."""
+    src = "synthetic://shaky?w=192&h=144&n=6&fps=30&seed=5&shake=0.005"
+    dest = str(tmp_path / "comp4.y4m")
+    options = RenderOptions(stabilise_radius=2, preset=None, input_dfov=120.0)
+    modes = ["none", "smooth", "vidstab", "deshake"]
+    render_compare(src, dest, modes, options)
+
+    frames = [planes for planes in Y4MReader(dest)]
+    assert len(frames) == 6
+    y, u, v = frames[2]
+    rows, cols = comparison_grid_size(4)
+    assert (rows, cols) == (2, 2)
+    h, w = y.shape[0] // rows, y.shape[1] // cols
+    cells = [
+        y[r * h:(r + 1) * h, c * w:(c + 1) * w].astype(np.float32)
+        for r in range(rows) for c in range(cols)
+    ]
+    # Every family rendered real content into its cell.
+    for i, cell in enumerate(cells):
+        assert cell.std() > 5, f"cell {i} blank"

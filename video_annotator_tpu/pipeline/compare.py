@@ -42,6 +42,29 @@ def comparison_grid_size(n: int, cell_aspect: float = 4 / 3) -> tuple[int, int]:
     return best[1]
 
 
+_FAMILY_ALIASES = {
+    # reference comp cells (dewobble_test.sh:47-62): dewobble-none,
+    # dewobble-sg, vidstab, deshake_opencl
+    "dewobble": "rotation",
+    "rotation": "rotation",
+    "vidstab": "similarity",
+    "similarity": "similarity",
+    "deshake": "deshake",
+    "deshake_opencl": "deshake",
+}
+
+
+def _parse_mode(m: str):
+    """'none'/'fixed'/'smooth' (rotation family, back-compat) or a filter
+    family 'vidstab'/'deshake'/'dewobble'[:stabilise]."""
+    fam, _, sub = m.partition(":")
+    if fam in ("none", "fixed", "smooth"):
+        return ("rotation", fam)
+    if fam not in _FAMILY_ALIASES:
+        raise ValueError(f"unknown compare mode {m!r}")
+    return (_FAMILY_ALIASES[fam], sub or "smooth")
+
+
 def render_compare(
     source: str,
     dest: str,
@@ -49,57 +72,128 @@ def render_compare(
     options: RenderOptions,
     profiler: StageProfiler | None = None,
 ) -> None:
-    """Render each stabilise mode into one tiled output video."""
+    """Render each mode into one tiled output video.
+
+    Modes are stabilise settings of the rotation family ('none', 'fixed',
+    'smooth') and/or other filter families ('vidstab', 'deshake',
+    optionally 'family:stabilise') — the reference's 4-way "comp" grid is
+    ``--compare none,smooth,vidstab,deshake``. Analysis runs once PER
+    FAMILY; all rotation-family cells share one trajectory."""
     prof = profiler or StageProfiler()
-    needs_motion = any(m != "none" for m in modes)
-    traj = analyse(source, options, prof) if needs_motion else None
+    parsed = [_parse_mode(m) for m in modes]
+    fams = {f for f, _ in parsed}
 
     reader = open_reader(source)
     meta = reader.meta
-    if traj is None:
+
+    def _empty_traj(kind, dim):
         from video_annotator_tpu.pipeline.trajectory import Trajectory
 
         n = meta.num_frames or 0
-        traj = Trajectory(np.zeros((n, 3)), "so3", meta.fps, meta.width, meta.height, source)
+        return Trajectory(np.zeros((n, dim)), kind, meta.fps, meta.width,
+                          meta.height, source)
+
+    trajs = {}
+    if "rotation" in fams:
+        rot_modes = [s for f, s in parsed if f == "rotation"]
+        trajs["rotation"] = (
+            analyse(source, options, prof)
+            if any(s != "none" for s in rot_modes)
+            else _empty_traj("so3", 3)
+        )
+    if "similarity" in fams:
+        from video_annotator_tpu.models.similarity import analyse_similarity
+
+        trajs["similarity"] = analyse_similarity(source, options, prof)
+    if "deshake" in fams:
+        from video_annotator_tpu.models.deshake import analyse_deshake
+
+        trajs["deshake"] = analyse_deshake(source, options, prof)
 
     in_cam, out_cam = build_cameras(meta, options)
     warper = FrameWarper(in_cam, out_cam, options.max_correction_deg,
                          prefilter=options.prefilter == "auto")
     per_mode = []
-    for m in modes:
-        o = dataclasses.replace(options, stabilise=m)
-        per_mode.append(compute_corrections(traj, o))
+    for fam, sub in parsed:
+        o = dataclasses.replace(options, stabilise=sub)
+        if fam == "rotation":
+            per_mode.append(("rotation", compute_corrections(trajs[fam], o)))
+        elif fam == "similarity":
+            from video_annotator_tpu.models.similarity import (
+                similarity_corrections,
+            )
+
+            per_mode.append((fam, similarity_corrections(trajs[fam], o)))
+        else:
+            from video_annotator_tpu.models.deshake import deshake_corrections
+
+            per_mode.append((fam, deshake_corrections(trajs[fam], o)))
+    num_frames = min(t.num_frames for t in trajs.values()) if trajs else 0
 
     rows, cols = comparison_grid_size(len(modes))
     cell_h = warper.out_h - warper.out_h % 2
     cell_w = warper.out_w - warper.out_w % 2
-    out_meta = VideoMeta(cell_w * cols, cell_h * rows, meta.fps, traj.num_frames)
+    out_meta = VideoMeta(cell_w * cols, cell_h * rows, meta.fps, num_frames)
     writer = open_writer(None if options.no_output else dest, out_meta,
                          encoder=options.encoder)
+
+    def fit(p, h, w):
+        """Center-crop/zero-pad a plane to the cell size (other families
+        warp at the INPUT size; the reference instead rescales each
+        sub-graph's dfov — functionally the same comparison surface)."""
+        p = np.asarray(p)
+        ph, pw = p.shape
+        top = max((ph - h) // 2, 0)
+        left = max((pw - w) // 2, 0)
+        p = p[top:top + h, left:left + w]
+        ph, pw = p.shape
+        if ph != h or pw != w:
+            oy, ox = (h - ph) // 2, (w - pw) // 2
+            canvas = np.zeros((h, w), p.dtype)
+            canvas[oy:oy + ph, ox:ox + pw] = p
+            p = canvas
+        return p
 
     def tile(planes_list, scale):
         h, w = cell_h // scale, cell_w // scale
         canvas = np.zeros((h * rows, w * cols), np.uint8)
         for i, p in enumerate(planes_list):
             r, c = divmod(i, cols)
-            canvas[r * h : (r + 1) * h, c * w : (c + 1) * w] = np.clip(
-                np.round(np.asarray(p[:h, :w])), 0, 255
-            ).astype(np.uint8)
+            canvas[r * h : (r + 1) * h, c * w : (c + 1) * w] = fit(
+                np.clip(np.round(np.asarray(p)), 0, 255).astype(np.uint8),
+                h, w,
+            )
         return canvas
 
-    first = 0
     t = 0
     for y, u, v in prof.wrap_iter("decode", iter(reader)):
-        if t >= traj.num_frames:
+        if t >= num_frames:
             break
         ys, us, vs = [], [], []
         with prof.stage("warp"):
             yj = jnp.asarray(y, jnp.float32)
             uj = jnp.asarray(u, jnp.float32)
             vj = jnp.asarray(v, jnp.float32)
-            for corr in per_mode:
-                rot = jnp.asarray(corr[t], jnp.float32)
-                wy, wu, wv = warper(yj, uj, vj, rot)
+            for fam, corr in per_mode:
+                if fam == "rotation":
+                    rot = jnp.asarray(corr[t], jnp.float32)
+                    wy, wu, wv = warper(yj, uj, vj, rot)
+                elif fam == "similarity":
+                    from video_annotator_tpu.models.similarity import (
+                        warp_frame_similarity,
+                    )
+
+                    wy, wu, wv = warp_frame_similarity(
+                        yj, uj, vj, jnp.asarray(corr[t], jnp.float32)
+                    )
+                else:
+                    from video_annotator_tpu.models.deshake import (
+                        warp_frame_deshake,
+                    )
+
+                    wy, wu, wv = warp_frame_deshake(
+                        yj, uj, vj, jnp.asarray(corr[t], jnp.float32)
+                    )
                 ys.append(wy)
                 us.append(wu)
                 vs.append(wv)
