@@ -94,6 +94,31 @@ def test_warp_streams_sharded_matches_single():
             np.testing.assert_allclose(np.asarray(out[b]), want, atol=5e-2)
 
 
+def test_warp_frame_pallas_spatial_matches_unsharded():
+    """TP: horizontal output bands across devices, same fused kernel.
+    The sharded result must equal the single-device warp exactly."""
+    from video_annotator_tpu.ops.warp_pallas import plan_warp, warp_frame_pallas
+    from video_annotator_tpu.parallel.streams import warp_frame_pallas_spatial
+
+    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (320, 240))
+    out_cam = get_output_camera(in_cam, scale=1.0, crop_borders=True)
+    plan = plan_warp(out_cam, in_cam, max_correction_deg=6.0)
+    ny = plan.grid[0]
+    nshards = 2 if ny % 2 == 0 else 1
+    mesh = make_mesh(nshards, axis_names=("space",))
+
+    rng = np.random.default_rng(11)
+    frame = jnp.asarray(np.round(rng.uniform(0, 255, (240, 320))).astype(np.float32))
+    rot = so3.exp(jnp.array([0.02, -0.015, 0.03]))
+
+    got = warp_frame_pallas_spatial(
+        frame, rot, plan, out_cam, in_cam, mesh
+    )
+    want = warp_frame_pallas(frame, rot, plan, out_cam, in_cam, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
 def test_warp_streams_pallas_sharded_matches_unsharded():
     """The fused Pallas kernel inside a shard_map DP shard (the
     production multi-chip encode path) equals the single-device batch."""

@@ -820,7 +820,13 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
 
     nplanes = 2 if batched == "uv" else 1
 
-    def kernel(rot_ref, meta1_ref, meta2_ref, in_hbm, *rest):
+    def kernel(*refs):
+        # "band" mode (spatial/TP sharding) prepends a dynamic tile-row
+        # offset scalar: the shard's band start in tile rows.
+        if batched == "band":
+            off_ref, rot_ref, meta1_ref, meta2_ref, in_hbm, *rest = refs
+        else:
+            rot_ref, meta1_ref, meta2_ref, in_hbm, *rest = refs
         if ray_grid:
             rays_ref, out_ref, win, sem = rest
         else:
@@ -839,6 +845,18 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             ty = pl.program_id(0)
             tx = pl.program_id(1)
             gidx = ty * nx + tx
+        elif batched == "band":
+            # Spatial (TP) sharding: this program covers tile rows
+            # [off, off + ny_band) of the full grid. Metas/windows/map
+            # math use the GLOBAL tile row; output blocks and the dbuf
+            # step parity use the local one. Bands are ceil(ny/nshards):
+            # the clamp makes overflow tiles of the last shard recompute
+            # the final row (sliced away by the caller) instead of
+            # reading metadata out of bounds.
+            tyl = pl.program_id(0)
+            tx = pl.program_id(1)
+            ty = jnp.minimum(tyl + off_ref[0], ny - 1)
+            gidx = ty * nx + tx
         elif batched:
             # "frames": leading grid dim is frames with per-frame rotation
             # and (frame-folded) metas. "planes": leading dim is planes of
@@ -852,6 +870,9 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             ty = pl.program_id(0)
             tx = pl.program_id(1)
             gidx = ty * nx + tx
+        # Flat step index in EXECUTION order (equals gidx except in band
+        # mode, where the grid is the local band but metas are global).
+        step_idx = (tyl * nx + tx) if batched == "band" else gidx
 
         b_oyw = plan.meta1_bits_oyw
         b_strip = plan.meta1_bits_strip
@@ -864,10 +885,10 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
                 # ("planes": leading grid dim; "uv": leading input dim).
                 midx = jax.lax.rem(g, ny * nx) if batched == "planes" else g
                 src = in_hbm.at[g // (ny * nx)] if batched == "planes" else in_hbm
-            elif batched:
+            elif batched and batched != "band":
                 midx = g
                 src = in_hbm.at[g // (ny * nx)]
-            else:
+            else:  # single-frame and "band" (global flat metas, one frame)
                 midx = g
                 src = in_hbm
             m1_ = meta1_ref[midx]
@@ -932,19 +953,30 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             # is the FLAT grid step in every mode, so g+1 is always the
             # next step's tile (crossing frame/plane boundaries too).
             nsteps = 1
-            for d in range(3 if (batched and batched != "uv") else 2):
+            for d in range(
+                3 if (batched and batched not in ("uv", "band")) else 2
+            ):
                 nsteps *= pl.num_programs(d)
-            slot = jax.lax.rem(gidx, 2)
+            slot = jax.lax.rem(step_idx, 2)
 
-            @pl.when(gidx == 0)
+            @pl.when(step_idx == 0)
             def _():
                 for c in window_copies(gidx, win.at[slot], sem.at[slot]):
                     c.start()
 
-            @pl.when(gidx + 1 < nsteps)
+            # Next LOCAL step's tile is globally contiguous (band rows are
+            # contiguous); the guard stops at the band/grid end so no
+            # out-of-range meta is read. Band mode additionally clamps:
+            # the last shard's clamped overflow tiles sit at the global
+            # grid end where gidx+1 would run past the metas.
+            nxt = gidx + 1
+            if batched == "band":
+                nxt = jnp.minimum(nxt, ny * nx - 1)
+
+            @pl.when(step_idx + 1 < nsteps)
             def _():
                 for c in window_copies(
-                    gidx + 1, win.at[1 - slot], sem.at[1 - slot]
+                    nxt, win.at[1 - slot], sem.at[1 - slot]
                 ):
                     c.start()
 
@@ -957,7 +989,7 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
                 c.start()
 
         # --- map computation (the createMap math), in-register ------------
-        if batched and batched not in ("planes", "uv"):
+        if batched and batched not in ("planes", "uv", "band"):
             r = [rot_ref[ti, i] for i in range(9)]
         else:
             r = [rot_ref[i] for i in range(9)]
@@ -1170,9 +1202,9 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             results.append(result)
         if batched == "uv":
             out_ref[...] = jnp.stack(results)
-        elif batched:
+        elif batched and batched != "band":
             out_ref[...] = results[0][None]
-        else:
+        else:  # single-frame and "band": 2D (TILE_H, TILE_W) blocks
             out_ref[...] = results[0]
 
     return kernel
@@ -1918,6 +1950,89 @@ def warp_yuv_batch_pallas(
         t, interpret, mip,
     )
     return fn(tuple(ys), tuple(us), tuple(vs), rotations)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_warp_band_fn(plan: WarpPlan, out_key, in_key, nshards: int,
+                        interpret: bool, border: float = 0.0):
+    """Spatial (TP) variant: ONE program warps a horizontal band of the
+    output grid, selected by a dynamic tile-row offset (scalar prefetch).
+    Every shard runs the same executable with its own offset — the full
+    tile metadata is computed per shard (cheap) and indexed globally."""
+    out_camera = _camera_from_key(out_key)
+    in_camera = _camera_from_key(in_key)
+    kernel = _make_kernel(plan, out_camera, in_camera, batched="band",
+                          border=border)
+    ny, nx = plan.grid
+    ny_band = -(-ny // nshards)  # ceil: last shard's overflow tiles clamp
+    ray_grid = out_camera.model != CameraModel.RECTILINEAR
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    if ray_grid:
+        in_specs.append(pl.BlockSpec(
+            (3, TILE_H, TILE_W),
+            # Same clamp as the kernel's global tile row (overflow tiles
+            # of a ceil-divided last band re-fetch the final row).
+            lambda tyl, tx, off, *pf: (
+                0, jnp.minimum(tyl + off[0], ny - 1), tx
+            ),
+            memory_space=pltpu.VMEM,
+        ))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # (tile-row offset, rot9, meta1, meta2)
+        grid=(ny_band, nx),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (TILE_H, TILE_W),
+            lambda tyl, tx, *pf: (tyl, tx),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=warp_scratch_shapes(plan),
+    )
+    call = pl.pallas_call(
+        kernel,
+        # Full band rows (no vertical crop inside a shard — the caller
+        # crops the concatenated output); width masked to the crop.
+        out_shape=jax.ShapeDtypeStruct(
+            (ny_band * TILE_H, plan.crop_w), jnp.float32
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def run(frame: jax.Array, rotation: jax.Array, tile_row_off, *rays):
+        meta1, meta2 = _tile_origins(plan, out_camera, in_camera, rotation)
+        rot9 = jnp.reshape(rotation.astype(jnp.float32), (9,))
+        words = _pack_input(frame, plan, 0, int(border), not interpret)
+        off = jnp.reshape(tile_row_off.astype(jnp.int32), (1,))
+        return call(off, rot9, meta1, meta2, words, *rays)
+
+    if ray_grid:
+        rays_dev = _ray_grid_dev(out_key, plan.out_h, plan.out_w)
+        return lambda frame, rotation, off: run(frame, rotation, off,
+                                                rays_dev)
+    return run
+
+
+def warp_frame_band_pallas(
+    frame: jax.Array,
+    rotation: jax.Array,
+    plan: WarpPlan,
+    out_camera: Camera,
+    in_camera: Camera,
+    nshards: int,
+    tile_row_off,
+    interpret: bool = False,
+    border: float = 0.0,
+) -> jax.Array:
+    """Warp output tile rows [off, off + ny/nshards) of one frame —
+    the per-shard body of the spatially sharded warp."""
+    fn = _build_warp_band_fn(
+        plan, _camera_key(out_camera), _camera_key(in_camera), nshards,
+        interpret, border,
+    )
+    return fn(frame, rotation, jnp.asarray(tile_row_off))
 
 
 def warp_frame_pallas(

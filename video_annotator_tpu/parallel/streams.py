@@ -122,3 +122,67 @@ def warp_streams_pallas_sharded(
         **{flag: False},
     )
     return jax.jit(fn)(frames, rotations)
+
+
+def warp_frame_pallas_spatial(
+    frame: jax.Array,  # (H, W) one frame, replicated to every device
+    rotation: jax.Array,  # (3, 3)
+    plan,
+    out_camera: Camera,
+    in_camera: Camera,
+    mesh: Mesh,
+    space_axis: str = "space",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Spatial (TP) warp: each device computes a horizontal band of the
+    output with the FUSED PALLAS KERNEL (SURVEY.md section 2.4's "shard
+    the output-pixel grid of the warp kernel across devices").
+
+    Gather-based warps read arbitrary input rows, so the input frame is
+    replicated (cheap vs the output win: latency drops by the shard
+    count); each shard runs the same executable with a dynamic tile-row
+    offset. Zero collectives — the band outputs concatenate along rows.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from video_annotator_tpu.ops.warp_pallas import (
+        TILE_H,
+        _camera_from_key,
+        _camera_key,
+        warp_frame_band_pallas,
+    )
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    nshards = mesh.shape[space_axis]
+    ny = plan.grid[0]
+    ny_band = -(-ny // nshards)  # ceil; overflow tiles clamp in-kernel
+    out_static = _camera_from_key(_camera_key(out_camera))
+    in_static = _camera_from_key(_camera_key(in_camera))
+
+    def local(fr, ro):
+        off = jax.lax.axis_index(space_axis).astype(jnp.int32) * ny_band
+        return warp_frame_band_pallas(
+            fr, ro, plan, out_static, in_static, nshards, off,
+            interpret=interpret,
+        )
+
+    import inspect
+
+    flag = (
+        "check_vma"
+        if "check_vma" in inspect.signature(shard_map).parameters
+        else "check_rep"
+    )
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(space_axis, None),
+        **{flag: False},
+    )
+    full = jax.jit(fn)(frame, rotation)
+    return full[: plan.crop_h]
