@@ -5,7 +5,8 @@ GoPro chaptered segments; ``render <source> <dest>`` runs the two-phase
 stabilize/reproject pipeline. Hardware-plumbing options that made sense for
 VAAPI/OpenCL (``--hw-accel``, ``--vaapi-vendor``, ``--open-cl-platform``,
 ``--no-map-open-cl-from-vaapi``, ``--copy-vaapi-frames``) have TPU-native
-equivalents instead: ``--device``, ``--no-pallas``.
+equivalents instead: ``--warp-batch``, ``--prefetch-depth``,
+``--no-native-io``, ``--analysis-scale``.
 
 Usage::
 
@@ -116,6 +117,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--no-native-io", dest="native_io", action="store_false",
                    help="use cv2/pure-python IO instead of the C++ "
                         "libav decoder/encoder")
+    r.add_argument("--analysis-scale", type=float, default=1.0,
+                   choices=[1.0, 0.5, 0.25],
+                   help="track motion on a downsampled pyramid level "
+                        "(the reference demo tracks at 0.5)")
     r.add_argument("--compare", type=str, default=None,
                    help="Comma-separated stabilise modes to tile side-by-side")
     r.add_argument("--debug", action="store_true")
@@ -200,6 +205,7 @@ def _render_options(args) -> "RenderOptions":
         warp_batch=getattr(args, "warp_batch", None),
         prefetch_depth=getattr(args, "prefetch_depth", 3),
         native_io=getattr(args, "native_io", True),
+        analysis_scale=getattr(args, "analysis_scale", 1.0),
         prefilter=getattr(args, "prefilter", "off"),
         verbose=getattr(args, "verbose", False),
     )

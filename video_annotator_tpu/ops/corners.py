@@ -91,17 +91,33 @@ def detect_corners(
     # reshape/transpose formulation relayouts the whole response map and
     # measured ~20x slower on TPU); the winner's position comes from a
     # second reduce_window over (value, flat-index) packed comparisons.
+    # Windows are capped at 32px per stage: a single (60, 60) strided
+    # reduce_window at 4K allocates ~31 MB of scoped VMEM (hard 16 MB
+    # limit on v5e), so larger cells reduce hierarchically — stage one at
+    # <= 32 px, stage two over the already-tiny grid. Cells round up to
+    # a*b, which only spreads corners slightly wider.
     cell = max(int(min_distance), 1)
+    nsub = -(-cell // 32)
+    sub = -(-cell // nsub)  # stage-1 window, <= 32
+    cell = sub * nsub
     ny = -(-h // cell)
     nx = -(-w // cell)
 
     def cell_reduce(arr, op, init):
-        return jax.lax.reduce_window(
+        r = jax.lax.reduce_window(
             arr, init, op,
-            window_dimensions=(cell, cell),
-            window_strides=(cell, cell),
+            window_dimensions=(sub, sub),
+            window_strides=(sub, sub),
             padding=((0, ny * cell - h), (0, nx * cell - w)),
         )
+        if nsub > 1:
+            r = jax.lax.reduce_window(
+                r, init, op,
+                window_dimensions=(nsub, nsub),
+                window_strides=(nsub, nsub),
+                padding="VALID",
+            )
+        return r
 
     cell_best = cell_reduce(resp, jax.lax.max, -jnp.inf)
     # Winner position: argmax via a second pass — keep the flat index where

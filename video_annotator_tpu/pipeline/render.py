@@ -115,6 +115,10 @@ class RenderOptions:
     warp_batch: Optional[int] = None  # None: env VAT_WARP_BATCH or 32
     prefetch_depth: int = 3
     native_io: bool = True
+    # Track on a box-downsampled pyramid level (1, 0.5 or 0.25): the
+    # reference demo tracks at scale 0.5 (opencv/DisplayImage.cpp:49-57).
+    # Rotations are resolution-independent; tracking cost ~1/4 per level.
+    analysis_scale: float = 1.0
     max_correction_deg: float = 8.0
     # "auto": box-downsample minifying inputs to the matching mip level
     # before warping (antialias + smaller kernel windows). "off" keeps
@@ -214,23 +218,38 @@ def analyse(
     prof = profiler or StageProfiler()
     reader = open_reader(source, prefer_native=options.native_io)
     meta = reader.meta
-    in_cam_full = (
+    in_cam_native = (
         get_preset_camera(options.preset, (meta.width, meta.height))
         if options.preset is not None
         else camera_from_dfov(
             options.input_dfov, (meta.width, meta.height), CameraModel.FISHEYE
         )
     )
-    threshold = 8.0 / float(in_cam_full.fx)  # reference's 8 px gate, in rays
+    # --analysis-scale: track on a box-downsampled luma pyramid level (the
+    # reference's demo tracks at scale 0.5, opencv/DisplayImage.cpp:49-57).
+    # Camera-frame rotations are resolution-independent, so the estimated
+    # trajectory is unchanged in meaning; tracking cost drops ~4x/level.
+    level = {1.0: 0, 0.5: 1, 0.25: 2}.get(options.analysis_scale)
+    if level is None:
+        raise ValueError(
+            f"--analysis-scale must be 1, 0.5 or 0.25 "
+            f"(got {options.analysis_scale})"
+        )
+    in_cam_full = mip_camera(in_cam_native, level)
+    track_w = in_cam_full.width
+    threshold = 8.0 / float(in_cam_native.fx)  # reference's 8 px gate, in rays
     # The reference's corner parameters (200 corners, 30 px min distance,
     # inlier gate 40) are tuned for 1920-wide footage; scale with resolution
     # so smaller inputs keep a comparable corner density.
-    res_scale = max(meta.width / 1920.0, 0.15)
+    res_scale = max(track_w / 1920.0, 0.15)
     min_distance = max(6, int(round(30 * res_scale)))
     min_inliers = max(10, min(MIN_INLIERS_FULL, int(round(40 * res_scale))))
     min_refresh = max(20, int(round(KEY_FRAME_MIN_CORNERS * res_scale)))
 
     import functools as _ft
+
+    def _track_res(gray):
+        return box_downsample(gray, level) if level else gray
 
     @_ft.partial(jax.jit, static_argnames=("refresh_age",))
     def track_step(prev_gray, gray, pts, valid, prev_delta, r_acc, key,
@@ -247,6 +266,9 @@ def analyse(
         (drift ~1e-7/step, invisible under the smoothing radius).
         """
         key, sub = jax.random.split(key)
+        # Downsample the CURRENT frame only (the previous frame arrives
+        # already small as the loop's carry).
+        gray = _track_res(gray)
         # Pallas LK on TPU (sub-ms); the vmapped-gather XLA path costs
         # ~68 ms/frame at 1920x1440 and stays as the CPU/test oracle.
         lk = pyramidal_lk if jax.default_backend() == "cpu" else pyramidal_lk_pallas
@@ -273,13 +295,14 @@ def analyse(
                 ),
                 lambda: (new_pts, status),
             )
-        return out_pts, out_valid, delta, r_new, key
+        return out_pts, out_valid, delta, r_new, key, gray
 
     @jax.jit
     def detect_step(gray):
+        gray = _track_res(gray)
         return detect_corners(
             gray, max_corners=MAX_CORNERS, min_distance=min_distance
-        )
+        ) + (gray,)
 
     first, last = _frame_range(meta, options)
     r_list = []
@@ -303,20 +326,18 @@ def analyse(
             continue
         if idx >= last:
             break
-        gray = y
         if prev_gray is None:
             with prof.stage("detect"):
-                pts, valid = detect_step(gray)
+                pts, valid, prev_gray = detect_step(y)
             r_list.append(r_acc)
         else:
             with prof.stage("track"):
-                pts, valid, prev_delta, r_acc, key = track_step(
-                    prev_gray, gray, pts, valid, prev_delta, r_acc, key,
+                pts, valid, prev_delta, r_acc, key, prev_gray = track_step(
+                    prev_gray, y, pts, valid, prev_delta, r_acc, key,
                     refresh_age=age >= KEY_FRAME_MAX_AGE,
                 )
                 r_list.append(r_acc)
             age = 0 if age >= KEY_FRAME_MAX_AGE else age + 1
-        prev_gray = gray
     pre.close()
     reader.close()
 
