@@ -56,3 +56,19 @@ def test_native_double_iteration_eof(clip):
 def test_native_missing_file():
     with pytest.raises(FileNotFoundError):
         NativeVideoSource("/nonexistent/file.mp4")
+
+
+def test_native_selftest_binary():
+    """Build + run the C++ IO self-test (threaded writer/loader/concat).
+    `make -C native tsan` runs the same under ThreadSanitizer."""
+    import subprocess, os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    native = os.path.join(root, "native")
+    r = subprocess.run(["make", "-C", native, "selftest"],
+                       capture_output=True, text=True, timeout=120)
+    if r.returncode != 0:
+        pytest.skip(f"native selftest build unavailable: {r.stderr[-200:]}")
+    r = subprocess.run([os.path.join(native, "selftest")],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "OK" in r.stdout
