@@ -146,3 +146,26 @@ def test_similarity_stabilise_buffer_zooms_out():
     )
     corr0 = similarity_corrections(t, opt0)
     np.testing.assert_allclose(corr0, 0.0, atol=1e-5)
+
+
+def test_2d_families_analysis_scale_matches_full():
+    """--analysis-scale 0.5 trajectories agree with full-res (translations
+    re-scaled to full-res pixels at collect time)."""
+    from video_annotator_tpu.models.deshake import analyse_deshake
+    from video_annotator_tpu.models.similarity import analyse_similarity
+
+    src = "synthetic://?w=384&h=288&n=12&seed=6&shake=0.006"
+    full_s = analyse_similarity(src, RenderOptions())
+    half_s = analyse_similarity(src, RenderOptions(analysis_scale=0.5))
+    assert half_s.params.shape == full_s.params.shape
+    # translations within a pixel, angle/log-scale within a few millirad
+    np.testing.assert_allclose(
+        half_s.params[:, :2], full_s.params[:, :2], atol=1.0
+    )
+    np.testing.assert_allclose(
+        half_s.params[:, 2:], full_s.params[:, 2:], atol=5e-3
+    )
+
+    full_d = analyse_deshake(src, RenderOptions())
+    half_d = analyse_deshake(src, RenderOptions(analysis_scale=0.5))
+    np.testing.assert_allclose(half_d.params, full_d.params, atol=1.5)

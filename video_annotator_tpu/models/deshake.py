@@ -35,16 +35,28 @@ def analyse_deshake(
     prof = profiler or StageProfiler()
     reader = open_reader(source)
     meta = reader.meta
+    # --analysis-scale: phase-correlate a box-downsampled level
+    # (translations scale back by 2^level at collect time).
+    level = {1.0: 0, 0.5: 1, 0.25: 2}.get(
+        getattr(options, "analysis_scale", 1.0), 0
+    )
+    from video_annotator_tpu.ops.warp_pallas import box_downsample
 
     @jax.jit
-    def track_step(prev_gray, gray, acc):
+    def track_step(prev_small, gray, acc):
         # d such that curr(x) ~= prev(x - d): camera moved by +d. Runs
         # and accumulates on device — no per-frame host sync (each
         # blocked round trip costs ~30-90 ms over a remote backend).
-        d, _peak = phase_correlate(
-            gray.astype(jnp.float32), prev_gray.astype(jnp.float32)
+        small = box_downsample(gray, level).astype(jnp.float32) \
+            if level else gray.astype(jnp.float32)
+        d, _peak = phase_correlate(small, prev_small)
+        return acc + d, small
+
+    @jax.jit
+    def first_step(gray):
+        return (box_downsample(gray, level) if level else gray).astype(
+            jnp.float32
         )
-        return acc + d
 
     first, last = _frame_range(meta, options)
     acc = jnp.zeros(2, jnp.float32)
@@ -60,14 +72,13 @@ def analyse_deshake(
             continue
         if idx >= last:
             break
-        gray = y
         if prev_gray is None:
+            prev_gray = first_step(y)
             out.append(acc)
         else:
             with prof.stage("track"):
-                acc = track_step(prev_gray, gray, acc)
+                acc, prev_gray = track_step(prev_gray, y, acc)
                 out.append(acc)
-        prev_gray = gray
     pre.close()
     reader.close()
     with prof.stage("collect"):
@@ -75,6 +86,7 @@ def analyse_deshake(
             np.asarray(jnp.stack(out), np.float64)
             if out else np.zeros((0, 2))
         )
+        params_np *= float(1 << level)
     return Trajectory(
         params=params_np,
         kind="translation",

@@ -47,12 +47,24 @@ def analyse_similarity(
     prof = profiler or StageProfiler()
     reader = open_reader(source)
     meta = reader.meta
-    res_scale = max(meta.width / 1920.0, 0.15)
+    # --analysis-scale: track on a box-downsampled level; similarities
+    # conjugate through scaling (translation x 2^level, angle/log-scale
+    # unchanged), applied once at collect time.
+    level = {1.0: 0, 0.5: 1, 0.25: 2}.get(
+        getattr(options, "analysis_scale", 1.0), 0
+    )
+    track_w = meta.width >> level
+    res_scale = max(track_w / 1920.0, 0.15)
     min_distance = max(6, int(round(30 * res_scale)))
     min_refresh = max(20, int(round(150 * res_scale)))
     min_inliers = max(10, int(round(40 * res_scale)))
 
     import functools as _ft
+
+    from video_annotator_tpu.ops.warp_pallas import box_downsample
+
+    def _track_res(gray):
+        return box_downsample(gray, level) if level else gray
 
     @_ft.partial(jax.jit, static_argnames=("refresh_age",))
     def track_step(prev_gray, gray, pts, valid, prev_params, acc, refresh_age):
@@ -61,6 +73,7 @@ def analyse_similarity(
         corner refresh, with no per-frame host read. Over a remote backend
         a blocked device->host round trip costs ~30-90 ms/frame — this
         loop syncs once, at the end of the clip."""
+        gray = _track_res(gray)
         lk = pyramidal_lk if jax.default_backend() == "cpu" else pyramidal_lk_pallas
         new_pts, status = lk(prev_gray, gray, pts, valid)
         params, inliers = fit_similarity(pts, new_pts, status)
@@ -78,11 +91,14 @@ def analyse_similarity(
                 ),
                 lambda: (new_pts, status),
             )
-        return out_pts, out_valid, params, acc
+        return out_pts, out_valid, params, acc, gray
 
     @jax.jit
     def detect_step(gray):
-        return detect_corners(gray, max_corners=MAX_CORNERS, min_distance=min_distance)
+        gray = _track_res(gray)
+        return detect_corners(
+            gray, max_corners=MAX_CORNERS, min_distance=min_distance
+        ) + (gray,)
 
     first, last = _frame_range(meta, options)
     acc = jnp.zeros(4, jnp.float32)
@@ -101,28 +117,28 @@ def analyse_similarity(
             continue
         if idx >= last:
             break
-        gray = y
         if prev_gray is None:
             with prof.stage("detect"):
-                pts, valid = detect_step(gray)
+                pts, valid, prev_gray = detect_step(y)
             out.append(acc)
         else:
             with prof.stage("track"):
-                pts, valid, prev_params, acc = track_step(
-                    prev_gray, gray, pts, valid, prev_params, acc,
+                pts, valid, prev_params, acc, prev_gray = track_step(
+                    prev_gray, y, pts, valid, prev_params, acc,
                     refresh_age=age >= KEY_FRAME_MAX_AGE,
                 )
                 out.append(acc)
             age = 0 if age >= KEY_FRAME_MAX_AGE else age + 1
-        prev_gray = gray
     pre.close()
     reader.close()
-    # One device->host sync for the whole trajectory.
+    # One device->host sync for the whole trajectory; translations
+    # scale back to full-resolution pixels.
     with prof.stage("collect"):
         params_np = (
             np.asarray(jnp.stack(out), np.float64)
             if out else np.zeros((0, 4))
         )
+        params_np[:, :2] *= float(1 << level)
     return Trajectory(
         params=params_np,
         kind="similarity",
