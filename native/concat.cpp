@@ -12,6 +12,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <algorithm>
 #include <string>
 #include <vector>
 
@@ -101,6 +102,10 @@ int va_concat(const char* const* inputs, int n, const char* output) {
                           inputs[f]);
             break;
         }
+        // Observed end timestamp per output stream (in the first file's
+        // time base for that stream) — the offset fallback when the
+        // container reports no duration.
+        std::vector<int64_t> seg_end(ofmt->nb_streams, 0);
         while (av_read_frame(in, pkt) >= 0) {
             const unsigned i = pkt->stream_index;
             if (i >= nstreams || map[i] < 0) {
@@ -116,6 +121,11 @@ int va_concat(const char* const* inputs, int n, const char* output) {
                 pkt->dts = av_rescale_q(pkt->dts, ist->time_base, itb[i]) + off;
             pkt->duration =
                 av_rescale_q(pkt->duration, ist->time_base, itb[i]);
+            if (pkt->pts != AV_NOPTS_VALUE) {
+                const int64_t end = pkt->pts + std::max<int64_t>(
+                    pkt->duration, 0);
+                if (end > seg_end[map[i]]) seg_end[map[i]] = end;
+            }
             av_packet_rescale_ts(pkt, itb[i], ost->time_base);
             pkt->stream_index = map[i];
             pkt->pos = -1;
@@ -125,11 +135,15 @@ int va_concat(const char* const* inputs, int n, const char* output) {
             }
         }
         // Advance every mapped stream's offset by this segment's duration
-        // (containers report it in AV_TIME_BASE microseconds).
+        // (containers report it in AV_TIME_BASE microseconds); when the
+        // container omits it, fall back to the last packet end observed
+        // so the next segment's timestamps stay monotonic.
         const int64_t dur_us = in->duration > 0 ? in->duration : 0;
         for (unsigned i = 0; i < nstreams; ++i) {
             if (map[i] < 0) continue;
-            offset[map[i]] += av_rescale_q(dur_us, AV_TIME_BASE_Q, itb[i]);
+            const int64_t by_dur =
+                offset[map[i]] + av_rescale_q(dur_us, AV_TIME_BASE_Q, itb[i]);
+            offset[map[i]] = std::max(by_dur, seg_end[map[i]]);
         }
         avformat_close_input(&in);
     }

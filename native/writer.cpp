@@ -116,9 +116,12 @@ void pump_passthrough(Writer* W, double until_s) {
             continue;
         }
         if (W->trim_end >= 0 && t > W->trim_end - W->trim_start) {
+            // Out of window for THIS stream only: other mapped streams may
+            // still have in-window packets later in the interleave — skip,
+            // don't stop the pump (a shared stop dropped up to an
+            // interleave chunk of audio/GPMF at the clip end).
             av_packet_unref(pkt);
-            W->copy_done = true;
-            break;
+            continue;
         }
         AVStream* ost = W->ofmt->streams[W->map[idx]];
         const int64_t shift = (int64_t)(W->trim_start / tb + 0.5);

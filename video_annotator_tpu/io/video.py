@@ -228,6 +228,13 @@ def open_writer(path: Optional[str], meta: VideoMeta, encoder: str = "mp4v",
                     copy_streams_from=copy_streams_from,
                     trim_start=trim_start, trim_end=trim_end,
                 )
-        except (RuntimeError, OSError):
-            pass
+        except (RuntimeError, OSError) as e:
+            import sys
+
+            print(
+                f"warning: native writer unavailable for {path} ({e}); "
+                "falling back to cv2 (bitrate-default, no stream "
+                "passthrough)",
+                file=sys.stderr,
+            )
     return _CvSink(path, meta, fourcc=encoder if len(encoder) == 4 else "mp4v")

@@ -37,9 +37,9 @@ def analyse_deshake(
     meta = reader.meta
     # --analysis-scale: phase-correlate a box-downsampled level
     # (translations scale back by 2^level at collect time).
-    level = {1.0: 0, 0.5: 1, 0.25: 2}.get(
-        getattr(options, "analysis_scale", 1.0), 0
-    )
+    from video_annotator_tpu.pipeline.render import analysis_level
+
+    level = analysis_level(options)
     from video_annotator_tpu.ops.warp_pallas import box_downsample
 
     @jax.jit
@@ -65,7 +65,8 @@ def analyse_deshake(
     idx = -1
     from video_annotator_tpu.io.prefetch import DevicePrefetcher
 
-    pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)))
+    pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)),
+                           depth=getattr(options, "prefetch_depth", 3))
     for y, _, _ in pre:
         idx += 1
         if idx < first:

@@ -50,9 +50,9 @@ def analyse_similarity(
     # --analysis-scale: track on a box-downsampled level; similarities
     # conjugate through scaling (translation x 2^level, angle/log-scale
     # unchanged), applied once at collect time.
-    level = {1.0: 0, 0.5: 1, 0.25: 2}.get(
-        getattr(options, "analysis_scale", 1.0), 0
-    )
+    from video_annotator_tpu.pipeline.render import analysis_level
+
+    level = analysis_level(options)
     track_w = meta.width >> level
     res_scale = max(track_w / 1920.0, 0.15)
     min_distance = max(6, int(round(30 * res_scale)))
@@ -84,6 +84,10 @@ def analyse_similarity(
                 gray, max_corners=MAX_CORNERS, min_distance=min_distance
             )
         else:
+            # NOTE: the count-based refresh runs on device, so the host's
+            # age counter does not reset on it (same cadence as the
+            # rotation family's fully-device step) — the worst case is one
+            # redundant detect at the age limit.
             out_pts, out_valid = jax.lax.cond(
                 jnp.sum(status) < min_refresh,
                 lambda: detect_corners(
@@ -110,7 +114,8 @@ def analyse_similarity(
     idx = -1
     from video_annotator_tpu.io.prefetch import DevicePrefetcher
 
-    pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)))
+    pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)),
+                           depth=getattr(options, "prefetch_depth", 3))
     for y, _, _ in pre:
         idx += 1
         if idx < first:

@@ -1458,7 +1458,6 @@ def _pack_input(frame: jax.Array, plan: WarpPlan, mip: int,
                             use_kernel=use_kernel)
 
 
-@functools.lru_cache(maxsize=16)
 def _ray_grid_np(out_key, out_h: int, out_w: int) -> np.ndarray:
     """(3, out_h, out_w) f32 output-ray field for non-rectilinear output
     models (tan/sin/cos evaluated exactly on host; static per clip)."""
@@ -1469,7 +1468,10 @@ def _ray_grid_np(out_key, out_h: int, out_w: int) -> np.ndarray:
     return np.ascontiguousarray(rays.astype(np.float32))
 
 
-@functools.lru_cache(maxsize=16)
+# A run uses 1-2 grids (luma + chroma camera); a 4K grid is ~100 MB of
+# HBM, so keep the cache tight and only on the device side (the host
+# array is transient).
+@functools.lru_cache(maxsize=4)
 def _ray_grid_dev(out_key, out_h: int, out_w: int):
     return jax.device_put(_ray_grid_np(out_key, out_h, out_w))
 

@@ -54,7 +54,15 @@ def compute_warp_map(
         rays,
         precision=jax.lax.Precision.HIGHEST,
     )
-    return in_camera.project(rotated)  # (h, w, 2)
+    src = in_camera.project(rotated)  # (h, w, 2)
+    if in_camera.model != CameraModel.EQUIRECT:
+        # Behind-camera rays (possible when an equirect OUTPUT looks past
+        # 90 deg) would mirror through the perspective divide into
+        # in-frame coordinates; pin them far outside so the sampler
+        # renders border — matching the Pallas kernel's vz > 1e-6 mask.
+        behind = (rotated[..., 2] <= 1e-6)[..., None]
+        src = jnp.where(behind, -1e6, src)
+    return src
 
 
 def bilinear_sample(image: jax.Array, coords: jax.Array) -> jax.Array:

@@ -86,10 +86,21 @@ def render_compare(
     reader = open_reader(source)
     meta = reader.meta
 
+    def _count_frames():
+        # Containers without a frame count (cv2 CAP_PROP_FRAME_COUNT 0)
+        # would size the all-'none' placeholder trajectory at 0 frames
+        # and silently produce an empty grid; count by decoding once.
+        if meta.num_frames:
+            return meta.num_frames
+        r = open_reader(source)
+        n = sum(1 for _ in r)
+        r.close()
+        return n
+
     def _empty_traj(kind, dim):
         from video_annotator_tpu.pipeline.trajectory import Trajectory
 
-        n = meta.num_frames or 0
+        n = _count_frames()
         return Trajectory(np.zeros((n, dim)), kind, meta.fps, meta.width,
                           meta.height, source)
 

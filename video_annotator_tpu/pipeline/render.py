@@ -127,6 +127,18 @@ class RenderOptions:
     verbose: bool = False
 
 
+def analysis_level(o) -> int:
+    """Validated --analysis-scale as a box-downsample level (shared by
+    every stabilizer family)."""
+    scale = getattr(o, "analysis_scale", 1.0)
+    level = {1.0: 0, 0.5: 1, 0.25: 2}.get(scale)
+    if level is None:
+        raise ValueError(
+            f"--analysis-scale must be 1, 0.5 or 0.25 (got {scale})"
+        )
+    return level
+
+
 def _passthrough_kwargs(source: str, meta: VideoMeta, o: RenderOptions):
     """Audio/GPMF stream-copy window for the native writer.
 
@@ -229,12 +241,7 @@ def analyse(
     # reference's demo tracks at scale 0.5, opencv/DisplayImage.cpp:49-57).
     # Camera-frame rotations are resolution-independent, so the estimated
     # trajectory is unchanged in meaning; tracking cost drops ~4x/level.
-    level = {1.0: 0, 0.5: 1, 0.25: 2}.get(options.analysis_scale)
-    if level is None:
-        raise ValueError(
-            f"--analysis-scale must be 1, 0.5 or 0.25 "
-            f"(got {options.analysis_scale})"
-        )
+    level = analysis_level(options)
     in_cam_full = mip_camera(in_cam_native, level)
     track_w = in_cam_full.width
     threshold = 8.0 / float(in_cam_native.fx)  # reference's 8 px gate, in rays
