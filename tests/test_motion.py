@@ -195,3 +195,32 @@ def test_rotation_from_projected_corners_end_to_end():
     err = np.asarray(so3.log(jnp.asarray(np.asarray(est.rotation) @ R_cam)))
     # est.rotation ~= R_cam^T
     assert np.linalg.norm(err) < 1e-3, err
+
+
+def test_detect_corners_large_min_distance_hierarchical_nms():
+    """min_distance > 32 uses the two-stage cell reduction (one (60,60)
+    reduce_window overflowed v5e's 16 MB scoped VMEM at 4K); winners must
+    still honor the spacing."""
+    import numpy as np
+    import jax.numpy as jnp
+    from video_annotator_tpu.ops.corners import detect_corners
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 255, (480, 640)).astype(np.float32)
+    pts, valid = detect_corners(jnp.asarray(img), max_corners=64,
+                                min_distance=60)
+    p = np.asarray(pts)[np.asarray(valid)]
+    assert len(p) >= 8
+    d = np.sqrt(((p[:, None] - p[None]) ** 2).sum(-1))
+    np.fill_diagonal(d, np.inf)
+    assert d.min() >= 60 - 1e-3, d.min()
+
+
+def test_analysis_level_validation():
+    import pytest
+    from video_annotator_tpu.pipeline.render import RenderOptions, analysis_level
+
+    assert analysis_level(RenderOptions()) == 0
+    assert analysis_level(RenderOptions(analysis_scale=0.25)) == 2
+    with pytest.raises(ValueError):
+        analysis_level(RenderOptions(analysis_scale=0.75))
