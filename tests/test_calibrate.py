@@ -51,3 +51,34 @@ def test_calibrate_recovers_fisheye_intrinsics():
     assert abs(float(cam.fy) - 302.0) < 3.0, float(cam.fy)
     assert abs(float(cam.cx) - 321.0) < 3.0, float(cam.cx)
     assert abs(float(cam.cy) - 238.0) < 3.0, float(cam.cy)
+
+
+def test_calibrate_corner_origin_board_close_range():
+    """Regression: a corner-origin board (a point exactly on the optical
+    axis) at close range (z under one board diagonal) NaN'd the solver —
+    sqrt/divide autodiff at r=0 leaked NaN through jnp.where, and
+    unclamped depths let iterates cross z=0."""
+    from video_annotator_tpu.calibrate import calibrate
+    from video_annotator_tpu.camera import camera_from_dfov
+
+    cam = camera_from_dfov(120.0, (640, 480), CameraModel.FISHEYE)
+    rng = np.random.default_rng(0)
+    g = np.stack(np.meshgrid(np.arange(9), np.arange(6), indexing="xy"), -1)
+    obj = np.concatenate(
+        [g.reshape(-1, 2) * 0.03, np.zeros((54, 1))], 1
+    )  # includes (0, 0, 0)
+    imgs = []
+    for _ in range(10):
+        R = np.asarray(so3.exp(jnp.asarray(rng.normal(size=3) * 0.2)))
+        t = np.array([
+            rng.uniform(-0.06, 0.06), rng.uniform(-0.06, 0.06),
+            rng.uniform(0.35, 0.8),
+        ])
+        imgs.append(np.asarray(cam.project(jnp.asarray(obj @ R.T + t))))
+    img = np.stack(imgs) + rng.normal(size=(10, 54, 2)) * 0.1
+
+    est, rms = calibrate(obj, img, (640, 480), CameraModel.FISHEYE,
+                         steps=2500)
+    assert np.isfinite(rms) and rms < 0.5, rms
+    assert abs(float(est.fx) - float(cam.fx)) < 4.0
+    assert abs(float(est.cx) - float(cam.cx)) < 4.0

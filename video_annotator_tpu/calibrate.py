@@ -38,16 +38,27 @@ def _project(params, obj_pts, model: CameraModel):
         jnp.einsum("vij,nj->vni", R, obj_pts, precision=jax.lax.Precision.HIGHEST)
         + tvecs[:, None, :]
     )
-    x = cam_pts[..., 0] / cam_pts[..., 2]
-    y = cam_pts[..., 1] / cam_pts[..., 2]
+    # Clamp the depth: an optimizer iterate that momentarily pushes a
+    # board point to z <= 0 must produce a large finite residual, not a
+    # NaN that permanently poisons every parameter (close boards, z well
+    # under one board diagonal, hit this; far boards never do).
+    z = jnp.maximum(cam_pts[..., 2], 1e-2)
+    x = cam_pts[..., 0] / z
+    y = cam_pts[..., 1] / z
     if model == CameraModel.FISHEYE:
-        r = jnp.sqrt(x * x + y * y)
+        # Double-where: a board point exactly on the optical axis (r = 0,
+        # e.g. a corner-origin board facing the camera) must not leak NaN
+        # through sqrt'(0)/x/0 into the AUTODIFF gradients — jnp.where
+        # alone evaluates both branches' cotangents.
+        r2 = x * x + y * y
+        on_axis = r2 < 1e-18
+        r = jnp.sqrt(jnp.where(on_axis, 1.0, r2))
         theta = jnp.arctan(r)
         t2 = theta * theta
         theta_d = theta * (
             1.0 + t2 * (dist[0] + t2 * (dist[1] + t2 * (dist[2] + t2 * dist[3])))
         )
-        s = jnp.where(r > 1e-9, theta_d / jnp.maximum(r, 1e-9), 1.0)
+        s = jnp.where(on_axis, 1.0, theta_d / r)
         x, y = x * s, y * s
     u = fx * x + cx
     v = fy * y + cy
@@ -170,6 +181,10 @@ def calibrate_cli(points_path: str, model: str, size: str | None, output: str | 
     data = np.load(points_path)
     obj = data["object_points"]
     img = data["image_points"]
+    if obj.ndim == 3:
+        # cv2-style per-view board lists (V, N, 3): all views observe the
+        # same board, so one copy suffices.
+        obj = obj[0]
     if size:
         w, h = (int(x) for x in size.lower().split("x"))
     elif "image_size" in data:
