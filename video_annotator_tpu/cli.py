@@ -94,6 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="GoPro camera preset name (e.g. gopro_h4b_wide43_measured)")
     r.add_argument("--gyro", action="store_true",
                    help="Use the GPMF gyro track for motion analysis")
+    r.add_argument("--horizon-lock", action="store_true",
+                   help="Pin the horizon using the GPMF accelerometer's "
+                        "gravity direction (assumes a level first frame "
+                        "when the source has no telemetry)")
     r.add_argument("-c", "--encode-only", action="store_true",
                    help="Skip analyse; use existing trajectory")
     r.add_argument("-a", "--analyse-only", action="store_true",
@@ -197,6 +201,7 @@ def _render_options(args) -> "RenderOptions":
         projection=getattr(args, "projection", "rect"),
         preset=preset,
         gyro=getattr(args, "gyro", False),
+        horizon_lock=getattr(args, "horizon_lock", False),
         analyse_only=getattr(args, "analyse_only", False),
         encode_only=getattr(args, "encode_only", False),
         no_output=getattr(args, "no_output", False),

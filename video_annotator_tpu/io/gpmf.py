@@ -59,12 +59,19 @@ def _decode_array(buf: bytes, typ: int, size: int, repeat: int, ps: int):
 
 @dataclasses.dataclass
 class GyroPacket:
-    samples: np.ndarray  # (N, 3) rad/s, raw sensor axis order
+    samples: np.ndarray  # (N, 3) raw sensor axis order (scaled to SI)
     timestamp: float  # packet start time (seconds)
 
 
-def parse_gyro_packet(payload: bytes, timestamp: float) -> List[GyroPacket]:
-    """Extract GYRO samples (scaled by SCAL) from one GPMF payload."""
+def parse_sensor_packet(
+    payload: bytes, timestamp: float, fourcc: bytes = b"GYRO"
+) -> List[GyroPacket]:
+    """Extract one sensor stream's samples (scaled by SCAL) from a payload.
+
+    ``fourcc`` selects the stream: ``GYRO`` (rad/s) or ``ACCL`` (m/s^2) —
+    the two streams the reference's dead code walked
+    (``opencv/gpmf.cpp:82-105``).
+    """
     packets: List[GyroPacket] = []
 
     def walk(start, end):
@@ -74,7 +81,7 @@ def parse_gyro_packet(payload: bytes, timestamp: float) -> List[GyroPacket]:
                 walk(ps, pe)
             elif key == b"SCAL":
                 scal = _decode_array(payload, typ, size, repeat, ps)
-            elif key == b"GYRO":
+            elif key == fourcc:
                 arr = _decode_array(payload, typ, size, repeat, ps)
                 if arr is None or arr.ndim != 2 or arr.shape[1] != 3:
                     continue
@@ -85,6 +92,11 @@ def parse_gyro_packet(payload: bytes, timestamp: float) -> List[GyroPacket]:
 
     walk(0, len(payload))
     return packets
+
+
+def parse_gyro_packet(payload: bytes, timestamp: float) -> List[GyroPacket]:
+    """Extract GYRO samples (scaled by SCAL) from one GPMF payload."""
+    return parse_sensor_packet(payload, timestamp, b"GYRO")
 
 
 # GoPro gyro sample axis order is (z, x, y) in the camera's IMU frame; map
@@ -101,52 +113,80 @@ def gyro_to_camera(samples: np.ndarray, axis_map=DEFAULT_AXIS_MAP) -> np.ndarray
     return out
 
 
-def extract_gyro(path: str, axis_map=DEFAULT_AXIS_MAP):
-    """(omega (S, 3) rad/s camera-frame, timestamps (S,) seconds) from an MP4.
-
-    Per-sample timestamps are interpolated across each packet's duration
-    (the design sketched in ``opencv/gpmf.cpp:82-105``).
-    """
+def _extract_stream(path: str, fourcc: bytes, axis_map, tail_hz: float):
     from video_annotator_tpu.io.mp4 import find_gpmf_track, read_track_samples
 
     track = find_gpmf_track(path)
     if track is None:
         raise ValueError(f"no GoPro MET track in {path}")
 
-    all_omega: List[np.ndarray] = []
+    all_vals: List[np.ndarray] = []
     all_ts: List[np.ndarray] = []
     samples = list(read_track_samples(path, track))
     for i, (payload, ts) in enumerate(samples):
         next_ts = samples[i + 1][1] if i + 1 < len(samples) else None
-        for pkt in parse_gyro_packet(payload, ts):
+        for pkt in parse_sensor_packet(payload, ts, fourcc):
             n = pkt.samples.shape[0]
             if next_ts is not None and next_ts > ts:
                 t = ts + (next_ts - ts) * np.arange(n) / max(n, 1)
             else:
-                # assume ~400 Hz for the tail packet
-                t = ts + np.arange(n) / 400.0
-            all_omega.append(gyro_to_camera(pkt.samples, axis_map))
+                t = ts + np.arange(n) / tail_hz
+            all_vals.append(gyro_to_camera(pkt.samples, axis_map))
             all_ts.append(t)
-    if not all_omega:
-        raise ValueError(f"GoPro MET track has no GYRO stream in {path}")
-    return np.concatenate(all_omega), np.concatenate(all_ts)
+    if not all_vals:
+        raise ValueError(
+            f"GoPro MET track has no {fourcc.decode()} stream in {path}"
+        )
+    return np.concatenate(all_vals), np.concatenate(all_ts)
+
+
+def extract_gyro(path: str, axis_map=DEFAULT_AXIS_MAP):
+    """(omega (S, 3) rad/s camera-frame, timestamps (S,) seconds) from an MP4.
+
+    Per-sample timestamps are interpolated across each packet's duration
+    (the design sketched in ``opencv/gpmf.cpp:82-105``).
+    """
+    return _extract_stream(path, b"GYRO", axis_map, tail_hz=400.0)
+
+
+def extract_accl(path: str, axis_map=DEFAULT_AXIS_MAP):
+    """(accel (S, 3) m/s^2 camera-frame, timestamps (S,) seconds) from an MP4.
+
+    The ACCL stream the reference's dead code also walked
+    (``opencv/gpmf.cpp:82-105``); GoPro ACCL shares the GYRO sensor axis
+    order, and linear accelerations transform into the camera frame with
+    the same (proper) axis rotation. ~200 Hz on HERO-era firmware.
+    """
+    return _extract_stream(path, b"ACCL", axis_map, tail_hz=200.0)
 
 
 # --- writer (tests / synthetic footage) ------------------------------------
 
 
-def build_gpmf_payload(gyro: np.ndarray, scale: int = 939) -> bytes:
-    """Serialize a minimal DEVC/STRM/SCAL+GYRO payload (int16 samples)."""
+def build_gpmf_payload(
+    gyro: np.ndarray,
+    scale: int = 939,
+    accl: Optional[np.ndarray] = None,
+    accl_scale: int = 418,
+) -> bytes:
+    """Serialize a minimal DEVC payload with SCAL+GYRO (and optionally a
+    second STRM with SCAL+ACCL), int16 samples — enough structure to
+    exercise the parser's container walk."""
 
     def klv(key: bytes, typ: int, size: int, repeat: int, payload: bytes) -> bytes:
         head = key + bytes([typ, size]) + struct.pack(">H", repeat)
         pad = (-len(payload)) % 4
         return head + payload + b"\x00" * pad
 
-    raw = np.clip(np.round(gyro * scale), -32768, 32767).astype(">i2")
-    gyro_klv = klv(b"GYRO", ord("s"), 6, raw.shape[0], raw.tobytes())
-    scal_klv = klv(b"SCAL", ord("s"), 2, 1, struct.pack(">h", scale))
-    strm = scal_klv + gyro_klv
-    strm_klv = klv(b"STRM", 0, 1, len(strm), strm)
-    devc = klv(b"DEVC", 0, 1, len(strm_klv), strm_klv)
+    def strm(fourcc: bytes, data: np.ndarray, s: int) -> bytes:
+        raw = np.clip(np.round(data * s), -32768, 32767).astype(">i2")
+        data_klv = klv(fourcc, ord("s"), 6, raw.shape[0], raw.tobytes())
+        scal_klv = klv(b"SCAL", ord("s"), 2, 1, struct.pack(">h", s))
+        body = scal_klv + data_klv
+        return klv(b"STRM", 0, 1, len(body), body)
+
+    streams = strm(b"GYRO", gyro, scale)
+    if accl is not None:
+        streams += strm(b"ACCL", accl, accl_scale)
+    devc = klv(b"DEVC", 0, 1, len(streams), streams)
     return devc

@@ -98,6 +98,11 @@ class RenderOptions:
     preset: Optional[CameraPreset] = None
     # gyro-assisted analysis (GPMF telemetry instead of visual tracking)
     gyro: bool = False
+    # Gravity-referenced roll lock: pin the horizon using the GPMF ACCL
+    # stream's up direction (falls back to "frame 0 was level" when the
+    # source has no telemetry). Applies to any stabilise mode / family
+    # with SO(3) trajectories.
+    horizon_lock: bool = False
     # phases
     analyse_only: bool = False
     encode_only: bool = False
@@ -363,7 +368,25 @@ def analyse(
         width=meta.width,
         height=meta.height,
         source=source,
+        up0=_estimate_up0(source, float(first) / float(meta.fps)),
     )
+
+
+def _estimate_up0(source: str, t0: float) -> Optional[np.ndarray]:
+    """World-up in frame-0 camera coords from GPMF GYRO+ACCL, or None.
+
+    Silently absent for sources without telemetry — --horizon-lock then
+    falls back to assuming the first frame was level.
+    """
+    try:
+        from video_annotator_tpu.io.gpmf import extract_accl, extract_gyro
+        from video_annotator_tpu.smoothing.horizon import estimate_up_direction
+
+        omega, ts = extract_gyro(source)
+        accl, accl_ts = extract_accl(source)
+        return estimate_up_direction(omega, ts, accl, accl_ts, t0=t0)
+    except Exception:
+        return None
 
 
 def analyse_gyro(
@@ -428,6 +451,18 @@ def analyse_gyro(
         # the measured trajectory convention is C_t C_0^-1 = R_t^-1.
         rotvecs = -np.asarray(so3.log(R), np.float64)
 
+    up0 = None
+    try:
+        from video_annotator_tpu.io.gpmf import extract_accl
+        from video_annotator_tpu.smoothing.horizon import estimate_up_direction
+
+        accl, accl_ts = extract_accl(source)
+        up0 = estimate_up_direction(
+            omega, ts, accl, accl_ts, t0=float(frame_ts[0])
+        )
+    except Exception:
+        pass
+
     return Trajectory(
         params=rotvecs,
         kind="so3",
@@ -435,6 +470,7 @@ def analyse_gyro(
         width=meta_w,
         height=meta_h,
         source=source,
+        up0=up0,
     )
 
 
@@ -445,20 +481,32 @@ def compute_corrections(traj: Trajectory, options: RenderOptions) -> np.ndarray:
     """Per-frame warp rotations: stabilization correction + attitude."""
     measured = jnp.asarray(traj.rotations())
     t = measured.shape[0]
+    # The virtual (output) camera trajectory per mode; the warp correction
+    # is measured . virtual^T (frame-t rays of the virtual camera).
     if options.stabilise == "none":
-        corr = jnp.broadcast_to(jnp.eye(3), (t, 3, 3))
+        virtual = measured
     elif options.stabilise == "fixed":
-        corr = measured
+        virtual = jnp.broadcast_to(jnp.eye(3, dtype=measured.dtype), (t, 3, 3))
     elif options.stabilise == "smooth":
         if options.smoother == "kalman":
-            smoothed = smooth_rotations_kalman(measured)
+            virtual = smooth_rotations_kalman(measured)
         else:
-            smoothed = smooth_rotations(
+            virtual = smooth_rotations(
                 measured, radius=min(options.stabilise_radius, max(t - 1, 1))
             )
-        corr = so3.matmul(measured, jnp.swapaxes(smoothed, -1, -2))
     else:
         raise ValueError(f"unknown stabilise mode {options.stabilise!r}")
+
+    if options.horizon_lock:
+        from video_annotator_tpu.smoothing.horizon import level_horizon
+
+        up0 = traj.up0 if traj.up0 is not None else np.asarray([0.0, -1.0, 0.0])
+        virtual = level_horizon(virtual, jnp.asarray(up0, measured.dtype))
+        corr = so3.matmul(measured, jnp.swapaxes(virtual, -1, -2))
+    elif options.stabilise == "none":
+        corr = jnp.broadcast_to(jnp.eye(3, dtype=measured.dtype), (t, 3, 3))
+    else:
+        corr = so3.matmul(measured, jnp.swapaxes(virtual, -1, -2))
 
     attitude = so3.from_euler(
         np.radians(options.roll), np.radians(options.pitch), np.radians(options.yaw)
@@ -758,7 +806,14 @@ def render(
             f"unknown --filter {options.filter!r}; choose from "
             f"{sorted(FILTER_ALIASES)}"
         )
-    needs_motion = options.stabilise != "none"
+    if options.horizon_lock and family != "rotation":
+        raise ValueError(
+            "--horizon-lock needs the rotation family "
+            "(--filter rotation/dewobble); 2D families have no camera "
+            "attitude to level"
+        )
+    # Horizon lock needs the measured attitude even when not stabilising.
+    needs_motion = options.stabilise != "none" or options.horizon_lock
     tpath = trajectory_path(dest) if dest else None
 
     if needs_motion and not options.encode_only:

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 from fractions import Fraction
+from typing import Optional
 
 import numpy as np
 
@@ -37,6 +38,9 @@ class Trajectory:
     width: int = 0
     height: int = 0
     source: str = ""
+    # World "up" in frame-0 camera coords (unit 3-vector), estimated from
+    # the GPMF ACCL stream when available — enables --horizon-lock.
+    up0: Optional[np.ndarray] = None
 
     def __post_init__(self):
         if self.kind not in KIND_DIMS:
@@ -58,6 +62,9 @@ class Trajectory:
         return np.asarray(so3.exp(jnp.asarray(self.params, jnp.float32)))
 
     def save(self, path: str):
+        extra = {}
+        if self.up0 is not None:
+            extra["up0"] = np.asarray(self.up0, np.float64)
         np.savez(
             path,
             version=FORMAT_VERSION,
@@ -68,6 +75,7 @@ class Trajectory:
             width=self.width,
             height=self.height,
             source=self.source,
+            **extra,
         )
 
     @staticmethod
@@ -89,6 +97,7 @@ class Trajectory:
                 width=int(z["width"]),
                 height=int(z["height"]),
                 source=str(z["source"]),
+                up0=z["up0"] if "up0" in z.files else None,
             )
 
 
