@@ -1,0 +1,104 @@
+"""Single-pass streaming render: equivalence with the two-phase path.
+
+The reference's native engine streams frames through a lookahead window
+(``opencv/FrameSourceWarp.cpp:452-464``); ``pipeline/streaming.py`` is
+that shape on TPU. These tests pin its contract: identical output to the
+two-phase analyse/encode for every stabilise mode (same SG weights, same
+replicate-clamp EOF semantics), under trimming and short-clip radii.
+"""
+
+import numpy as np
+import pytest
+
+from video_annotator_tpu.camera import CameraPreset
+from video_annotator_tpu.io.video import open_reader
+from video_annotator_tpu.pipeline.render import RenderOptions, render
+from video_annotator_tpu.pipeline.trajectory import Trajectory, trajectory_path
+
+SRC = "synthetic://shaky?w=256&h=192&n=24&seed=5&shake=0.004&pan=0.0"
+OPTS = dict(preset=CameraPreset.GOPRO_H4B_WIDE43_MEASURED, warp_batch=5)
+
+
+def _frames(path):
+    r = open_reader(path)
+    fs = [(y.copy(), u.copy(), v.copy()) for y, u, v in r]
+    r.close()
+    return fs
+
+
+def _assert_same_video(a_path, b_path):
+    """Every pixel within one uint8 count: the only tolerated difference is
+    rounding flips from the two-phase path's f32 exp(log(R)) rotation
+    roundtrip (the trajectories themselves match exactly — see
+    test_streaming_matches_two_phase's checkpoint comparison)."""
+    a, b = _frames(a_path), _frames(b_path)
+    assert len(a) == len(b), (len(a), len(b))
+    for fa, fb in zip(a, b):
+        for pa, pb in zip(fa, fb):
+            d = np.abs(pa.astype(np.int16) - pb.astype(np.int16))
+            assert d.max() <= 1, d.max()
+            assert (d > 0).mean() <= 0.05, (d > 0).mean()
+
+
+@pytest.mark.parametrize("mode,extra", [
+    ("smooth", {"stabilise_radius": 8}),
+    ("fixed", {}),
+    ("none", {}),
+])
+def test_streaming_matches_two_phase(tmp_path, mode, extra):
+    two = str(tmp_path / f"two_{mode}.y4m")
+    one = str(tmp_path / f"one_{mode}.y4m")
+    render(SRC, two, RenderOptions(stabilise=mode, **extra, **OPTS))
+    render(SRC, one,
+           RenderOptions(stabilise=mode, streaming=True, **extra, **OPTS))
+    _assert_same_video(two, one)
+    # Streaming also checkpoints its trajectory like analyse does.
+    t_two = Trajectory.load(trajectory_path(two)) if mode != "none" else None
+    t_one = Trajectory.load(trajectory_path(one))
+    if t_two is not None:
+        np.testing.assert_allclose(t_one.params, t_two.params, atol=1e-5)
+
+
+def test_streaming_short_clip_shrinks_radius(tmp_path):
+    """Clip shorter than the window: radius clamps exactly like the
+    two-phase compute_corrections (min(radius, T-1))."""
+    src = "synthetic://shaky?w=256&h=192&n=6&seed=2&shake=0.004&pan=0.0"
+    two = str(tmp_path / "two.y4m")
+    one = str(tmp_path / "one.y4m")
+    render(src, two, RenderOptions(stabilise="smooth", stabilise_radius=30,
+                                   **OPTS))
+    render(src, one, RenderOptions(stabilise="smooth", stabilise_radius=30,
+                                   streaming=True, **OPTS))
+    _assert_same_video(two, one)
+
+
+def test_streaming_respects_trim(tmp_path):
+    two = str(tmp_path / "two.y4m")
+    one = str(tmp_path / "one.y4m")
+    trim = dict(start=0.2, end=0.6, stabilise="smooth", stabilise_radius=4)
+    render(SRC, two, RenderOptions(**trim, **OPTS))
+    render(SRC, one, RenderOptions(streaming=True, **trim, **OPTS))
+    _assert_same_video(two, one)
+    assert len(_frames(one)) == 12  # 0.4 s at 30 fps
+
+
+def test_streaming_rejects_global_smoothers_and_phases(tmp_path):
+    out = str(tmp_path / "o.y4m")
+    with pytest.raises(ValueError, match="savgol"):
+        render(SRC, out, RenderOptions(stabilise="smooth", smoother="kalman",
+                                       streaming=True, **OPTS))
+    with pytest.raises(ValueError, match="single-pass"):
+        render(SRC, out, RenderOptions(stabilise="smooth", streaming=True,
+                                       analyse_only=True, **OPTS))
+    with pytest.raises(ValueError, match="rotation family"):
+        render(SRC, out, RenderOptions(filter="vidstab", stabilise="smooth",
+                                       streaming=True, **OPTS))
+
+
+def test_streaming_horizon_lock_matches_two_phase(tmp_path):
+    two = str(tmp_path / "two.y4m")
+    one = str(tmp_path / "one.y4m")
+    o = dict(stabilise="none", horizon_lock=True)
+    render(SRC, two, RenderOptions(**o, **OPTS))
+    render(SRC, one, RenderOptions(streaming=True, **o, **OPTS))
+    _assert_same_video(two, one)

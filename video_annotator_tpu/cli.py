@@ -94,6 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="GoPro camera preset name (e.g. gopro_h4b_wide43_measured)")
     r.add_argument("--gyro", action="store_true",
                    help="Use the GPMF gyro track for motion analysis")
+    r.add_argument("--streaming", action="store_true",
+                   help="Single-pass render: decode once, smooth through a "
+                        "bounded lookahead window (identical output to the "
+                        "two-phase analyse/encode; rotation family)")
     r.add_argument("--horizon-lock", action="store_true",
                    help="Pin the horizon using the GPMF accelerometer's "
                         "gravity direction (assumes a level first frame "
@@ -202,6 +206,7 @@ def _render_options(args) -> "RenderOptions":
         preset=preset,
         gyro=getattr(args, "gyro", False),
         horizon_lock=getattr(args, "horizon_lock", False),
+        streaming=getattr(args, "streaming", False),
         analyse_only=getattr(args, "analyse_only", False),
         encode_only=getattr(args, "encode_only", False),
         no_output=getattr(args, "no_output", False),

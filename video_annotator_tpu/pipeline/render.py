@@ -98,6 +98,12 @@ class RenderOptions:
     preset: Optional[CameraPreset] = None
     # gyro-assisted analysis (GPMF telemetry instead of visual tracking)
     gyro: bool = False
+    # Single-pass streaming render (the native engine's shape,
+    # opencv/FrameSourceWarp.cpp:452-464): decode once, smooth through a
+    # lookahead window, identical output to the two-phase path. Rotation
+    # family only; --gyro already decodes once (telemetry analysis) and
+    # ignores this flag.
+    streaming: bool = False
     # Gravity-referenced roll lock: pin the horizon using the GPMF ACCL
     # stream's up direction (falls back to "frame 0 was level" when the
     # source has no telemetry). Applies to any stabilise mode / family
@@ -226,15 +232,9 @@ def build_cameras(meta: VideoMeta, o: RenderOptions):
 # --- phase 1: analyse ------------------------------------------------------
 
 
-def analyse(
-    source: str,
-    options: RenderOptions,
-    profiler: Optional[StageProfiler] = None,
-) -> Trajectory:
-    """Estimate the per-frame accumulated camera rotation trajectory."""
-    prof = profiler or StageProfiler()
-    reader = open_reader(source, prefer_native=options.native_io)
-    meta = reader.meta
+def _make_tracker(meta: VideoMeta, options: RenderOptions):
+    """Jitted (detect_step, track_step) shared by :func:`analyse` and the
+    single-pass streaming renderer (``pipeline/streaming.py``)."""
     in_cam_native = (
         get_preset_camera(options.preset, (meta.width, meta.height))
         if options.preset is not None
@@ -315,6 +315,20 @@ def analyse(
         return detect_corners(
             gray, max_corners=MAX_CORNERS, min_distance=min_distance
         ) + (gray,)
+
+    return detect_step, track_step
+
+
+def analyse(
+    source: str,
+    options: RenderOptions,
+    profiler: Optional[StageProfiler] = None,
+) -> Trajectory:
+    """Estimate the per-frame accumulated camera rotation trajectory."""
+    prof = profiler or StageProfiler()
+    reader = open_reader(source, prefer_native=options.native_io)
+    meta = reader.meta
+    detect_step, track_step = _make_tracker(meta, options)
 
     first, last = _frame_range(meta, options)
     r_list = []
@@ -815,6 +829,19 @@ def render(
     # Horizon lock needs the measured attitude even when not stabilising.
     needs_motion = options.stabilise != "none" or options.horizon_lock
     tpath = trajectory_path(dest) if dest else None
+
+    if options.streaming and not options.gyro:
+        if family != "rotation":
+            raise ValueError(
+                "--streaming is the rotation family's single-pass mode; "
+                "2D families use the two-phase path"
+            )
+        from video_annotator_tpu.pipeline.streaming import render_streaming
+
+        render_streaming(source, dest, options, prof)
+        if options.verbose:
+            print(prof.report())
+        return
 
     if needs_motion and not options.encode_only:
         if family == "similarity":
