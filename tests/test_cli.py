@@ -57,3 +57,27 @@ def test_parser_has_reference_option_surface():
         assert opt in text, opt
     for cmd in ("join", "render", "workflow", "calibrate", "compare"):
         assert cmd in help_text, cmd
+
+
+def test_probe_video_and_telemetry(tmp_path):
+    from video_annotator_tpu.cli import probe
+
+    out = probe("synthetic://shaky?w=64&h=48&n=8")
+    assert (out["width"], out["height"], out["num_frames"]) == (64, 48, 8)
+    assert out["fps"] == 30.0 and out["gpmf"] is None
+
+    from test_gpmf import write_minimal_gpmf_mp4
+    from video_annotator_tpu.io.gpmf import build_gpmf_payload
+
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "imu.mp4")
+    write_minimal_gpmf_mp4(path, [
+        build_gpmf_payload(rng.uniform(-1, 1, (40, 3)),
+                           accl=rng.uniform(-9, 9, (20, 3)))
+        for _ in range(4)
+    ])
+    out = probe(path)
+    assert out["video"] is None
+    assert out["tracks"][0]["name"] == "GoPro MET"
+    assert out["gpmf"]["gyro"]["samples"] == 160
+    assert out["gpmf"]["accl"]["samples"] == 80

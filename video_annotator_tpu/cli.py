@@ -164,6 +164,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Extra args passed to each split render "
                          "(space-separated)")
 
+    pr = sub.add_parser(
+        "probe",
+        help="Inspect a source: stream metadata + GPMF telemetry summary "
+             "(the reference shells out to ffprobe, src/utils.ts:3-11)",
+    )
+    pr.add_argument("source")
+
     k = sub.add_parser("calibrate",
                        help="Fit fisheye intrinsics from point correspondences")
     k.add_argument("points", help=".npz with object_points/image_points arrays")
@@ -219,6 +226,64 @@ def _render_options(args) -> "RenderOptions":
         prefilter=getattr(args, "prefilter", "off"),
         verbose=getattr(args, "verbose", False),
     )
+
+
+def probe(source: str) -> dict:
+    """Source metadata as a JSON-friendly dict.
+
+    The TPU-native stand-in for the reference's ffprobe shell-outs
+    (``src/utils.ts:3-11``, ``src/render.ts:1298-1322``): video stream
+    geometry/fps/frames, container tracks, and a GPMF telemetry summary.
+    """
+    from video_annotator_tpu.io.video import open_reader
+
+    out = {"source": source}
+    try:
+        reader = open_reader(source)
+        meta = reader.meta
+        reader.close()
+        out.update(
+            width=meta.width,
+            height=meta.height,
+            fps=float(meta.fps),
+            num_frames=meta.num_frames,
+            duration_s=(
+                round(meta.num_frames / float(meta.fps), 3)
+                if meta.num_frames and meta.fps
+                else None
+            ),
+        )
+    except Exception:
+        out["video"] = None  # telemetry-only or unreadable container
+    try:
+        from video_annotator_tpu.io.mp4 import parse_tracks
+
+        out["tracks"] = [
+            {
+                "handler": t.handler_type.decode("ascii", "replace"),
+                "name": (t.handler_name or "").strip("\x00\t "),
+                "samples": len(t.sample_sizes),
+            }
+            for t in parse_tracks(source)
+        ]
+    except Exception:
+        out["tracks"] = None  # not ISO-BMFF (y4m / synthetic / raw)
+
+    telemetry = {}
+    for kind, extract in (("gyro", "extract_gyro"), ("accl", "extract_accl")):
+        try:
+            from video_annotator_tpu.io import gpmf
+
+            vals, ts = getattr(gpmf, extract)(source)
+            span = float(ts[-1] - ts[0]) if len(ts) > 1 else 0.0
+            telemetry[kind] = {
+                "samples": int(vals.shape[0]),
+                "rate_hz": round((len(ts) - 1) / span, 1) if span else None,
+            }
+        except Exception:
+            pass
+    out["gpmf"] = telemetry or None
+    return out
 
 
 def main(argv=None) -> int:
@@ -287,6 +352,10 @@ def main(argv=None) -> int:
             elif args.action == "encode":
                 workflow.encode(args.code, args.directory,
                                 args.encoder or default_encoder())
+        elif args.command == "probe":
+            import json
+
+            print(json.dumps(probe(args.source), indent=2))
         elif args.command == "calibrate":
             from video_annotator_tpu.calibrate import calibrate_cli
 
