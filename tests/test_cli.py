@@ -63,8 +63,9 @@ def test_probe_video_and_telemetry(tmp_path):
     from video_annotator_tpu.cli import probe
 
     out = probe("synthetic://shaky?w=64&h=48&n=8")
-    assert (out["width"], out["height"], out["num_frames"]) == (64, 48, 8)
-    assert out["fps"] == 30.0 and out["gpmf"] is None
+    v = out["video"]
+    assert (v["width"], v["height"], v["num_frames"]) == (64, 48, 8)
+    assert v["fps"] == 30.0 and out["gpmf"] is None
 
     from test_gpmf import write_minimal_gpmf_mp4
     from video_annotator_tpu.io.gpmf import build_gpmf_payload

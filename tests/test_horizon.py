@@ -209,8 +209,10 @@ def test_analyse_gyro_populates_up0(tmp_path):
     write_minimal_gpmf_mp4(
         path, [build_gpmf_payload(gyro_raw, accl=accl_raw) for _ in range(3)]
     )
-    traj = analyse_gyro(path, RenderOptions(gyro=True))
+    traj = analyse_gyro(path, RenderOptions(gyro=True, horizon_lock=True))
     assert traj.up0 is not None
+    # Estimation is gated on the lock (pure cost otherwise).
+    assert analyse_gyro(path, RenderOptions(gyro=True)).up0 is None
     assert np.dot(traj.up0, u0) > 0.999, (traj.up0, u0)
 
 

@@ -42,6 +42,7 @@ def _assert_same_video(a_path, b_path):
 
 @pytest.mark.parametrize("mode,extra", [
     ("smooth", {"stabilise_radius": 8}),
+    ("smooth", {"stabilise_radius": 0}),  # degenerate window (was a crash)
     ("fixed", {}),
     ("none", {}),
 ])
@@ -52,11 +53,17 @@ def test_streaming_matches_two_phase(tmp_path, mode, extra):
     render(SRC, one,
            RenderOptions(stabilise=mode, streaming=True, **extra, **OPTS))
     _assert_same_video(two, one)
-    # Streaming also checkpoints its trajectory like analyse does.
-    t_two = Trajectory.load(trajectory_path(two)) if mode != "none" else None
-    t_one = Trajectory.load(trajectory_path(one))
-    if t_two is not None:
+    # Streaming checkpoints its trajectory like analyse does — except for
+    # identity (none, no lock) runs, where neither path needs motion and
+    # streaming skips the tracker entirely.
+    import os
+
+    if mode != "none":
+        t_two = Trajectory.load(trajectory_path(two))
+        t_one = Trajectory.load(trajectory_path(one))
         np.testing.assert_allclose(t_one.params, t_two.params, atol=1e-5)
+    else:
+        assert not os.path.exists(trajectory_path(one))
 
 
 def test_streaming_short_clip_shrinks_radius(tmp_path):
@@ -80,6 +87,20 @@ def test_streaming_respects_trim(tmp_path):
     render(SRC, one, RenderOptions(streaming=True, **trim, **OPTS))
     _assert_same_video(two, one)
     assert len(_frames(one)) == 12  # 0.4 s at 30 fps
+
+
+def test_max_rotation_deg():
+    import jax.numpy as jnp
+
+    from video_annotator_tpu import so3
+    from video_annotator_tpu.pipeline.render import max_rotation_deg
+
+    rots = np.stack([
+        np.asarray(so3.exp(jnp.asarray([0.0, 0.0, np.radians(d)])))
+        for d in (1.0, 17.5, -6.0)
+    ])
+    assert abs(max_rotation_deg(rots) - 17.5) < 1e-3
+    assert max_rotation_deg(np.zeros((0, 3, 3))) == 0.0
 
 
 def test_streaming_rejects_global_smoothers_and_phases(tmp_path):

@@ -94,6 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="GoPro camera preset name (e.g. gopro_h4b_wide43_measured)")
     r.add_argument("--gyro", action="store_true",
                    help="Use the GPMF gyro track for motion analysis")
+    r.add_argument("--max-correction", type=float, default=8.0,
+                   help="Per-frame correction budget (degrees) the warp "
+                        "plan is sized for; the two-phase path auto-raises "
+                        "it from the computed trajectory")
     r.add_argument("--streaming", action="store_true",
                    help="Single-pass render: decode once, smooth through a "
                         "bounded lookahead window (identical output to the "
@@ -223,6 +227,7 @@ def _render_options(args) -> "RenderOptions":
         prefetch_depth=getattr(args, "prefetch_depth", 3),
         native_io=getattr(args, "native_io", True),
         analysis_scale=getattr(args, "analysis_scale", 1.0),
+        max_correction_deg=getattr(args, "max_correction", 8.0),
         prefilter=getattr(args, "prefilter", "off"),
         verbose=getattr(args, "verbose", False),
     )
@@ -237,24 +242,27 @@ def probe(source: str) -> dict:
     """
     from video_annotator_tpu.io.video import open_reader
 
-    out = {"source": source}
+    out = {"source": source, "video": None}
+    reader = None
     try:
         reader = open_reader(source)
         meta = reader.meta
-        reader.close()
-        out.update(
-            width=meta.width,
-            height=meta.height,
-            fps=float(meta.fps),
-            num_frames=meta.num_frames,
-            duration_s=(
+        out["video"] = {
+            "width": meta.width,
+            "height": meta.height,
+            "fps": float(meta.fps),
+            "num_frames": meta.num_frames,
+            "duration_s": (
                 round(meta.num_frames / float(meta.fps), 3)
                 if meta.num_frames and meta.fps
                 else None
             ),
-        )
+        }
     except Exception:
-        out["video"] = None  # telemetry-only or unreadable container
+        pass  # telemetry-only or unreadable container; tracks may still parse
+    finally:
+        if reader is not None:
+            reader.close()
     try:
         from video_annotator_tpu.io.mp4 import parse_tracks
 
@@ -270,19 +278,23 @@ def probe(source: str) -> dict:
         out["tracks"] = None  # not ISO-BMFF (y4m / synthetic / raw)
 
     telemetry = {}
-    for kind, extract in (("gyro", "extract_gyro"), ("accl", "extract_accl")):
-        try:
-            from video_annotator_tpu.io import gpmf
+    try:
+        from video_annotator_tpu.io.gpmf import extract_imu
 
-            vals, ts = getattr(gpmf, extract)(source)
+        for name, stream in extract_imu(source).items():
+            if stream is None:
+                continue
+            vals, ts = stream
             span = float(ts[-1] - ts[0]) if len(ts) > 1 else 0.0
-            telemetry[kind] = {
+            telemetry[name.decode().lower()] = {
                 "samples": int(vals.shape[0]),
                 "rate_hz": round((len(ts) - 1) / span, 1) if span else None,
             }
-        except Exception:
-            pass
+    except Exception:
+        pass
     out["gpmf"] = telemetry or None
+    if out["video"] is None and out["tracks"] is None and out["gpmf"] is None:
+        raise ValueError(f"unreadable source: {source}")
     return out
 
 

@@ -113,31 +113,50 @@ def gyro_to_camera(samples: np.ndarray, axis_map=DEFAULT_AXIS_MAP) -> np.ndarray
     return out
 
 
-def _extract_stream(path: str, fourcc: bytes, axis_map, tail_hz: float):
+def extract_imu(path: str, fourccs=(b"GYRO", b"ACCL"),
+                axis_map=None, tail_hz=(400.0, 200.0)):
+    """One container walk -> {fourcc: (samples, timestamps) or None}.
+
+    Reads the MET track and KLV-walks each payload ONCE for all requested
+    streams (``extract_gyro``/``extract_accl`` each re-walk the file; the
+    gravity estimator needs both).
+    """
     from video_annotator_tpu.io.mp4 import find_gpmf_track, read_track_samples
 
+    axis_map = axis_map or DEFAULT_AXIS_MAP
     track = find_gpmf_track(path)
     if track is None:
         raise ValueError(f"no GoPro MET track in {path}")
 
-    all_vals: List[np.ndarray] = []
-    all_ts: List[np.ndarray] = []
+    vals: Dict[bytes, List[np.ndarray]] = {f: [] for f in fourccs}
+    tss: Dict[bytes, List[np.ndarray]] = {f: [] for f in fourccs}
     samples = list(read_track_samples(path, track))
     for i, (payload, ts) in enumerate(samples):
         next_ts = samples[i + 1][1] if i + 1 < len(samples) else None
-        for pkt in parse_sensor_packet(payload, ts, fourcc):
-            n = pkt.samples.shape[0]
-            if next_ts is not None and next_ts > ts:
-                t = ts + (next_ts - ts) * np.arange(n) / max(n, 1)
-            else:
-                t = ts + np.arange(n) / tail_hz
-            all_vals.append(gyro_to_camera(pkt.samples, axis_map))
-            all_ts.append(t)
-    if not all_vals:
+        for fourcc, hz in zip(fourccs, tail_hz):
+            for pkt in parse_sensor_packet(payload, ts, fourcc):
+                n = pkt.samples.shape[0]
+                if next_ts is not None and next_ts > ts:
+                    t = ts + (next_ts - ts) * np.arange(n) / max(n, 1)
+                else:
+                    t = ts + np.arange(n) / hz
+                vals[fourcc].append(gyro_to_camera(pkt.samples, axis_map))
+                tss[fourcc].append(t)
+    return {
+        f: (np.concatenate(vals[f]), np.concatenate(tss[f]))
+        if vals[f]
+        else None
+        for f in fourccs
+    }
+
+
+def _extract_stream(path: str, fourcc: bytes, axis_map, tail_hz: float):
+    out = extract_imu(path, (fourcc,), axis_map, (tail_hz,))[fourcc]
+    if out is None:
         raise ValueError(
             f"GoPro MET track has no {fourcc.decode()} stream in {path}"
         )
-    return np.concatenate(all_vals), np.concatenate(all_ts)
+    return out
 
 
 def extract_gyro(path: str, axis_map=DEFAULT_AXIS_MAP):

@@ -382,7 +382,11 @@ def analyse(
         width=meta.width,
         height=meta.height,
         source=source,
-        up0=_estimate_up0(source, float(first) / float(meta.fps)),
+        # Telemetry extraction + gravity integration are pure cost unless
+        # the horizon lock consumes the result.
+        up0=_estimate_up0(source, float(first) / float(meta.fps))
+        if options.horizon_lock
+        else None,
     )
 
 
@@ -393,11 +397,14 @@ def _estimate_up0(source: str, t0: float) -> Optional[np.ndarray]:
     falls back to assuming the first frame was level.
     """
     try:
-        from video_annotator_tpu.io.gpmf import extract_accl, extract_gyro
+        from video_annotator_tpu.io.gpmf import extract_imu
         from video_annotator_tpu.smoothing.horizon import estimate_up_direction
 
-        omega, ts = extract_gyro(source)
-        accl, accl_ts = extract_accl(source)
+        imu = extract_imu(source)
+        if imu[b"GYRO"] is None or imu[b"ACCL"] is None:
+            return None
+        omega, ts = imu[b"GYRO"]
+        accl, accl_ts = imu[b"ACCL"]
         return estimate_up_direction(omega, ts, accl, accl_ts, t0=t0)
     except Exception:
         return None
@@ -466,16 +473,19 @@ def analyse_gyro(
         rotvecs = -np.asarray(so3.log(R), np.float64)
 
     up0 = None
-    try:
-        from video_annotator_tpu.io.gpmf import extract_accl
-        from video_annotator_tpu.smoothing.horizon import estimate_up_direction
+    if options.horizon_lock:
+        try:
+            from video_annotator_tpu.io.gpmf import extract_accl
+            from video_annotator_tpu.smoothing.horizon import (
+                estimate_up_direction,
+            )
 
-        accl, accl_ts = extract_accl(source)
-        up0 = estimate_up_direction(
-            omega, ts, accl, accl_ts, t0=float(frame_ts[0])
-        )
-    except Exception:
-        pass
+            accl, accl_ts = extract_accl(source)
+            up0 = estimate_up_direction(
+                omega, ts, accl, accl_ts, t0=float(frame_ts[0])
+            )
+        except Exception:
+            pass
 
     return Trajectory(
         params=rotvecs,
@@ -491,41 +501,115 @@ def analyse_gyro(
 # --- phase 2: encode -------------------------------------------------------
 
 
+def _lock_and_attitude(measured, virtual, options: RenderOptions, up):
+    """corr = measured . virtual^T, with optional horizon lock + attitude.
+
+    Shared tail of every corrections path (two-phase, streaming, kalman).
+    """
+    if options.horizon_lock:
+        from video_annotator_tpu.smoothing.horizon import level_horizon
+
+        virtual = level_horizon(virtual, up)
+        corr = so3.matmul(measured, jnp.swapaxes(virtual, -1, -2))
+    elif options.stabilise == "none":
+        corr = jnp.broadcast_to(
+            jnp.eye(3, dtype=measured.dtype), measured.shape
+        )
+    else:
+        corr = so3.matmul(measured, jnp.swapaxes(virtual, -1, -2))
+    attitude = so3.from_euler(
+        np.radians(options.roll), np.radians(options.pitch),
+        np.radians(options.yaw),
+    )
+    return so3.matmul(corr, attitude[None].astype(measured.dtype))
+
+
+def make_window_corrections(radius: int, options: RenderOptions,
+                            up0: Optional[np.ndarray]):
+    """Jitted (B + 2*radius, 3, 3) measured window -> (B, 3, 3) corrections.
+
+    THE corrections math — the two-phase path calls it with the whole
+    replicate-padded trajectory as one window; the streaming path calls it
+    per emitted batch (with clamp-replicated neighbors), so the two paths
+    cannot diverge. ``radius`` is the savgol window radius (0 for
+    none/fixed modes; savgol_weights(0) is the identity kernel).
+    """
+    if options.stabilise not in ("none", "fixed", "smooth"):
+        raise ValueError(f"unknown stabilise mode {options.stabilise!r}")
+    from video_annotator_tpu.smoothing.savgol import savgol_weights
+
+    w = jnp.asarray(savgol_weights(radius, order=2))
+    up = jnp.asarray(
+        up0 if up0 is not None else np.asarray([0.0, -1.0, 0.0]), jnp.float32
+    )
+
+    @jax.jit
+    def window_corr(window):  # (B + 2*radius, 3, 3) f32
+        measured = window[radius : window.shape[0] - radius]
+        if options.stabilise == "none":
+            virtual = measured
+        elif options.stabilise == "fixed":
+            virtual = jnp.broadcast_to(
+                jnp.eye(3, dtype=window.dtype), measured.shape
+            )
+        else:
+            flat = window.reshape(-1, 9)
+            sm = jax.lax.conv_general_dilated(
+                flat.T[:, None, :],
+                w[None, None, :],
+                window_strides=(1,),
+                padding="VALID",
+                dimension_numbers=("NCH", "OIH", "NCH"),
+                preferred_element_type=jnp.float32,
+            )[:, 0, :].T
+            virtual = so3.project(sm.reshape(-1, 3, 3))
+        return _lock_and_attitude(measured, virtual, options, up)
+
+    return window_corr
+
+
 def compute_corrections(traj: Trajectory, options: RenderOptions) -> np.ndarray:
     """Per-frame warp rotations: stabilization correction + attitude."""
     measured = jnp.asarray(traj.rotations())
     t = measured.shape[0]
-    # The virtual (output) camera trajectory per mode; the warp correction
-    # is measured . virtual^T (frame-t rays of the virtual camera).
-    if options.stabilise == "none":
-        virtual = measured
-    elif options.stabilise == "fixed":
-        virtual = jnp.broadcast_to(jnp.eye(3, dtype=measured.dtype), (t, 3, 3))
-    elif options.stabilise == "smooth":
-        if options.smoother == "kalman":
-            virtual = smooth_rotations_kalman(measured)
-        else:
-            virtual = smooth_rotations(
-                measured, radius=min(options.stabilise_radius, max(t - 1, 1))
-            )
-    else:
-        raise ValueError(f"unknown stabilise mode {options.stabilise!r}")
+    if t == 0:
+        return np.zeros((0, 3, 3), np.float32)
 
-    if options.horizon_lock:
-        from video_annotator_tpu.smoothing.horizon import level_horizon
+    if options.stabilise == "smooth" and options.smoother == "kalman":
+        # Global (whole-trajectory) smoother; no window form exists.
+        virtual = smooth_rotations_kalman(measured)
+        up0 = traj.up0 if traj.up0 is not None else None
+        up = jnp.asarray(
+            up0 if up0 is not None else np.asarray([0.0, -1.0, 0.0]),
+            measured.dtype,
+        )
+        return np.asarray(_lock_and_attitude(measured, virtual, options, up))
 
-        up0 = traj.up0 if traj.up0 is not None else np.asarray([0.0, -1.0, 0.0])
-        virtual = level_horizon(virtual, jnp.asarray(up0, measured.dtype))
-        corr = so3.matmul(measured, jnp.swapaxes(virtual, -1, -2))
-    elif options.stabilise == "none":
-        corr = jnp.broadcast_to(jnp.eye(3, dtype=measured.dtype), (t, 3, 3))
-    else:
-        corr = so3.matmul(measured, jnp.swapaxes(virtual, -1, -2))
-
-    attitude = so3.from_euler(
-        np.radians(options.roll), np.radians(options.pitch), np.radians(options.yaw)
+    radius = (
+        min(options.stabilise_radius, max(t - 1, 1))
+        if options.stabilise == "smooth"
+        else 0
     )
-    return np.asarray(so3.matmul(corr, attitude[None]))
+    fn = make_window_corrections(radius, options, traj.up0)
+    window = measured
+    if radius:
+        window = jnp.concatenate(
+            [
+                jnp.broadcast_to(measured[:1], (radius, 3, 3)),
+                measured,
+                jnp.broadcast_to(measured[-1:], (radius, 3, 3)),
+            ]
+        )
+    return np.asarray(fn(window))
+
+
+def max_rotation_deg(rotations: np.ndarray) -> float:
+    """Largest rotation angle (degrees) in a stack of rotation matrices."""
+    if rotations.shape[0] == 0:
+        return 0.0
+    tr = np.einsum("tii->t", np.asarray(rotations, np.float64))
+    cos = np.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+    return float(np.degrees(np.arccos(cos).max()))
 
 
 class FrameWarper:
@@ -656,7 +740,15 @@ def encode(
     in_cam, out_cam = build_cameras(meta, options)
     corrections = compute_corrections(traj, options)
 
-    warper = FrameWarper(in_cam, out_cam, options.max_correction_deg,
+    # The Pallas plan sizes static per-tile DMA windows by probing
+    # max_correction_deg rotations; corrections beyond it (a large
+    # --roll/--pitch/--yaw attitude, a horizon lock on a heavily tilted
+    # camera, violent shake) would gather outside their windows and warp
+    # silently wrong pixels. The trajectory is known up front here, so
+    # size the plan to the actual worst case.
+    need_deg = max_rotation_deg(corrections)
+    budget_deg = max(options.max_correction_deg, need_deg + 0.5)
+    warper = FrameWarper(in_cam, out_cam, budget_deg,
                          prefilter=options.prefilter == "auto")
     out_meta = VideoMeta(
         width=warper.out_w,

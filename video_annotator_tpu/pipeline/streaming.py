@@ -40,64 +40,10 @@ from video_annotator_tpu.pipeline.render import (
     _make_tracker,
     _passthrough_kwargs,
     build_cameras,
+    make_window_corrections,
+    max_rotation_deg,
 )
 from video_annotator_tpu.pipeline.trajectory import Trajectory, trajectory_path
-from video_annotator_tpu.smoothing.savgol import savgol_weights
-
-
-def _make_batch_corrections(radius: int, options: RenderOptions,
-                            up0: Optional[np.ndarray]):
-    """Jitted window -> warp-rotation batch.
-
-    Takes the measured rotations for the emitted frames plus ``radius``
-    clamp-replicated neighbors on each side, and returns the same
-    corrections ``compute_corrections`` produces for those frames.
-    """
-    w = jnp.asarray(savgol_weights(radius, order=2)) if radius else None
-    attitude = so3.from_euler(
-        np.radians(options.roll), np.radians(options.pitch),
-        np.radians(options.yaw),
-    )
-    lock = options.horizon_lock
-    up = jnp.asarray(
-        up0 if up0 is not None else np.asarray([0.0, -1.0, 0.0]), jnp.float32
-    )
-
-    @jax.jit
-    def batch_corr(window):  # (B + 2*radius, 3, 3) f32
-        measured = window[radius : window.shape[0] - radius]
-        if options.stabilise == "none":
-            virtual = measured
-        elif options.stabilise == "fixed":
-            virtual = jnp.broadcast_to(
-                jnp.eye(3, dtype=window.dtype), measured.shape
-            )
-        else:  # smooth: SG conv over the window (replicas already in place)
-            flat = window.reshape(-1, 9)
-            sm = jax.lax.conv_general_dilated(
-                flat.T[:, None, :],
-                w[None, None, :],
-                window_strides=(1,),
-                padding="VALID",
-                dimension_numbers=("NCH", "OIH", "NCH"),
-                preferred_element_type=jnp.float32,
-            )[:, 0, :].T
-            virtual = so3.project(sm.reshape(-1, 3, 3))
-
-        if lock:
-            from video_annotator_tpu.smoothing.horizon import level_horizon
-
-            virtual = level_horizon(virtual, up)
-            corr = so3.matmul(measured, jnp.swapaxes(virtual, -1, -2))
-        elif options.stabilise == "none":
-            corr = jnp.broadcast_to(
-                jnp.eye(3, dtype=window.dtype), measured.shape
-            )
-        else:
-            corr = so3.matmul(measured, jnp.swapaxes(virtual, -1, -2))
-        return so3.matmul(corr, attitude[None].astype(window.dtype))
-
-    return batch_corr
 
 
 def render_streaming(
@@ -119,12 +65,44 @@ def render_streaming(
 
     reader = open_reader(source, prefer_native=options.native_io)
     meta = reader.meta
-    detect_step, track_step = _make_tracker(meta, options)
+    # stabilise=none without a horizon lock needs no measured attitude at
+    # all: skip the per-frame tracker entirely (corrections are identity).
+    needs_motion = options.stabilise != "none" or options.horizon_lock
+    detect_step, track_step = (
+        _make_tracker(meta, options) if needs_motion else (None, None)
+    )
     in_cam, out_cam = build_cameras(meta, options)
-    warper = FrameWarper(in_cam, out_cam, options.max_correction_deg,
+    first, last = _frame_range(meta, options)
+
+    up0 = (
+        _estimate_up0(source, float(first) / float(meta.fps))
+        if options.horizon_lock
+        else None
+    )
+    # Unlike the two-phase path, corrections are not known up front, so
+    # the Pallas plan's static window budget is sized for the knowable
+    # parts (attitude + the horizon lock's initial tilt) and enforced per
+    # batch below — an out-of-budget correction must error, not warp
+    # silently wrong pixels.
+    attitude_deg = max_rotation_deg(
+        np.asarray(
+            so3.from_euler(
+                np.radians(options.roll), np.radians(options.pitch),
+                np.radians(options.yaw),
+            )
+        )[None]
+    )
+    tilt_deg = 0.0
+    if options.horizon_lock:
+        u = up0 if up0 is not None else np.asarray([0.0, -1.0, 0.0])
+        tilt_deg = float(np.degrees(np.arccos(np.clip(-u[1], -1.0, 1.0))))
+    budget_deg = (
+        options.max_correction_deg + attitude_deg
+        + (tilt_deg + 2.0 if options.horizon_lock else 0.0)
+    )
+    warper = FrameWarper(in_cam, out_cam, budget_deg,
                          prefilter=options.prefilter == "auto")
 
-    first, last = _frame_range(meta, options)
     n_expect = (last - first) if meta.num_frames else 0
     out_meta = VideoMeta(
         width=warper.out_w,
@@ -142,11 +120,6 @@ def render_streaming(
                     **_passthrough_kwargs(source, meta, options))
     )
 
-    up0 = (
-        _estimate_up0(source, float(first) / float(meta.fps))
-        if options.horizon_lock
-        else None
-    )
     batch = options.warp_batch or max(
         1, int(os.environ.get("VAT_WARP_BATCH", "32")))
 
@@ -186,7 +159,7 @@ def render_streaming(
                 if options.stabilise == "smooth"
                 else 0
             )
-            batch_corr = _make_batch_corrections(radius_eff, options, up0)
+            batch_corr = make_window_corrections(radius_eff, options, up0)
         t0 = emitted
         last_i = len(rots) - 1
         window = jnp.stack(
@@ -197,6 +170,16 @@ def render_streaming(
         )
         with prof.stage("smooth"):
             corr = batch_corr(window)
+        if warper._use_pallas:
+            # Enforce the plan's static window budget (see above); the
+            # (batch, 3, 3) sync is a few KB once per batch.
+            need = max_rotation_deg(np.asarray(corr))
+            if need > budget_deg + 0.25:
+                raise ValueError(
+                    f"correction of {need:.1f} deg exceeds the planned warp "
+                    f"window budget ({budget_deg:.1f} deg); re-run with "
+                    f"--max-correction {need + 1:.0f} or the two-phase path"
+                )
         ys, us, vs = zip(*(
             [frames[i] for i in range(n)] + [frames[n - 1]] * (batch - n)
         ))
@@ -218,15 +201,16 @@ def render_streaming(
             continue
         if idx >= last:
             break
-        with prof.stage("track"):
-            if prev_gray is None:
-                pts, valid, prev_gray = detect_step(y)
-            else:
-                pts, valid, prev_delta, r_acc, key, prev_gray = track_step(
-                    prev_gray, y, pts, valid, prev_delta, r_acc, key,
-                    refresh_age=age >= KEY_FRAME_MAX_AGE,
-                )
-                age = 0 if age >= KEY_FRAME_MAX_AGE else age + 1
+        if needs_motion:
+            with prof.stage("track"):
+                if prev_gray is None:
+                    pts, valid, prev_gray = detect_step(y)
+                else:
+                    pts, valid, prev_delta, r_acc, key, prev_gray = track_step(
+                        prev_gray, y, pts, valid, prev_delta, r_acc, key,
+                        refresh_age=age >= KEY_FRAME_MAX_AGE,
+                    )
+                    age = 0 if age >= KEY_FRAME_MAX_AGE else age + 1
         frames.append((y, u, v))
         rots.append(r_acc)
         # Emit every frame whose full lookahead window is present.
@@ -242,15 +226,14 @@ def render_streaming(
     reader.close()
 
     # Persist the trajectory checkpoint (one device->host sync), so later
-    # --encode-only reruns can reuse this pass's analysis.
-    if dest and rots:
+    # --encode-only reruns can reuse this pass's analysis. Identity
+    # trajectories (stabilise=none, no lock) carry no information.
+    if dest and rots and needs_motion:
         rotvecs = np.asarray(
             jax.jit(jax.vmap(so3.log))(jnp.stack(rots)), np.float64
         )
         Trajectory(
             params=rotvecs, kind="so3", fps=meta.fps, width=meta.width,
-            height=meta.height, source=source,
-            up0=up0 if up0 is not None
-            else _estimate_up0(source, float(first) / float(meta.fps)),
+            height=meta.height, source=source, up0=up0,
         ).save(trajectory_path(dest))
     return out_meta
