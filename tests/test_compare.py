@@ -68,3 +68,36 @@ def test_render_compare_family_grid(tmp_path):
     # Every family rendered real content into its cell.
     for i, cell in enumerate(cells):
         assert cell.std() > 5, f"cell {i} blank"
+
+
+def test_parse_mode_lock_suffix():
+    import pytest
+
+    from video_annotator_tpu.pipeline.compare import _parse_mode
+
+    assert _parse_mode("horizon") == ("rotation", "none", True)
+    assert _parse_mode("smooth+lock") == ("rotation", "smooth", True)
+    assert _parse_mode("none") == ("rotation", "none", False)
+    assert _parse_mode("vidstab:fixed") == ("similarity", "fixed", False)
+    with pytest.raises(ValueError, match="lock"):
+        _parse_mode("vidstab+lock")
+    with pytest.raises(ValueError):
+        _parse_mode("smooth+shiny")
+
+
+def test_render_compare_horizon_cell(tmp_path):
+    """A 'horizon' cell (gravity roll leveling) differs from the raw cell."""
+    src = "synthetic://shaky?w=192&h=144&n=6&fps=30&seed=6&shake=0.006"
+    dest = str(tmp_path / "hz.y4m")
+    options = RenderOptions(stabilise_radius=2, preset=None, input_dfov=120.0)
+    render_compare(src, dest, ["none", "horizon"], options)
+
+    frames = [planes for planes in Y4MReader(dest)]
+    assert len(frames) == 6
+    y = frames[-1][0]
+    rows, cols = comparison_grid_size(2)
+    h, w = y.shape[0] // rows, y.shape[1] // cols
+    cell0 = y[:h, :w].astype(np.float32)
+    cell1 = y[:h, w:].astype(np.float32)
+    assert np.abs(cell0 - cell1).mean() > 0.05  # leveling changed the cell
+    assert cell0.std() > 5 and cell1.std() > 5

@@ -55,14 +55,27 @@ _FAMILY_ALIASES = {
 
 
 def _parse_mode(m: str):
-    """'none'/'fixed'/'smooth' (rotation family, back-compat) or a filter
-    family 'vidstab'/'deshake'/'dewobble'[:stabilise]."""
-    fam, _, sub = m.partition(":")
+    """-> (family, stabilise, horizon_lock).
+
+    'none'/'fixed'/'smooth' (rotation family, back-compat), a filter
+    family 'vidstab'/'deshake'/'dewobble'[:stabilise], an optional
+    '+lock' suffix (rotation family: horizon-locked cell), or 'horizon'
+    (= 'none+lock', pure gravity roll leveling)."""
+    base, plus, flag = m.partition("+")
+    if plus and flag != "lock":
+        raise ValueError(f"unknown compare mode suffix {m!r}")
+    lock = bool(plus)
+    if base == "horizon":
+        return ("rotation", "none", True)
+    fam, _, sub = base.partition(":")
     if fam in ("none", "fixed", "smooth"):
-        return ("rotation", fam)
+        return ("rotation", fam, lock)
     if fam not in _FAMILY_ALIASES:
         raise ValueError(f"unknown compare mode {m!r}")
-    return (_FAMILY_ALIASES[fam], sub or "smooth")
+    family = _FAMILY_ALIASES[fam]
+    if lock and family != "rotation":
+        raise ValueError(f"'+lock' needs the rotation family (got {m!r})")
+    return (family, sub or "smooth", lock)
 
 
 def render_compare(
@@ -81,7 +94,7 @@ def render_compare(
     FAMILY; all rotation-family cells share one trajectory."""
     prof = profiler or StageProfiler()
     parsed = [_parse_mode(m) for m in modes]
-    fams = {f for f, _ in parsed}
+    fams = {f for f, _, _ in parsed}
 
     reader = open_reader(source)
     meta = reader.meta
@@ -105,11 +118,20 @@ def render_compare(
                           meta.height, source)
 
     trajs = {}
+    any_lock = any(lk for _, _, lk in parsed)
     if "rotation" in fams:
-        rot_modes = [s for f, s in parsed if f == "rotation"]
+        rot_cells = [(s, lk) for f, s, lk in parsed if f == "rotation"]
         trajs["rotation"] = (
-            analyse(source, options, prof)
-            if any(s != "none" for s in rot_modes)
+            # Locked cells need the measured attitude (and the telemetry
+            # up-vector when present) even at stabilise=none.
+            analyse(
+                source,
+                dataclasses.replace(
+                    options, horizon_lock=options.horizon_lock or any_lock
+                ),
+                prof,
+            )
+            if any(s != "none" or lk for s, lk in rot_cells)
             else _empty_traj("so3", 3)
         )
     if "similarity" in fams:
@@ -122,11 +144,13 @@ def render_compare(
         trajs["deshake"] = analyse_deshake(source, options, prof)
 
     in_cam, out_cam = build_cameras(meta, options)
-    warper = FrameWarper(in_cam, out_cam, options.max_correction_deg,
-                         prefilter=options.prefilter == "auto")
     per_mode = []
-    for fam, sub in parsed:
-        o = dataclasses.replace(options, stabilise=sub)
+    for fam, sub, lock in parsed:
+        o = dataclasses.replace(
+            options, stabilise=sub,
+            horizon_lock=(options.horizon_lock or lock) if fam == "rotation"
+            else False,
+        )
         if fam == "rotation":
             per_mode.append(("rotation", compute_corrections(trajs[fam], o)))
         elif fam == "similarity":
@@ -140,6 +164,19 @@ def render_compare(
 
             per_mode.append((fam, deshake_corrections(trajs[fam], o)))
     num_frames = min(t.num_frames for t in trajs.values()) if trajs else 0
+
+    # Size the Pallas plan's static windows for the actual rotation-cell
+    # corrections (attitude/lock can exceed the default budget; see
+    # pipeline/render.py:encode).
+    from video_annotator_tpu.pipeline.render import max_rotation_deg
+
+    need_deg = max(
+        (max_rotation_deg(c) for f, c in per_mode if f == "rotation"),
+        default=0.0,
+    )
+    warper = FrameWarper(in_cam, out_cam,
+                         max(options.max_correction_deg, need_deg + 0.5),
+                         prefilter=options.prefilter == "auto")
 
     rows, cols = comparison_grid_size(len(modes))
     cell_h = warper.out_h - warper.out_h % 2
