@@ -173,3 +173,112 @@ def read_track_samples(path: str, track: Mp4Track):
         ):
             f.seek(off)
             yield f.read(size), ts
+
+
+# --- writing: inject a GoPro MET track --------------------------------------
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(payload), typ) + payload
+
+
+def _full(typ: bytes, payload: bytes) -> bytes:
+    return _box(typ, b"\x00\x00\x00\x00" + payload)
+
+
+def build_gpmf_trak(payloads: List[bytes], offsets: List[int],
+                    timescale: int, delta: int, track_id: int) -> bytes:
+    """A 'meta'/GoPro MET trak box over samples at absolute ``offsets``."""
+    n = len(payloads)
+    stsz = _full(
+        b"stsz",
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(p)) for p in payloads),
+    )
+    stco = _full(b"stco", struct.pack(">I", n) + b"".join(
+        struct.pack(">I", o) for o in offsets))
+    stsc = _full(b"stsc", struct.pack(">I", 1) + struct.pack(">III", 1, 1, 1))
+    stts = _full(b"stts", struct.pack(">I", 1) + struct.pack(">II", n, delta))
+    # 16-byte generic 'gpmd' sample entry, as in real GoPro files.
+    gpmd = struct.pack(">I4s", 16, b"gpmd") + b"\x00" * 6 + struct.pack(">H", 1)
+    stsd = _full(b"stsd", struct.pack(">I", 1) + gpmd)
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", stbl)
+    hdlr = _full(
+        b"hdlr",
+        b"\x00\x00\x00\x00" + b"meta" + b"\x00" * 12
+        + GOPRO_MET_HANDLER.encode() + b"\x00",
+    )
+    mdhd = _full(
+        b"mdhd",
+        struct.pack(">IIII", 0, 0, timescale, n * delta)
+        + struct.pack(">HH", 0, 0),
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, track_id, 0, n * delta) + b"\x00" * 60,
+    )
+    return _box(b"trak", tkhd + mdia)
+
+
+def mux_gpmf_track(video_path: str, payloads: List[bytes], out_path: str,
+                   timescale: int = 1000, delta: int = 1001) -> None:
+    """Inject a GoPro MET telemetry track into an existing MP4.
+
+    The inverse of the reference's demux side: makes a GoPro-shaped file
+    (video + GPMF track) from any MP4 plus raw GPMF payloads (one sample
+    per ``delta/timescale`` seconds — real GoPros write ~1 Hz packets).
+    Box surgery: the telemetry mdat is appended after the original boxes
+    and the new trak is spliced into moov, so existing sample offsets
+    stay valid. Requires moov to be the last top-level box (true for
+    every writer here: cv2 and libavformat both write moov at EOF
+    without faststart).
+    """
+    with open(video_path, "rb") as f:
+        data = f.read()
+    buf = memoryview(data)
+    boxes = list(_iter_boxes(buf, 0, len(buf)))
+    if not boxes or boxes[-1][0] != b"moov":
+        raise ValueError(
+            f"{video_path}: moov is not the last top-level box; "
+            "re-mux without faststart first"
+        )
+    moov_payload_s, moov_end = boxes[-1][1], boxes[-1][2]
+    moov_off = moov_payload_s - 8  # header start (32-bit size assumed)
+    if struct.unpack_from(">I4s", buf, moov_off)[1] != b"moov":
+        raise ValueError(f"{video_path}: unsupported 64-bit moov header")
+    pre = data[:moov_off]
+
+    # New mdat directly after the original non-moov boxes.
+    mdat_payload = b"".join(payloads)
+    sample0 = len(pre) + 8
+    offsets = []
+    off = sample0
+    for p in payloads:
+        offsets.append(off)
+        off += len(p)
+    mdat = _box(b"mdat", mdat_payload)
+
+    # Next free track id: max tkhd id + 1.
+    track_id = 1
+    for t2, s2, e2 in _iter_boxes(buf, moov_payload_s, moov_end):
+        if t2 != b"trak":
+            continue
+        for t3, s3, e3 in _iter_boxes(buf, s2, e2):
+            if t3 == b"tkhd":
+                version = buf[s3]
+                tid = struct.unpack_from(
+                    ">I", buf, s3 + (20 if version == 1 else 12)
+                )[0]
+                track_id = max(track_id, tid + 1)
+    trak = build_gpmf_trak(payloads, offsets, timescale, delta, track_id)
+
+    old_moov = data[moov_off:]
+    new_moov = (
+        struct.pack(">I", len(old_moov) + len(trak))
+        + old_moov[4:]
+        + trak
+    )
+    with open(out_path, "wb") as f:
+        f.write(pre + mdat + new_moov)
