@@ -224,3 +224,40 @@ def test_analysis_level_validation():
     assert analysis_level(RenderOptions(analysis_scale=0.25)) == 2
     with pytest.raises(ValueError):
         analysis_level(RenderOptions(analysis_scale=0.75))
+
+
+def test_rotation_accumulation_drift_over_long_sequences():
+    """SURVEY hard-part: R_t = dR.R_{t-1} accumulated in f32 for thousands
+    of frames (opencv/FrameSourceWarp.cpp:441) must stay orthonormal —
+    the per-step so3.project re-orthonormalization bounds the drift."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_annotator_tpu import so3
+
+    rng = np.random.default_rng(0)
+    steps = jnp.asarray(
+        so3.exp(jnp.asarray(rng.normal(size=(5000, 3)) * 0.02, jnp.float32))
+    )
+
+    def step(r, dr):
+        # The accumulation exactly as analyse()'s track_step does it.
+        r_new = so3.project(
+            jnp.matmul(dr, r, precision=jax.lax.Precision.HIGHEST)
+        )
+        return r_new, r_new
+
+    _, rs = jax.lax.scan(step, jnp.eye(3, dtype=jnp.float32), steps)
+    last = np.asarray(rs[-1], np.float64)
+    # Orthonormality after 5000 steps.
+    np.testing.assert_allclose(last @ last.T, np.eye(3), atol=2e-6)
+    assert abs(np.linalg.det(last) - 1.0) < 2e-6
+    # And accuracy: compare against a float64 accumulation.
+    acc = np.eye(3)
+    for d in np.asarray(steps, np.float64):
+        acc = d @ acc
+    err = np.degrees(np.linalg.norm(
+        np.asarray(so3.log(jnp.asarray((last @ acc.T), jnp.float32)))
+    ))
+    assert err < 0.05, err  # < 0.05 deg of drift over 5000 frames
