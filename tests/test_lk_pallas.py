@@ -30,3 +30,36 @@ def test_lk_pallas_matches_xla():
     assert both.sum() > 30
     d = np.abs(np.asarray(xp) - np.asarray(pp))[both]
     assert np.median(d) < 0.1, np.median(d)
+
+
+def test_lk_pallas_edge_points_fail_cleanly():
+    """Points within the window/DMA margin of an edge can't run the kernel's
+    static-range contract; they must come back status=False (cv2-style),
+    never as plausible-looking garbage flow."""
+    rng = np.random.default_rng(2)
+    img = rng.normal(size=(60, 80)).astype(np.float32)
+    img = cv2.resize(img, (640, 480), interpolation=cv2.INTER_CUBIC)
+    img = ((img - img.min()) / (img.max() - img.min()) * 255).astype(np.float32)
+    img2 = np.roll(img, (2, 3), axis=(0, 1)).astype(np.float32)
+
+    # Rows near top/bottom (unsafe at some pyramid level) + safe interior.
+    ys = np.asarray([9.0, 12.0, 30.0, 60.0, 240.0, 470.0, 474.0])
+    pts = jnp.asarray(np.stack([np.full_like(ys, 320.0), ys], axis=1),
+                      jnp.float32)
+    valid = jnp.ones((len(ys),), bool)
+    new_pts, status = pyramidal_lk_pallas(
+        jnp.asarray(img), jnp.asarray(img2), pts, valid, interpret=True
+    )
+    status = np.asarray(status)
+    new_pts = np.asarray(new_pts)
+    # The deep-interior point tracks the known (3, 2) shift.
+    assert status[4]
+    np.testing.assert_allclose(new_pts[4], [323.0, 242.0], atol=0.35)
+    # Every status=True point must agree with the truth — no silent
+    # corruption from clamped windows.
+    for i in np.nonzero(status)[0]:
+        np.testing.assert_allclose(
+            new_pts[i] - np.asarray(pts)[i], [3.0, 2.0], atol=0.5
+        )
+    # Edge rows (y < 17 at level 0, or unsafe at coarser levels) fail.
+    assert not status[0]

@@ -261,3 +261,47 @@ def test_rotation_accumulation_drift_over_long_sequences():
         np.asarray(so3.log(jnp.asarray((last @ acc.T), jnp.float32)))
     ))
     assert err < 0.05, err  # < 0.05 deg of drift over 5000 frames
+
+
+def test_box_filter_block_size():
+    """shi_tomasi_response(block_size=b) must box-filter over b x b, not
+    merely rescale the 3x3 result."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from video_annotator_tpu.ops.corners import _box
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(24, 31)).astype(np.float32))
+    for b in (3, 5, 7):
+        got = np.asarray(_box(img, b))
+        pad = np.pad(np.asarray(img), b // 2)
+        want = np.zeros_like(np.asarray(img))
+        for dy in range(b):
+            for dx in range(b):
+                want += pad[dy : dy + 24, dx : dx + 31]
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_detect_corners_exact_position_on_large_image():
+    """Winner decoding stays exact past float32's 24-bit mantissa
+    (images > 16.7M px — the old global flat index corrupted these)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from video_annotator_tpu.ops.corners import detect_corners
+
+    h, w = 4200, 4200  # 17.6M px > 2^24
+    img = np.zeros((h, w), np.float32)
+    # Strong checkerboard corners at known, odd positions near the far end.
+    for cy, cx in ((4091, 4117), (101, 4081), (4153, 97)):
+        img[cy - 6 : cy + 6, cx - 6 : cx + 6] = 30.0
+        img[cy - 6 : cy, cx - 6 : cx] = 225.0
+        img[cy : cy + 6, cx : cx + 6] = 225.0
+    pts, valid = detect_corners(jnp.asarray(img), max_corners=8,
+                                min_distance=30)
+    pts = np.asarray(pts)[np.asarray(valid)]
+    assert len(pts) >= 3, pts
+    for cy, cx in ((4091, 4117), (101, 4081), (4153, 97)):
+        d = np.abs(pts - np.asarray([cx, cy])).sum(axis=1).min()
+        assert d <= 2.0, (cy, cx, pts)

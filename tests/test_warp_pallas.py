@@ -557,3 +557,28 @@ def test_trip_group_matches_single():
                 base = got
             else:
                 np.testing.assert_array_equal(base, got)
+
+
+def test_origin_pass_guards_behind_rays():
+    """Equirect output past 90 deg: the device origin pass must pin
+    behind-camera rays to border (like the host planner) — unguarded
+    projection mirrors or NaNs them into the bound reductions."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_annotator_tpu.camera import CameraModel, camera_from_dfov
+    from video_annotator_tpu.ops.warp_pallas import (
+        _tile_bounds_grid,
+        plan_warp,
+    )
+
+    in_cam = camera_from_dfov(145.8, (256, 192), CameraModel.FISHEYE)
+    out_cam = camera_from_dfov(220.0, (256, 192), CameraModel.EQUIRECT)
+    plan = plan_warp(out_cam, in_cam, 4.0, (192, 256))
+    (mnx, mxx, mny, mxy), cols = _tile_bounds_grid(
+        plan, out_cam, in_cam, jnp.eye(3, dtype=jnp.float32)
+    )
+    for arr in (mnx, mxx, mny, mxy, cols):
+        assert bool(jnp.all(jnp.isfinite(arr))), "non-finite tile bounds"
+    assert float(mnx.min()) >= -8.0 and float(mxx.max()) <= plan.in_w + 8.0
+    assert float(mny.min()) >= -8.0 and float(mxy.max()) <= plan.in_h + 8.0

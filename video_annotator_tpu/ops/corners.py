@@ -38,6 +38,21 @@ def _sep3(img: jax.Array, ky, kx) -> jax.Array:
     return kx[0] * pad[:, :-2] + kx[1] * pad[:, 1:-1] + kx[2] * pad[:, 2:]
 
 
+def _box(img: jax.Array, b: int) -> jax.Array:
+    """Separable b x b box sum (same-size, zero-padded edges)."""
+    if b == 3:
+        return _sep3(img, (1.0, 1.0, 1.0), (1.0, 1.0, 1.0))
+    if b < 1 or b % 2 == 0:
+        raise ValueError(f"block_size must be odd and positive, got {b}")
+    r = b // 2
+    p = jnp.pad(img, ((r + 1, r), (0, 0)))
+    s = jnp.cumsum(p, axis=0)
+    v = s[b:, :] - s[:-b, :]
+    p = jnp.pad(v, ((0, 0), (r + 1, r)))
+    s = jnp.cumsum(p, axis=1)
+    return s[:, b:] - s[:, :-b]
+
+
 def shi_tomasi_response(img: jax.Array, block_size: int = 3) -> jax.Array:
     """Min-eigenvalue corner response map (cv2 ``cornerMinEigenVal``-like).
 
@@ -48,11 +63,10 @@ def shi_tomasi_response(img: jax.Array, block_size: int = 3) -> jax.Array:
     # Sobel: smoothing [1,2,1] x derivative [-1,0,1].
     ix = _sep3(img, (1.0, 2.0, 1.0), (-1.0, 0.0, 1.0))
     iy = _sep3(img, (-1.0, 0.0, 1.0), (1.0, 2.0, 1.0))
-    inv9 = 1.0 / (block_size * block_size)
-    box = (1.0, 1.0, 1.0)
-    a = _sep3(ix * ix, box, box) * inv9
-    b = _sep3(ix * iy, box, box) * inv9
-    c = _sep3(iy * iy, box, box) * inv9
+    inv_area = 1.0 / (block_size * block_size)
+    a = _box(ix * ix, block_size) * inv_area
+    b = _box(ix * iy, block_size) * inv_area
+    c = _box(iy * iy, block_size) * inv_area
     # min eigenvalue of [[a, b], [b, c]]
     return (a + c) * 0.5 - jnp.sqrt(jnp.maximum(((a - c) * 0.5) ** 2 + b * b, 0.0))
 
@@ -120,17 +134,21 @@ def detect_corners(
         return r
 
     cell_best = cell_reduce(resp, jax.lax.max, -jnp.inf)
-    # Winner position: argmax via a second pass — keep the flat index where
-    # the response equals its cell max (ties -> smallest index).
-    flat_idx = (ys * w + xs).astype(jnp.float32)
+    # Winner position: argmax via a second pass — keep the CELL-LOCAL index
+    # where the response equals its cell max (ties -> smallest local
+    # index). Local indices stay < cell^2 <= ~2^12, exactly representable
+    # in float32 at any image size (a global flat index overflows f32's
+    # 24-bit mantissa above 16.7M pixels — 8K frames).
+    local_idx = ((ys % cell) * cell + (xs % cell)).astype(jnp.float32)
     up_best = jnp.repeat(
         jnp.repeat(cell_best, cell, axis=0), cell, axis=1
     )[:h, :w]
-    cand = jnp.where(resp >= up_best, -flat_idx, -jnp.inf)
-    winner = -cell_reduce(cand, jax.lax.max, -jnp.inf)
-    winner = winner.astype(jnp.int32)
-    py_g = winner // w
-    px_g = winner % w
+    cand = jnp.where(resp >= up_best, -local_idx, -jnp.inf)
+    winner = (-cell_reduce(cand, jax.lax.max, -jnp.inf)).astype(jnp.int32)
+    cell_y = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0) * cell
+    cell_x = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1) * cell
+    py_g = cell_y + winner // cell
+    px_g = cell_x + winner % cell
 
     # Cells are disjoint, but winners of adjacent cells can still sit closer
     # than min_distance across the boundary. Suppress a cell when a stronger

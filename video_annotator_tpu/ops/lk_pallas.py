@@ -250,21 +250,33 @@ def _make_lk_kernel(iters: int):
 
 
 def _origins(p, wstrips, hwords):
-    """Window origin + in-window offsets for positions ``p`` (N, 2)."""
+    """Window origin + in-window offsets for positions ``p`` (N, 2).
+
+    Returns ``(oy, sx, bw, ry, ixw, ok)``. The kernel's contracts —
+    ``floor(ry)`` within sample_rows' static candidate range
+    [RY0, RY0+3] and the 8-word DMA alignment of ``oy`` — hold only when
+    no clamp fires; ``ok`` is False for points too close to an edge for
+    a full window (the caller must fail those tracks, matching cv2's
+    border behavior). Clamped values stay bounded AND aligned so the
+    kernel still executes safely on masked points.
+    """
     ix = jnp.floor(p[:, 0]).astype(jnp.int32)
     iy = jnp.floor(p[:, 1]).astype(jnp.int32)
     # x: strip-align so patch col -1 (gradient halo) stays inside.
-    sx = jnp.clip((ix - (HALF + PAD + 1)) // 128, 0, max(wstrips - NSTRIP, 0))
+    sx0 = (ix - (HALF + PAD + 1)) // 128
+    sx = jnp.clip(sx0, 0, max(wstrips - NSTRIP, 0))
     # y: first needed pixel row is iy - HALF - 1 - PAD (halo + drift); its
     # word, then the 8-word DMA alignment, leaves residue bw in [0, 8).
     wy = (iy - (HALF + 1 + PAD)) // 4
-    oy = jnp.clip((wy // 8) * 8, 0, max(hwords - DMA_WORDS, 0))
+    oy0 = (wy // 8) * 8
+    oy = jnp.clip(oy0, 0, max(((hwords - DMA_WORDS) // 8) * 8, 0))
     bw = jnp.clip(wy - oy, 0, 7)
+    ok = (sx0 == sx) & (oy0 == oy)
     # Patch row -1 (gradient halo, y = p_y - HALF - 1) as a fractional
     # pixel offset inside the ALIGNED window.
     ry = p[:, 1] - float(HALF + 1) - ((oy + bw) * 4).astype(jnp.float32)
     ixw = p[:, 0] - (sx * 128).astype(jnp.float32) - float(HALF)
-    return oy, sx, bw, ry, ixw
+    return oy, sx, bw, ry, ixw, ok
 
 
 @functools.partial(
@@ -283,9 +295,9 @@ def _lk_level_pallas(
     n = pts.shape[0]
     assert n % PGROUP == 0, n
 
-    oyp, sxp, bwp, ryp, ixp = _origins(pts, wstrips, hwords)
+    oyp, sxp, bwp, ryp, ixp, okp = _origins(pts, wstrips, hwords)
     tgt = pts + guess
-    oyn, sxn, bwn, ryn, ixn = _origins(tgt, wstrips, hwords)
+    oyn, sxn, bwn, ryn, ixn, okn = _origins(tgt, wstrips, hwords)
 
     cols = [
         guess[:, 0],
@@ -333,7 +345,10 @@ def _lk_level_pallas(
         grid_spec=grid_spec,
         interpret=interpret,
     )(oyp, sxp, oyn, sxn, fpt, prev_words, next_words)
-    return out[:, 0], out[:, 1], out[:, 2] > 0.5
+    # Edge points whose windows clamped ran with safe-but-wrong origins:
+    # their flow is garbage by construction — fail the track (cv2 marks
+    # border-straddling points st=0 the same way).
+    return out[:, 0], out[:, 1], (out[:, 2] > 0.5) & okp & okn
 
 
 @functools.partial(
@@ -368,8 +383,12 @@ def pyramidal_lk_pallas(
         ph, pw = pyr_prev[lvl].shape
         if ph < 4 * DMA_WORDS + 32 or pw < WCOLS:
             continue  # tiny level: keep coarse guess
-        pwords = pack_frame_words(pyr_prev[lvl], ph, pw)
-        nwords = pack_frame_words(pyr_next[lvl], ph, pw)
+        # Pallas bitcast pack on chip (the XLA fallback pack is ~10x
+        # slower and runs 6x per frame here: 2 images x 3 levels).
+        pwords = pack_frame_words(pyr_prev[lvl], ph, pw,
+                                  use_kernel=not interpret)
+        nwords = pack_frame_words(pyr_next[lvl], ph, pw,
+                                  use_kernel=not interpret)
         scale = 2.0**lvl
         vx, vy, ok = _lk_level_pallas(
             pwords, nwords, pts_p / scale, flow / scale,

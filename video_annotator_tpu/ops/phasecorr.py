@@ -18,7 +18,12 @@ import jax.numpy as jnp
 
 @functools.partial(jax.jit)
 def phase_correlate(a: jax.Array, b: jax.Array):
-    """Translation (dx, dy) such that b(x) ~= a(x - d), plus peak response.
+    """Translation (dx, dy) such that a(x) ~= b(x - d), plus peak response.
+
+    I.e. ``d`` is how far ``a``'s content sits ahead of ``b``'s:
+    ``phase_correlate(shifted, original)`` returns the applied shift
+    (see ``tests/test_models.py``; ``models/deshake.py`` accumulates
+    ``phase_correlate(curr, prev)`` as the camera translation).
 
     Hann-windowed phase correlation with parabolic subpixel interpolation.
     """

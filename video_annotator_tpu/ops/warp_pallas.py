@@ -448,7 +448,9 @@ def plan_warp(
     if mip_levels:
         smin_t = np.minimum(smin_t, 1e9)  # never-rendered tiles: deepest
         lv = np.floor(np.log2(np.maximum(smin_t / 1.05, 1.0)))
-        lv = np.clip(lv, 0, mip_levels).astype(np.uint8)
+        # Cap at 3: the level rides a 2-bit meta1 field (meta1_bits_level);
+        # deeper would silently corrupt the packed schedule count.
+        lv = np.clip(lv, 0, min(mip_levels, 3)).astype(np.uint8)
         mip_max = int(lv.max())
         levels_blob = lv.tobytes() if mip_max else b""
         scale_t = 0.5 ** lv.astype(np.float64)
@@ -531,9 +533,19 @@ def _tile_bounds_grid(
         "ij,hwj->hwi", rotation.astype(jnp.float32), rays,
         precision=jax.lax.Precision.HIGHEST,
     )
-    src = in_camera.project(rotated)  # (2ny+1, 4nx+1, 2)
-    sx = jnp.clip(src[..., 0], -8.0, plan.in_w + 8.0)
-    sy = jnp.clip(src[..., 1], -8.0, plan.in_h + 8.0)
+    # Behind-camera rays (equirect/wide outputs past 90 deg) must pin far
+    # outside, exactly like the host twin _warp_map_np: an unguarded
+    # project() mirrors (z < 0) or NaNs (z ~ 0) them, corrupting the
+    # bound reductions and with them the tile window origins.
+    behind = rotated[..., 2] <= 1e-9
+    safe = jnp.where(
+        behind[..., None],
+        jnp.asarray([0.0, 0.0, 1.0], rotated.dtype),
+        rotated,
+    )
+    src = in_camera.project(safe)  # (2ny+1, 4nx+1, 2)
+    sx = jnp.clip(jnp.where(behind, -1e6, src[..., 0]), -8.0, plan.in_w + 8.0)
+    sy = jnp.clip(jnp.where(behind, -1e6, src[..., 1]), -8.0, plan.in_h + 8.0)
 
     # Stacked max-reduce_windows instead of eight separate launches
     # (these tiny grids are overhead-bound; min(x) = -max(-x)).
@@ -730,8 +742,12 @@ def _tile_origins(
     bits = plan.entry_bits_w + plan.entry_bits_s
     pad = plan.slot_words * epw - slots
     if pad:
+        # Word-alignment padding must ALSO be dead entries: a grouped
+        # loop with the predicated tail disabled can walk past `slots`,
+        # and a zero word decodes to (w8=0, section 0) — a live entry
+        # that would double-count section 0's first rows.
         entry = jnp.concatenate(
-            [entry, jnp.zeros((pad, mrows, 128), jnp.int32)], axis=0
+            [entry, jnp.full((pad, mrows, 128), dead, jnp.int32)], axis=0
         )
     entry = entry.reshape(plan.slot_words, epw, mrows, 128)
     shifts = (jnp.arange(epw, dtype=jnp.int32) * bits).reshape(1, epw, 1, 1)
@@ -780,17 +796,6 @@ def _atan(x: jax.Array) -> jax.Array:
     r = z * p
     r = jnp.where(inv, (math.pi / 2) - r, r)
     return jnp.where(x < 0, -r, r)
-
-
-def _gather_masked(seg, local):
-    """Gather ``seg[., local]`` zeroing out-of-section indices.
-
-    Sections partition the x-domain, so per-section contributions are
-    disjoint and simply add up across the dynamic section loop.
-    """
-    inside = local.astype(jnp.uint32) < jnp.uint32(128)
-    g = jnp.take_along_axis(seg, local & 127, axis=1)
-    return jnp.where(inside, g, 0)
 
 
 def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
