@@ -39,6 +39,7 @@ namespace {
 struct Frame {
     std::vector<uint8_t> y, u, v;
     bool eof = false;
+    bool err = false;  // decode error: va_next returns <0, not clean EOF
 };
 
 struct Loader {
@@ -60,7 +61,13 @@ struct Loader {
     std::string error;
 
     ~Loader() {
-        stop = true;
+        {
+            // The flag is atomic, but it must still be SET under the mutex:
+            // a waiter that evaluated its predicate false and is between
+            // unlock and block would otherwise miss the notify forever.
+            std::lock_guard<std::mutex> g(mu);
+            stop = true;
+        }
         cv_push.notify_all();
         cv_pop.notify_all();
         if (worker.joinable()) worker.join();
@@ -70,19 +77,23 @@ struct Loader {
     }
 };
 
-void push_frame(Loader* L, AVFrame* frame) {
+void push_frame(Loader* L, AVFrame* frame, bool err = false) {
     std::unique_lock<std::mutex> lock(L->mu);
     L->cv_push.wait(lock, [&] { return L->count < L->ring.size() || L->stop; });
     if (L->stop) return;
     Frame& slot = L->ring[L->head];
+    slot.err = err;
     if (frame == nullptr) {
         slot.eof = true;
     } else {
         slot.eof = false;
-        const int w = L->width, h = L->height;
+        // Dimensions are even-cropped at open; sws scales odd sources
+        // down by one pixel so chroma planes are exactly (h/2, w/2).
+        const int w = L->width;
         uint8_t* dst[3] = {slot.y.data(), slot.u.data(), slot.v.data()};
         int dst_stride[3] = {w, w / 2, w / 2};
-        sws_scale(L->sws, frame->data, frame->linesize, 0, h, dst, dst_stride);
+        sws_scale(L->sws, frame->data, frame->linesize, 0, frame->height,
+                  dst, dst_stride);
     }
     L->head = (L->head + 1) % L->ring.size();
     ++L->count;
@@ -114,9 +125,15 @@ void decode_loop(Loader* L) {
                 goto done;
             }
             if (r < 0) {
-                std::lock_guard<std::mutex> g(L->mu);
-                L->error = "decode error";
-                push_frame(L, nullptr);
+                {
+                    // Scoped: push_frame() locks the same (non-recursive)
+                    // mutex — holding it across the call self-deadlocks.
+                    std::lock_guard<std::mutex> g(L->mu);
+                    char buf[AV_ERROR_MAX_STRING_SIZE] = {0};
+                    av_make_error_string(buf, sizeof(buf), r);
+                    L->error = std::string("decode error: ") + buf;
+                }
+                push_frame(L, nullptr, /*err=*/true);
                 goto done;
             }
             push_frame(L, frame);
@@ -157,14 +174,21 @@ void* va_open(const char* path, int ring_frames) {
         delete L;
         return nullptr;
     }
-    L->width = L->dec->width;
-    L->height = L->dec->height;
+    // Even-crop: 4:2:0 chroma planes must be exactly (h/2, w/2) — odd
+    // display dimensions would otherwise overflow the ring slots (sized
+    // w*h/4) and the consumer's (h//2, w//2) buffers.
+    L->width = L->dec->width & ~1;
+    L->height = L->dec->height & ~1;
+    if (L->width <= 0 || L->height <= 0) {
+        delete L;
+        return nullptr;
+    }
     L->fps = st->avg_frame_rate.num ? st->avg_frame_rate : AVRational{30, 1};
     L->nframes = st->nb_frames;
 
-    L->sws = sws_getContext(L->width, L->height, L->dec->pix_fmt, L->width,
-                            L->height, AV_PIX_FMT_YUV420P, SWS_BILINEAR,
-                            nullptr, nullptr, nullptr);
+    L->sws = sws_getContext(L->dec->width, L->dec->height, L->dec->pix_fmt,
+                            L->width, L->height, AV_PIX_FMT_YUV420P,
+                            SWS_BILINEAR, nullptr, nullptr, nullptr);
     if (!L->sws) {
         delete L;
         return nullptr;
@@ -200,7 +224,7 @@ int va_next(void* h, uint8_t* y, uint8_t* u, uint8_t* v) {
     L->cv_pop.wait(lock, [&] { return L->count > 0 || L->stop; });
     if (L->stop && L->count == 0) return 0;
     Frame& slot = L->ring[L->tail];
-    if (slot.eof) return 0;
+    if (slot.eof) return slot.err ? -1 : 0;
     std::memcpy(y, slot.y.data(), slot.y.size());
     std::memcpy(u, slot.u.data(), slot.u.size());
     std::memcpy(v, slot.v.data(), slot.v.size());

@@ -67,7 +67,10 @@ struct Writer {
     int status = 0;
 
     ~Writer() {
-        stop = true;
+        {
+            std::lock_guard<std::mutex> g(mu);  // publish to blocked waiters
+            stop = true;
+        }
         cv_push.notify_all();
         cv_pop.notify_all();
         if (worker.joinable()) worker.join();
@@ -183,7 +186,13 @@ void encode_loop(Writer* W) {
     frame->height = W->height;
     if (av_frame_get_buffer(frame, 0) < 0) {
         set_error(W, "frame alloc failed", -2);
-        W->done = true;
+        {
+            // Atomic flag, but it must be set under the mutex: a producer
+            // between its predicate check and block would otherwise miss
+            // the notify forever.
+            std::lock_guard<std::mutex> g(W->mu);
+            W->done = true;
+        }
         W->cv_push.notify_all();
         av_frame_free(&frame);
         return;
@@ -222,7 +231,10 @@ void encode_loop(Writer* W) {
         if (drain_encoder(W) < 0) break;
     }
     av_frame_free(&frame);
-    W->done = true;
+    {
+        std::lock_guard<std::mutex> g(W->mu);  // see alloc-failure comment
+        W->done = true;
+    }
     W->cv_push.notify_all();
 }
 

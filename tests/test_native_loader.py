@@ -72,3 +72,30 @@ def test_native_selftest_binary():
                        capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, r.stderr[-500:]
     assert "OK" in r.stdout
+
+
+def test_native_odd_dimensions_even_cropped(tmp_path):
+    """Odd display dimensions must decode even-cropped: chroma ring slots
+    are sized w*h/4 and the consumer allocates (h//2, w//2) — an odd
+    dimension previously overflowed both."""
+    import cv2
+
+    path = str(tmp_path / "odd.mp4")
+    wr = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (127, 97)
+    )
+    assert wr.isOpened()
+    rng = np.random.default_rng(1)
+    for _ in range(6):
+        wr.write(rng.integers(0, 255, (97, 127, 3), dtype=np.uint8))
+    wr.release()
+
+    src = NativeVideoSource(path)
+    assert src.meta.width % 2 == 0 and src.meta.height % 2 == 0
+    frames = list(src)
+    src.close()
+    assert len(frames) == 6
+    y, u, v = frames[0]
+    assert y.shape == (src.meta.height, src.meta.width)
+    assert u.shape == (src.meta.height // 2, src.meta.width // 2)
+    assert np.isfinite(y.astype(np.float64)).all()

@@ -83,40 +83,38 @@ def _join_ffmpeg(segments: List[str], output: str) -> None:
         os.unlink(listfile)
 
 
-def _join_y4m(segments: List[str], output: str) -> None:
+def _join_decode_encode(segments: List[str], output: str) -> None:
+    """Decode every segment's frames into one writer (shared by the y4m
+    and last-resort re-encode paths)."""
     from video_annotator_tpu.io.video import open_reader, open_writer
 
     first = open_reader(segments[0])
     writer = open_writer(output, first.meta)
-    for y, u, v in first:
-        writer.write((y, u, v))
-    first.close()
-    for seg in segments[1:]:
-        r = open_reader(seg)
-        for y, u, v in r:
+    try:
+        for y, u, v in first:
             writer.write((y, u, v))
-        r.close()
-    writer.close()
+        first.close()
+        for seg in segments[1:]:
+            r = open_reader(seg)
+            try:
+                for y, u, v in r:
+                    writer.write((y, u, v))
+            finally:
+                r.close()
+    finally:
+        writer.close()
+
+
+def _join_y4m(segments: List[str], output: str) -> None:
+    _join_decode_encode(segments, output)
 
 
 def _join_reencode(segments: List[str], output: str) -> None:
-    from video_annotator_tpu.io.video import open_reader, open_writer
-
     print(
         "warning: no ffmpeg binary for lossless stream copy; re-encoding "
         "through OpenCV"
     )
-    first = open_reader(segments[0])
-    writer = open_writer(output, first.meta)
-    for y, u, v in first:
-        writer.write((y, u, v))
-    first.close()
-    for seg in segments[1:]:
-        r = open_reader(seg)
-        for y, u, v in r:
-            writer.write((y, u, v))
-        r.close()
-    writer.close()
+    _join_decode_encode(segments, output)
 
 
 def join(code: str, output: str, directory: str = ".") -> None:

@@ -111,46 +111,75 @@ def _parse_stbl(buf, s, e, timescale):
     return sizes, offsets, times
 
 
-def parse_tracks(path: str) -> List[Mp4Track]:
+def _read_moov(path: str) -> Optional[bytes]:
+    """The moov box payload, found by walking top-level box HEADERS with
+    seeks — reading the whole file (GoPro chapters run to ~4 GB) just to
+    parse a few hundred KB of moov would spike RSS by the file size."""
     with open(path, "rb") as f:
-        data = f.read()
-    buf = memoryview(data)
+        f.seek(0, 2)
+        fsize = f.tell()
+        pos = 0
+        while pos + 8 <= fsize:
+            f.seek(pos)
+            hdr = f.read(16)
+            if len(hdr) < 8:
+                return None
+            size, typ = struct.unpack_from(">I4s", hdr, 0)
+            header = 8
+            if size == 1:
+                if len(hdr) < 16:
+                    return None
+                size = struct.unpack_from(">Q", hdr, 8)[0]
+                header = 16
+            elif size == 0:
+                size = fsize - pos
+            if size < header or pos + size > fsize:
+                return None
+            if typ == b"moov":
+                f.seek(pos + header)
+                return f.read(size - header)
+            pos += size
+    return None
+
+
+def parse_tracks(path: str) -> List[Mp4Track]:
+    moov = _read_moov(path)
     tracks: List[Mp4Track] = []
-    for typ, s, e in _iter_boxes(buf, 0, len(buf)):
-        if typ != b"moov":
+    if moov is None:
+        return tracks
+    buf = memoryview(moov)
+    for t2, s2, e2 in _iter_boxes(buf, 0, len(buf)):
+        if t2 != b"trak":
             continue
-        for t2, s2, e2 in _iter_boxes(buf, s, e):
-            if t2 != b"trak":
+        handler_type = b""
+        handler_name = ""
+        timescale = 1000
+        stbl = None
+        for t3, s3, e3 in _iter_boxes(buf, s2, e2):
+            if t3 != b"mdia":
                 continue
-            handler_type = b""
-            handler_name = ""
-            timescale = 1000
-            stbl = None
-            for t3, s3, e3 in _iter_boxes(buf, s2, e2):
-                if t3 != b"mdia":
-                    continue
-                for t4, s4, e4 in _iter_boxes(buf, s3, e3):
-                    if t4 == b"mdhd":
-                        version = buf[s4]
-                        timescale = struct.unpack_from(
-                            ">I", buf, s4 + (20 if version == 1 else 12)
-                        )[0]
-                    elif t4 == b"hdlr":
-                        handler_type = bytes(buf[s4 + 8 : s4 + 12])
-                        name = bytes(buf[s4 + 24 : e4])
-                        handler_name = name.split(b"\x00")[0].decode(
-                            "utf-8", "replace"
-                        )
-                    elif t4 == b"minf":
-                        for t5, s5, e5 in _iter_boxes(buf, s4, e4):
-                            if t5 == b"stbl":
-                                stbl = (s5, e5)
-            if stbl is None:
-                continue
-            sizes, offsets, times = _parse_stbl(buf, *stbl, timescale)
-            tracks.append(
-                Mp4Track(handler_type, handler_name, timescale, sizes, offsets, times)
-            )
+            for t4, s4, e4 in _iter_boxes(buf, s3, e3):
+                if t4 == b"mdhd":
+                    version = buf[s4]
+                    timescale = struct.unpack_from(
+                        ">I", buf, s4 + (20 if version == 1 else 12)
+                    )[0]
+                elif t4 == b"hdlr":
+                    handler_type = bytes(buf[s4 + 8 : s4 + 12])
+                    name = bytes(buf[s4 + 24 : e4])
+                    handler_name = name.split(b"\x00")[0].decode(
+                        "utf-8", "replace"
+                    )
+                elif t4 == b"minf":
+                    for t5, s5, e5 in _iter_boxes(buf, s4, e4):
+                        if t5 == b"stbl":
+                            stbl = (s5, e5)
+        if stbl is None:
+            continue
+        sizes, offsets, times = _parse_stbl(buf, *stbl, timescale)
+        tracks.append(
+            Mp4Track(handler_type, handler_name, timescale, sizes, offsets, times)
+        )
     return tracks
 
 

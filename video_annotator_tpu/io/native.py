@@ -51,6 +51,8 @@ def load_library():
     lib.va_close.argtypes = [ctypes.c_void_p]
     lib.va_frame_index.restype = ctypes.c_long
     lib.va_frame_index.argtypes = [ctypes.c_void_p]
+    lib.va_error.restype = ctypes.c_char_p
+    lib.va_error.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -95,6 +97,13 @@ class NativeVideoSource:
                 u.ctypes.data_as(u8p),
                 v.ctypes.data_as(u8p),
             )
+            if r < 0:
+                # Decode errors must not pass as clean EOF: a truncated
+                # file would otherwise silently render a short output.
+                err = self._lib.va_error(self._h)
+                raise RuntimeError(
+                    f"native decode failed: {err.decode() if err else r}"
+                )
             if r != 1:
                 return
             yield y, u, v
@@ -175,6 +184,10 @@ class NativeVideoWriter:
     def write(self, planes):
         y, u, v = (np.ascontiguousarray(p, np.uint8) for p in planes)
         assert y.shape == (self._h2, self._w), (y.shape, self._w, self._h2)
+        # The C side memcpys w*h/4 bytes from each chroma pointer —
+        # undersized planes would read out of bounds.
+        assert u.shape == (self._h2 // 2, self._w // 2), u.shape
+        assert v.shape == (self._h2 // 2, self._w // 2), v.shape
         u8p = ctypes.POINTER(ctypes.c_uint8)
         r = self._lib.vaw_write(
             self._handle, y.ctypes.data_as(u8p), u.ctypes.data_as(u8p),

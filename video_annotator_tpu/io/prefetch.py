@@ -121,6 +121,13 @@ class AsyncFrameWriter:
     def close(self):
         self._q.put(_SENTINEL)
         self._thread.join()
-        self._writer.close()
         if self._err is not None:
+            # The worker's error is the root cause; close() after a failed
+            # encode often raises a generic secondary error that would
+            # mask it. Still attempt the close to release the handle.
+            try:
+                self._writer.close()
+            except Exception:
+                pass
             raise self._err
+        self._writer.close()

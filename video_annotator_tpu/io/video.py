@@ -71,9 +71,14 @@ class _Y4MSource:
         self._r = y4m_mod.Y4MReader(path)
         h = self._r.header
         # Frame count from the file size (fixed-size frames after the header).
+        # Frame markers may carry parameters ("FRAME Ip\n"); measure the
+        # first marker's real length instead of assuming bare "FRAME\n".
         header_len = self._r._f.tell()
         fsz = os.path.getsize(path)
-        frame_bytes = h.width * h.height * 3 // 2 + 6  # + "FRAME\n"
+        marker = self._r._f.readline()
+        self._r._f.seek(header_len)
+        mlen = len(marker) if marker.startswith(b"FRAME") else 6
+        frame_bytes = h.width * h.height * 3 // 2 + mlen
         self.meta = VideoMeta(
             h.width, h.height, h.fps, int(max(fsz - header_len, 0) // frame_bytes)
         )
@@ -222,7 +227,14 @@ def open_writer(path: Optional[str], meta: VideoMeta, encoder: str = "mp4v",
             )
 
             if native_writer_available():
-                name = "libx264" if encoder in ("x264", "h264") else encoder
+                # Map fourcc/common aliases to libav encoder names — the
+                # C side would otherwise miss the lookup and silently
+                # substitute libx264 for the requested codec.
+                name = {
+                    "x264": "libx264", "h264": "libx264", "avc1": "libx264",
+                    "mp4v": "mpeg4", "hevc": "libx265", "hvc1": "libx265",
+                    "x265": "libx265",
+                }.get(encoder, encoder)
                 return NativeVideoWriter(
                     path, meta, encoder=name, qp=19,
                     copy_streams_from=copy_streams_from,
