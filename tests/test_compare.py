@@ -101,3 +101,13 @@ def test_render_compare_horizon_cell(tmp_path):
     cell1 = y[:h, w:].astype(np.float32)
     assert np.abs(cell0 - cell1).mean() > 0.05  # leveling changed the cell
     assert cell0.std() > 5 and cell1.std() > 5
+
+
+def test_render_compare_honors_trim(tmp_path):
+    src = "synthetic://shaky?w=192&h=144&n=12&fps=30&seed=7&shake=0.004"
+    dest = str(tmp_path / "trim.y4m")
+    options = RenderOptions(stabilise_radius=2, preset=None, input_dfov=120.0,
+                            start=0.2, duration=0.2)  # frames 6..11
+    render_compare(src, dest, ["none", "smooth"], options)
+    frames = [p for p in Y4MReader(dest)]
+    assert len(frames) == 6, len(frames)

@@ -129,3 +129,23 @@ def test_encode_only_without_trajectory_errors(tmp_path):
             str(tmp_path / "missing.y4m"),
             RenderOptions(stabilise="smooth", encode_only=True, **OPTS),
         )
+
+
+def test_upsample_scales_output_canvas(tmp_path):
+    """--upsample folds into the output camera scale (one fused resample);
+    the input camera must keep matching the real decoded frames."""
+    src = "synthetic://shaky?w=192&h=144&n=4&seed=1&shake=0.0"
+    small = str(tmp_path / "s.y4m")
+    big = str(tmp_path / "b.y4m")
+    render(src, small, RenderOptions(stabilise="none", **OPTS))
+    render(src, big, RenderOptions(stabilise="none", upsample=50.0, **OPTS))
+    rs, rb = open_reader(small), open_reader(big)
+    try:
+        assert rb.meta.width == pytest.approx(rs.meta.width * 1.5, abs=2)
+        assert rb.meta.height == pytest.approx(rs.meta.height * 1.5, abs=2)
+        ys = next(iter(rs))[0]
+        yb = next(iter(rb))[0]
+        assert ys.std() > 5 and yb.std() > 5
+    finally:
+        rs.close()
+        rb.close()

@@ -116,3 +116,27 @@ def test_integrate_gyro_constant_rate():
     w_frames = np.asarray(so3.log(R))
     expected = np.outer(frame_ts, [0.0, 0.4, 0.0])
     np.testing.assert_allclose(w_frames, expected, atol=2e-3)
+
+
+def test_kalman_survives_pi_crossing():
+    """Accumulated rotations crossing 180 deg: the log-map wraps, and an
+    unwrapped per-component filter would interpolate across a ~2*pi jump
+    (regression test for the branch-lift in smoothing/kalman.py)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from video_annotator_tpu import so3
+    from video_annotator_tpu.smoothing.kalman import smooth_rotations_kalman
+
+    t = 120
+    angles = np.linspace(0.0, 4.0, t)  # crosses pi at frame ~94
+    w = np.stack([np.zeros(t), np.zeros(t), angles], axis=1)
+    measured = so3.exp(jnp.asarray(w, jnp.float32))
+    sm = smooth_rotations_kalman(measured)
+    # The smoothed trajectory must stay within a few degrees of the
+    # measured one everywhere (it is a slow, smooth signal).
+    err = np.asarray(so3.log(so3.matmul(
+        measured, jnp.swapaxes(sm, -1, -2)
+    )))
+    err_deg = np.degrees(np.linalg.norm(err, axis=1))
+    assert err_deg.max() < 10.0, err_deg.max()

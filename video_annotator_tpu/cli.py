@@ -84,7 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--smoother", default="savgol", choices=["savgol", "kalman"])
     r.add_argument("--stabilise-radius", type=int, default=90,
                    help="Frames of look-ahead/behind for smoothing")
-    r.add_argument("--interpolate-radius", type=int, default=30)
+    r.add_argument("--interpolate-radius", type=int, default=30,
+                   help="Accepted for reference compatibility; the "
+                        "reference only sizes its VAAPI frame pool with "
+                        "it (src/render.ts:223) — device buffering here "
+                        "is --prefetch-depth/--warp-batch")
     r.add_argument("--stabilise-buffer", type=float, default=20.0,
                    help="Percent extra canvas to avoid cropping")
     r.add_argument("--input-dfov", type=float, default=145.8)

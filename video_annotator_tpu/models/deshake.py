@@ -21,7 +21,7 @@ from video_annotator_tpu.io.video import open_reader
 from video_annotator_tpu.ops.phasecorr import phase_correlate
 from video_annotator_tpu.pipeline.profiler import StageProfiler
 from video_annotator_tpu.pipeline.trajectory import Trajectory
-from video_annotator_tpu.smoothing.savgol import savgol_weights
+from video_annotator_tpu.smoothing.savgol import savgol_weights, sg_conv
 
 
 def analyse_deshake(
@@ -33,7 +33,7 @@ def analyse_deshake(
     from video_annotator_tpu.pipeline.render import _frame_range
 
     prof = profiler or StageProfiler()
-    reader = open_reader(source)
+    reader = open_reader(source, prefer_native=options.native_io)
     meta = reader.meta
     # --analysis-scale: phase-correlate a box-downsampled level
     # (translations scale back by 2^level at collect time).
@@ -117,11 +117,7 @@ def deshake_corrections(traj: Trajectory, options) -> np.ndarray:
             ],
             axis=0,
         )
-        smooth = jax.lax.conv_general_dilated(
-            padded.T[:, None, :], w[None, None, :], (1,), "VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"),
-            preferred_element_type=jnp.float32,
-        )[:, 0, :].T
+        smooth = sg_conv(padded, w)
     # sample at x_out + (acc - smooth): remove the jitter component.
     return np.asarray(acc - smooth)
 

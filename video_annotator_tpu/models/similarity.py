@@ -29,7 +29,7 @@ from video_annotator_tpu.ops.lk import pyramidal_lk
 from video_annotator_tpu.ops.lk_pallas import pyramidal_lk_pallas
 from video_annotator_tpu.pipeline.profiler import StageProfiler
 from video_annotator_tpu.pipeline.trajectory import Trajectory
-from video_annotator_tpu.smoothing.savgol import savgol_weights
+from video_annotator_tpu.smoothing.savgol import savgol_weights, sg_conv
 
 
 def analyse_similarity(
@@ -45,7 +45,7 @@ def analyse_similarity(
     )
 
     prof = profiler or StageProfiler()
-    reader = open_reader(source)
+    reader = open_reader(source, prefer_native=options.native_io)
     meta = reader.meta
     # --analysis-scale: track on a box-downsampled level; similarities
     # conjugate through scaling (translation x 2^level, angle/log-scale
@@ -173,11 +173,7 @@ def similarity_corrections(traj: Trajectory, options) -> np.ndarray:
             ],
             axis=0,
         )
-        smooth = jax.lax.conv_general_dilated(
-            padded.T[:, None, :], w[None, None, :], (1,), "VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"),
-            preferred_element_type=jnp.float32,
-        )[:, 0, :].T
+        smooth = sg_conv(padded, w)
     # correction = acc o smooth^-1; the sampler needs its inverse:
     # sample(src) = (acc o smooth^-1)^-1 = smooth o acc^-1
     corr = jax.vmap(lambda a, s: compose_similarity(s, invert_similarity(a)))(

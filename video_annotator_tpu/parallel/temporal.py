@@ -24,19 +24,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from video_annotator_tpu import so3
-from video_annotator_tpu.smoothing.savgol import savgol_weights
-
-
-def _sg_conv(flat: jax.Array, w: jax.Array) -> jax.Array:
-    """Entrywise SG convolution of an already-padded (T + 2r, 9) block."""
-    return jax.lax.conv_general_dilated(
-        flat.T[:, None, :],
-        w[None, None, :],
-        window_strides=(1,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
-    )[:, 0, :].T
+from video_annotator_tpu.smoothing.savgol import savgol_weights, sg_conv as _sg_conv
 
 
 def smooth_rotations_sharded(

@@ -28,14 +28,14 @@ from video_annotator_tpu.pipeline.render import (
 
 
 def comparison_grid_size(n: int, cell_aspect: float = 4 / 3) -> tuple[int, int]:
-    """(rows, cols) minimizing empty cells, then squareness — the policy of
-    the reference's grid solver (``src/render.ts:1013-1050``)."""
+    """(rows, cols) minimizing empty cells, then how far the total canvas
+    aspect (``cols * cell_aspect / rows``) lands from a 16:9 display — the
+    policy of the reference's grid solver (``src/render.ts:1013-1050``)."""
     best = None
     for cols in range(1, n + 1):
         rows = -(-n // cols)
         waste = rows * cols - n
-        # prefer wider-than-tall layouts for typical video aspect
-        skew = abs(cols / max(rows, 1) - 1.5)
+        skew = abs((cols * cell_aspect) / max(rows, 1) - 16 / 9)
         key = (waste, skew)
         if best is None or key < best[0]:
             best = (key, (rows, cols))
@@ -96,7 +96,7 @@ def render_compare(
     parsed = [_parse_mode(m) for m in modes]
     fams = {f for f, _, _ in parsed}
 
-    reader = open_reader(source)
+    reader = open_reader(source, prefer_native=options.native_io)
     meta = reader.meta
 
     def _count_frames():
@@ -105,7 +105,7 @@ def render_compare(
         # and silently produce an empty grid; count by decoding once.
         if meta.num_frames:
             return meta.num_frames
-        r = open_reader(source)
+        r = open_reader(source, prefer_native=options.native_io)
         n = sum(1 for _ in r)
         r.close()
         return n
@@ -143,7 +143,18 @@ def render_compare(
 
         trajs["deshake"] = analyse_deshake(source, options, prof)
 
-    in_cam, out_cam = build_cameras(meta, options)
+    # The shared grid canvas must include the stabilise-buffer zoom when
+    # ANY rotation cell stabilises (or levels) — the standalone render
+    # gets it from its own options.stabilise.
+    any_rot_stab = any(
+        f == "rotation" and (s != "none" or lk) for f, s, lk in parsed
+    )
+    in_cam, out_cam = build_cameras(
+        meta,
+        dataclasses.replace(options, stabilise="smooth")
+        if any_rot_stab and options.stabilise == "none"
+        else options,
+    )
     per_mode = []
     for fam, sub, lock in parsed:
         o = dataclasses.replace(
@@ -213,41 +224,58 @@ def render_compare(
             )
         return canvas
 
+    # Honor the trim window like the analysers do (corrections index from
+    # the trimmed range's first frame).
+    from video_annotator_tpu.pipeline.render import _frame_range
+
+    first, _last = _frame_range(meta, options)
     t = 0
-    for y, u, v in prof.wrap_iter("decode", iter(reader)):
-        if t >= num_frames:
-            break
-        ys, us, vs = [], [], []
-        with prof.stage("warp"):
-            yj = jnp.asarray(y, jnp.float32)
-            uj = jnp.asarray(u, jnp.float32)
-            vj = jnp.asarray(v, jnp.float32)
-            for fam, corr in per_mode:
-                if fam == "rotation":
-                    rot = jnp.asarray(corr[t], jnp.float32)
-                    wy, wu, wv = warper(yj, uj, vj, rot)
-                elif fam == "similarity":
-                    from video_annotator_tpu.models.similarity import (
-                        warp_frame_similarity,
-                    )
+    idx = -1
+    try:
+        for y, u, v in prof.wrap_iter("decode", iter(reader)):
+            idx += 1
+            if idx < first:
+                continue
+            if t >= num_frames:
+                break
+            ys, us, vs = [], [], []
+            with prof.stage("warp"):
+                yj = jnp.asarray(y, jnp.float32)
+                uj = jnp.asarray(u, jnp.float32)
+                vj = jnp.asarray(v, jnp.float32)
+                for fam, corr in per_mode:
+                    if fam == "rotation":
+                        rot = jnp.asarray(corr[t], jnp.float32)
+                        wy, wu, wv = warper(yj, uj, vj, rot)
+                    elif fam == "similarity":
+                        from video_annotator_tpu.models.similarity import (
+                            warp_frame_similarity,
+                        )
 
-                    wy, wu, wv = warp_frame_similarity(
-                        yj, uj, vj, jnp.asarray(corr[t], jnp.float32)
-                    )
-                else:
-                    from video_annotator_tpu.models.deshake import (
-                        warp_frame_deshake,
-                    )
+                        wy, wu, wv = warp_frame_similarity(
+                            yj, uj, vj, jnp.asarray(corr[t], jnp.float32)
+                        )
+                    else:
+                        from video_annotator_tpu.models.deshake import (
+                            warp_frame_deshake,
+                        )
 
-                    wy, wu, wv = warp_frame_deshake(
-                        yj, uj, vj, jnp.asarray(corr[t], jnp.float32)
-                    )
-                ys.append(wy)
-                us.append(wu)
-                vs.append(wv)
-        with prof.stage("encode"):
-            writer.write((tile(ys, 1), tile(us, 2), tile(vs, 2)))
-        t += 1
+                        wy, wu, wv = warp_frame_deshake(
+                            yj, uj, vj, jnp.asarray(corr[t], jnp.float32)
+                        )
+                    ys.append(wy)
+                    us.append(wu)
+                    vs.append(wv)
+            with prof.stage("encode"):
+                writer.write((tile(ys, 1), tile(us, 2), tile(vs, 2)))
+            t += 1
+    except BaseException:
+        try:
+            writer.close()
+        except Exception:
+            pass
+        reader.close()
+        raise
     writer.close()
     reader.close()
     if options.verbose:

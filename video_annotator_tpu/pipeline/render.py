@@ -194,16 +194,19 @@ def build_cameras(meta: VideoMeta, o: RenderOptions):
     stabilise-buffer expands the canvas while stabilising so corrections
     don't crop (``src/cli.ts:98-103``).
     """
+    # The input camera always matches the REAL decoded frames. The
+    # reference's --upsample scales the video before its filter chain
+    # (two resamples); here the fused warp resamples arbitrarily in one
+    # pass, so upsampling folds into the OUTPUT camera scale instead —
+    # same larger-canvas semantics, one resample, and the warp's source
+    # intrinsics stay truthful.
     size = (meta.width, meta.height)
-    if o.upsample:
-        size = (
-            int(round(meta.width * (1 + o.upsample / 100.0))),
-            int(round(meta.height * (1 + o.upsample / 100.0))),
-        )
     if o.preset is not None:
         in_cam = get_preset_camera(o.preset, size)
     else:
         in_cam = camera_from_dfov(o.input_dfov, size, CameraModel.FISHEYE)
+
+    out_scale = o.scale * (1.0 + o.upsample / 100.0) if o.upsample else o.scale
 
     zoom = 1.0
     if o.stabilise != "none" and o.stabilise_buffer:
@@ -217,7 +220,7 @@ def build_cameras(meta: VideoMeta, o: RenderOptions):
         out_cam = camera_from_dfov(o.output_dfov, (o.width, o.height), out_model)
     else:
         out_cam = get_output_camera(
-            in_cam, scale=o.scale, crop_borders=o.crop_borders, zoom=zoom
+            in_cam, scale=out_scale, crop_borders=o.crop_borders, zoom=zoom
         )
         if o.width and o.height:
             # Rescale the auto-fit camera onto the requested canvas.
@@ -346,26 +349,28 @@ def analyse(
     # transfer bandwidth.
     pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)),
                            depth=options.prefetch_depth)
-    for y, _, _ in pre:
-        idx += 1
-        if idx < first:
-            continue
-        if idx >= last:
-            break
-        if prev_gray is None:
-            with prof.stage("detect"):
-                pts, valid, prev_gray = detect_step(y)
-            r_list.append(r_acc)
-        else:
-            with prof.stage("track"):
-                pts, valid, prev_delta, r_acc, key, prev_gray = track_step(
-                    prev_gray, y, pts, valid, prev_delta, r_acc, key,
-                    refresh_age=age >= KEY_FRAME_MAX_AGE,
-                )
+    try:
+        for y, _, _ in pre:
+            idx += 1
+            if idx < first:
+                continue
+            if idx >= last:
+                break
+            if prev_gray is None:
+                with prof.stage("detect"):
+                    pts, valid, prev_gray = detect_step(y)
                 r_list.append(r_acc)
-            age = 0 if age >= KEY_FRAME_MAX_AGE else age + 1
-    pre.close()
-    reader.close()
+            else:
+                with prof.stage("track"):
+                    pts, valid, prev_delta, r_acc, key, prev_gray = track_step(
+                        prev_gray, y, pts, valid, prev_delta, r_acc, key,
+                        refresh_age=age >= KEY_FRAME_MAX_AGE,
+                    )
+                    r_list.append(r_acc)
+                age = 0 if age >= KEY_FRAME_MAX_AGE else age + 1
+    finally:
+        pre.close()
+        reader.close()
 
     # One device->host sync for the whole trajectory.
     with prof.stage("collect"):
@@ -536,7 +541,7 @@ def make_window_corrections(radius: int, options: RenderOptions,
     """
     if options.stabilise not in ("none", "fixed", "smooth"):
         raise ValueError(f"unknown stabilise mode {options.stabilise!r}")
-    from video_annotator_tpu.smoothing.savgol import savgol_weights
+    from video_annotator_tpu.smoothing.savgol import savgol_weights, sg_conv
 
     w = jnp.asarray(savgol_weights(radius, order=2))
     up = jnp.asarray(
@@ -553,15 +558,7 @@ def make_window_corrections(radius: int, options: RenderOptions,
                 jnp.eye(3, dtype=window.dtype), measured.shape
             )
         else:
-            flat = window.reshape(-1, 9)
-            sm = jax.lax.conv_general_dilated(
-                flat.T[:, None, :],
-                w[None, None, :],
-                window_strides=(1,),
-                padding="VALID",
-                dimension_numbers=("NCH", "OIH", "NCH"),
-                preferred_element_type=jnp.float32,
-            )[:, 0, :].T
+            sm = sg_conv(window.reshape(-1, 9), w)
             virtual = so3.project(sm.reshape(-1, 3, 3))
         return _lock_and_attitude(measured, virtual, options, up)
 
@@ -811,17 +808,29 @@ def encode(
                 writer.write(triple)
         pending.clear()
 
-    for y, u, v in pre:
-        idx += 1
-        if idx < first:
-            continue
-        if idx >= last or t >= corr.shape[0]:
-            break
-        pending.append((y, u, v))
-        t += 1
-        if len(pending) == batch:
-            flush()
-    flush()
+    try:
+        for y, u, v in pre:
+            idx += 1
+            if idx < first:
+                continue
+            if idx >= last or t >= corr.shape[0]:
+                break
+            pending.append((y, u, v))
+            t += 1
+            if len(pending) == batch:
+                flush()
+        flush()
+    except BaseException:
+        # Best-effort cleanup so the output container is finalized (a
+        # valid truncated file, not a corrupt one) and the decode thread
+        # stops; the original error stays the one that surfaces.
+        pre.close()
+        try:
+            writer.close()
+        except Exception:
+            pass
+        reader.close()
+        raise
     pre.close()
     with prof.stage("encode"):
         writer.close()
@@ -872,23 +881,31 @@ def encode_2d(
     first, last = _frame_range(meta, options)
     idx = -1
     t = 0
-    for y, u, v in prof.wrap_iter("decode", iter(reader)):
-        idx += 1
-        if idx < first:
-            continue
-        if idx >= last or t >= corrections.shape[0]:
-            break
-        with prof.stage("warp"):
-            wy, wu, wv = warp(
-                jnp.asarray(y[: out_meta.height, : out_meta.width], jnp.float32),
-                jnp.asarray(u[: out_meta.height // 2, : out_meta.width // 2], jnp.float32),
-                jnp.asarray(v[: out_meta.height // 2, : out_meta.width // 2], jnp.float32),
-                jnp.asarray(corrections[t], jnp.float32),
-            )
-            cast = lambda p: np.clip(np.round(np.asarray(p)), 0, 255).astype(np.uint8)  # noqa: E731
-        with prof.stage("encode"):
-            writer.write((cast(wy), cast(wu), cast(wv)))
-        t += 1
+    try:
+        for y, u, v in prof.wrap_iter("decode", iter(reader)):
+            idx += 1
+            if idx < first:
+                continue
+            if idx >= last or t >= corrections.shape[0]:
+                break
+            with prof.stage("warp"):
+                wy, wu, wv = warp(
+                    jnp.asarray(y[: out_meta.height, : out_meta.width], jnp.float32),
+                    jnp.asarray(u[: out_meta.height // 2, : out_meta.width // 2], jnp.float32),
+                    jnp.asarray(v[: out_meta.height // 2, : out_meta.width // 2], jnp.float32),
+                    jnp.asarray(corrections[t], jnp.float32),
+                )
+                cast = lambda p: np.clip(np.round(np.asarray(p)), 0, 255).astype(np.uint8)  # noqa: E731
+            with prof.stage("encode"):
+                writer.write((cast(wy), cast(wu), cast(wv)))
+            t += 1
+    except BaseException:
+        try:
+            writer.close()
+        except Exception:
+            pass
+        reader.close()
+        raise
     writer.close()
     reader.close()
     return out_meta

@@ -195,32 +195,44 @@ def render_streaming(
     pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)),
                            depth=options.prefetch_depth)
     idx = -1
-    for y, u, v in pre:
-        idx += 1
-        if idx < first:
-            continue
-        if idx >= last:
-            break
-        if needs_motion:
-            with prof.stage("track"):
-                if prev_gray is None:
-                    pts, valid, prev_gray = detect_step(y)
-                else:
-                    pts, valid, prev_delta, r_acc, key, prev_gray = track_step(
-                        prev_gray, y, pts, valid, prev_delta, r_acc, key,
-                        refresh_age=age >= KEY_FRAME_MAX_AGE,
-                    )
-                    age = 0 if age >= KEY_FRAME_MAX_AGE else age + 1
-        frames.append((y, u, v))
-        rots.append(r_acc)
-        # Emit every frame whose full lookahead window is present.
-        while len(rots) - want_radius - emitted >= batch:
-            emit(batch, at_eof=False)
-    pre.close()
-    # EOF: the remaining window smooths against clamp-replicated ends
-    # (the reference's trajectory-extrapolation EOF semantics).
-    while emitted < len(rots):
-        emit(min(batch, len(rots) - emitted), at_eof=True)
+    try:
+        for y, u, v in pre:
+            idx += 1
+            if idx < first:
+                continue
+            if idx >= last:
+                break
+            if needs_motion:
+                with prof.stage("track"):
+                    if prev_gray is None:
+                        pts, valid, prev_gray = detect_step(y)
+                    else:
+                        (pts, valid, prev_delta, r_acc, key,
+                         prev_gray) = track_step(
+                            prev_gray, y, pts, valid, prev_delta, r_acc, key,
+                            refresh_age=age >= KEY_FRAME_MAX_AGE,
+                        )
+                        age = 0 if age >= KEY_FRAME_MAX_AGE else age + 1
+            frames.append((y, u, v))
+            rots.append(r_acc)
+            # Emit every frame whose full lookahead window is present.
+            while len(rots) - want_radius - emitted >= batch:
+                emit(batch, at_eof=False)
+        pre.close()
+        # EOF: the remaining window smooths against clamp-replicated ends
+        # (the reference's trajectory-extrapolation EOF semantics).
+        while emitted < len(rots):
+            emit(min(batch, len(rots) - emitted), at_eof=True)
+    except BaseException:
+        # Finalize the container (valid truncated output, not corrupt)
+        # and stop the decode thread; the original error surfaces.
+        pre.close()
+        try:
+            writer.close()
+        except Exception:
+            pass
+        reader.close()
+        raise
     with prof.stage("encode"):
         writer.close()
     reader.close()

@@ -72,6 +72,35 @@ def kalman_filter_1d(
     return out
 
 
+def _unwrap_rotvecs(w: jax.Array) -> jax.Array:
+    """Lift (T, 3) log-map vectors onto one continuous branch.
+
+    so3.log returns angles in [0, pi] with axis flips at the boundary; a
+    trajectory whose accumulated angle crosses pi therefore JUMPS by ~2*pi
+    in the raw components, and filtering across the jump produces virtual
+    rotations far from the measured pose. Every representation of the same
+    rotation is w + 2*pi*k*axis; pick, per frame, the candidate closest to
+    the previous (already-continuous) frame — frame-to-frame changes are
+    far below pi, so k in [-2, 2] is ample.
+    """
+    ks = jnp.arange(-2.0, 3.0)[:, None]  # (5, 1)
+
+    def step(prev, wt):
+        theta = jnp.linalg.norm(wt)
+        axis = jnp.where(
+            theta > 1e-6,
+            wt / jnp.maximum(theta, 1e-6),
+            prev / jnp.maximum(jnp.linalg.norm(prev), 1e-6),
+        )
+        cands = wt[None, :] + 2.0 * jnp.pi * ks * axis[None, :]  # (5, 3)
+        d = jnp.sum((cands - prev[None, :]) ** 2, axis=1)
+        best = cands[jnp.argmin(d)]
+        return best, best
+
+    _, out = jax.lax.scan(step, w[0], w)
+    return out
+
+
 def smooth_rotations_kalman(
     rotations: jax.Array,  # (T, 3, 3)
     process_noise: float = 1e-5,
@@ -81,9 +110,11 @@ def smooth_rotations_kalman(
     """Kalman-smoothed rotation trajectory.
 
     Works in the Lie algebra relative to the trajectory start: log-map each
-    accumulated rotation, filter the 3 components independently, exp back.
+    accumulated rotation, lift onto a continuous branch (the pi-crossing
+    wrap would otherwise corrupt the filter), filter the 3 components
+    independently, exp back.
     """
-    w = so3.log(rotations)  # (T, 3)
+    w = _unwrap_rotvecs(so3.log(rotations))  # (T, 3)
     sm = jnp.stack(
         [
             kalman_filter_1d(w[:, i], process_noise, measurement_noise, rts=rts)

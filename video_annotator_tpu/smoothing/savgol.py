@@ -50,6 +50,24 @@ def savgol_weights(radius: int, order: int = 2, pos: int = 0, deriv: int = 0):
     return w.astype(np.float32)
 
 
+def sg_conv(padded: jax.Array, w: jax.Array) -> jax.Array:
+    """Entrywise 1D convolution of an already replicate-padded
+    (T + 2r, K) block with SG weights (2r + 1,) -> (T, K).
+
+    THE smoothing primitive, shared by every trajectory path (offline
+    savgol, the streaming window core, the temporal-sharded halo
+    smoother, and the 2D families) so the numerics cannot drift apart.
+    """
+    return jax.lax.conv_general_dilated(
+        padded.T[:, None, :],
+        w[None, None, :],
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )[:, 0, :].T
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "order"))
 def smooth_rotations(
     rotations: jax.Array,  # (T, 3, 3)
@@ -73,17 +91,7 @@ def smooth_rotations(
         ],
         axis=0,
     )
-    # (T, window) gather via a strided sliding window expressed as conv:
-    # conv1d over time with the SG kernel, independently per entry.
-    smoothed = jax.lax.conv_general_dilated(
-        padded.T[:, None, :],  # (9, 1, T + 2r)
-        w[None, None, :],  # (1, 1, window)
-        window_strides=(1,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
-    )[:, 0, :].T  # (T, 9)
-    return so3.project(smoothed.reshape(t, 3, 3))
+    return so3.project(sg_conv(padded, w).reshape(t, 3, 3))
 
 
 def stabilization_corrections(
