@@ -106,6 +106,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Single-pass render: decode once, smooth through a "
                         "bounded lookahead window (identical output to the "
                         "two-phase analyse/encode; rotation family)")
+    r.add_argument("--rolling-shutter", type=float, default=0.0,
+                   help="Sensor readout time as a fraction of the frame "
+                        "period (GoPro ~0.75; 0 disables): corrects "
+                        "rolling-shutter jello with per-scanline rotations")
     r.add_argument("--horizon-lock", action="store_true",
                    help="Pin the horizon using the GPMF accelerometer's "
                         "gravity direction (assumes a level first frame "
@@ -221,6 +225,7 @@ def _render_options(args) -> "RenderOptions":
         preset=preset,
         gyro=getattr(args, "gyro", False),
         horizon_lock=getattr(args, "horizon_lock", False),
+        rolling_shutter=getattr(args, "rolling_shutter", 0.0),
         streaming=getattr(args, "streaming", False),
         analyse_only=getattr(args, "analyse_only", False),
         encode_only=getattr(args, "encode_only", False),

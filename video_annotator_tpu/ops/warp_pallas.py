@@ -529,10 +529,22 @@ def _tile_bounds_grid(
     xs = jnp.arange(NX_SUB * nx + 1, dtype=jnp.float32) * SUB_X
     grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
     rays = out_camera.unproject(grid)
-    rotated = jnp.einsum(
-        "ij,hwj->hwi", rotation.astype(jnp.float32), rays,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    rotation = rotation.astype(jnp.float32)
+    if rotation.ndim == 3:
+        # Rolling shutter: one rotation per output TILE ROW; each sampled
+        # row uses its tile's rotation (boundary samples clamp down).
+        ridx = jnp.clip(
+            (ys.astype(jnp.int32)) // TILE_H, 0, rotation.shape[0] - 1
+        )
+        rotated = jnp.einsum(
+            "hij,hwj->hwi", rotation[ridx], rays,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        rotated = jnp.einsum(
+            "ij,hwj->hwi", rotation, rays,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     # Behind-camera rays (equirect/wide outputs past 90 deg) must pin far
     # outside, exactly like the host twin _warp_map_np: an unguarded
     # project() mirrors (z < 0) or NaNs (z ~ 0) them, corrupting the
@@ -800,7 +812,11 @@ def _atan(x: jax.Array) -> jax.Array:
 
 def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
                  batched: bool = False, border: float = 0.0,
-                 out_u8: bool = False):
+                 out_u8: bool = False, rs: bool = False):
+    """``rs``: rolling-shutter mode — the rotation prefetch array carries
+    ONE rotation PER OUTPUT TILE ROW (flat (ny*9,) f32; (t*ny*9,) framed),
+    the per-scanline camera pose quantized to 8-row tiles (at 4K that is
+    ~0.3% of the readout window — far below visibility)."""
     ww = plan.ww
     nsec = plan.sections
     nslots = plan.slots
@@ -994,7 +1010,15 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
                 c.start()
 
         # --- map computation (the createMap math), in-register ------------
-        if batched and batched not in ("planes", "uv", "band"):
+        if rs:
+            # Per-TILE-ROW rotation (rolling shutter). In band mode `ty`
+            # is already the GLOBAL tile row.
+            if batched and batched not in ("planes", "uv", "band"):
+                rbase = (ti * ny + ty) * 9
+            else:
+                rbase = ty * 9
+            r = [rot_ref[rbase + i] for i in range(9)]
+        elif batched and batched not in ("planes", "uv", "band"):
             r = [rot_ref[ti, i] for i in range(9)]
         else:
             r = [rot_ref[i] for i in range(9)]
@@ -1494,10 +1518,10 @@ def _ray_in_spec(plan: WarpPlan, lead_dims: int):
 
 @functools.lru_cache(maxsize=64)
 def _build_warp_fn(plan: WarpPlan, out_key, in_key, interpret: bool,
-                   border: float = 0.0, mip: int = 0):
+                   border: float = 0.0, mip: int = 0, rs: bool = False):
     out_camera = _camera_from_key(out_key)
     in_camera = _camera_from_key(in_key)
-    kernel = _make_kernel(plan, out_camera, in_camera, border=border)
+    kernel = _make_kernel(plan, out_camera, in_camera, border=border, rs=rs)
     ny, nx = plan.grid
     ray_grid = out_camera.model != CameraModel.RECTILINEAR
 
@@ -1530,8 +1554,9 @@ def _build_warp_fn(plan: WarpPlan, out_key, in_key, interpret: bool,
 
     @jax.jit
     def run(frame: jax.Array, rotation: jax.Array, *rays) -> jax.Array:
-        meta1, meta2 = _tile_origins(plan, out_camera, in_camera, rotation)
-        rot9 = jnp.reshape(rotation.astype(jnp.float32), (9,))
+        meta1, meta2 = _tile_origins(plan, out_camera, in_camera,
+                                     rotation.astype(jnp.float32))
+        rot9 = jnp.reshape(rotation.astype(jnp.float32), (-1,))
         words = _pack_input(frame, plan, mip, int(border),
                             not interpret)
         return call(rot9, meta1, meta2, words, *rays)
@@ -1644,14 +1669,14 @@ def warp_frames_pallas(
 @functools.lru_cache(maxsize=64)
 def _build_warp_planes_fn(plan: WarpPlan, out_key, in_key, t: int,
                           interpret: bool, border: float = 0.0,
-                          mip: int = 0):
+                          mip: int = 0, rs: bool = False):
     """Multi-plane variant: grid (T, ny, nx) with ONE shared rotation and
     one set of tile metas — U and V chroma planes of a frame share the
     map, so warping them in one dispatch halves the per-call overhead."""
     out_camera = _camera_from_key(out_key)
     in_camera = _camera_from_key(in_key)
     kernel = _make_kernel(plan, out_camera, in_camera, batched="planes",
-                          border=border)
+                          border=border, rs=rs)
     ny, nx = plan.grid
     ray_grid = out_camera.model != CameraModel.RECTILINEAR
 
@@ -1680,8 +1705,9 @@ def _build_warp_planes_fn(plan: WarpPlan, out_key, in_key, t: int,
 
     @jax.jit
     def run(planes, rotation: jax.Array, *rays):
-        meta1, meta2 = _tile_origins(plan, out_camera, in_camera, rotation)
-        rot9 = jnp.reshape(rotation.astype(jnp.float32), (9,))
+        meta1, meta2 = _tile_origins(plan, out_camera, in_camera,
+                                     rotation.astype(jnp.float32))
+        rot9 = jnp.reshape(rotation.astype(jnp.float32), (-1,))
         # Stack INSIDE the jit: an eager per-frame jnp.stack costs ~1 ms
         # of dispatch on the remote backend.
         words = jnp.stack(
@@ -1714,20 +1740,32 @@ def warp_planes_pallas(
             assert f.shape == (plan.in_h, plan.in_w), (f.shape, plan)
     fn = _build_warp_planes_fn(
         plan, _camera_key(out_camera), _camera_key(in_camera), t, interpret,
-        border, mip,
+        border, mip, rs=(jnp.ndim(rotation) == 3),
     )
     return fn(tuple(planes), rotation)
+
+
+def _chroma_row_rotations(rot_y: jax.Array, nyc: int) -> jax.Array:
+    """Chroma tile-row rotations from luma tile-row rotations.
+
+    Chroma tile row j covers luma tile rows 2j..2j+1; using row 2j
+    quantizes the scanline pose by 16 luma rows (~0.5% of the readout
+    window at 4K — invisible)."""
+    nyy = rot_y.shape[-3]
+    idx = jnp.clip(2 * jnp.arange(nyc), 0, nyy - 1)
+    return rot_y[..., idx, :, :]
 
 
 @functools.lru_cache(maxsize=16)
 def _build_warp_yuv_fn(plan_y: WarpPlan, out_key_y, in_key_y,
                        plan_c: WarpPlan, out_key_c, in_key_c,
-                       interpret: bool, mip: int = 0):
+                       interpret: bool, mip: int = 0, rs: bool = False):
     """ONE jitted dispatch per frame: pack Y/U/V, both origin passes, the
     luma kernel, the 2-plane chroma kernel, uint8 outputs.
 
     Replaces three host dispatches (luma warp, chroma warp, uint8 cast) in
     the encode hot loop; the kernels emit video bytes directly.
+    ``rs``: rolling-shutter mode — rotation is (ny_luma_tiles, 3, 3).
     """
     out_cam_y = _camera_from_key(out_key_y)
     in_cam_y = _camera_from_key(in_key_y)
@@ -1735,7 +1773,7 @@ def _build_warp_yuv_fn(plan_y: WarpPlan, out_key_y, in_key_y,
     in_cam_c = _camera_from_key(in_key_c)
 
     ray_grid = out_cam_y.model != CameraModel.RECTILINEAR
-    kernel_y = _make_kernel(plan_y, out_cam_y, in_cam_y, out_u8=True)
+    kernel_y = _make_kernel(plan_y, out_cam_y, in_cam_y, out_u8=True, rs=rs)
     ny, nx = plan_y.grid
     in_specs_y = [pl.BlockSpec(memory_space=pl.ANY)]
     if ray_grid:
@@ -1760,7 +1798,7 @@ def _build_warp_yuv_fn(plan_y: WarpPlan, out_key_y, in_key_y,
     )
 
     kernel_c = _make_kernel(plan_c, out_cam_c, in_cam_c, batched="uv",
-                            border=128.0, out_u8=True)
+                            border=128.0, out_u8=True, rs=rs)
     nyc, nxc = plan_c.grid
     in_specs_c = [pl.BlockSpec(memory_space=pl.ANY)]
     if ray_grid:
@@ -1788,16 +1826,19 @@ def _build_warp_yuv_fn(plan_y: WarpPlan, out_key_y, in_key_y,
 
     @jax.jit
     def run(y, u, v, rotation, *rays):
-        rot9 = jnp.reshape(rotation.astype(jnp.float32), (9,))
-        m1y, m2y = _tile_origins(plan_y, out_cam_y, in_cam_y, rotation)
+        rot_y = rotation.astype(jnp.float32)
+        rot_c = _chroma_row_rotations(rot_y, nyc) if rs else rot_y
+        rot9y = jnp.reshape(rot_y, (-1,))
+        rot9c = jnp.reshape(rot_c, (-1,))
+        m1y, m2y = _tile_origins(plan_y, out_cam_y, in_cam_y, rot_y)
         words_y = _pack_input(y, plan_y, mip, 0, use_kernel)
-        wy = call_y(rot9, m1y, m2y, words_y, *rays[:1])
-        m1c, m2c = _tile_origins(plan_c, out_cam_c, in_cam_c, rotation)
+        wy = call_y(rot9y, m1y, m2y, words_y, *rays[:1])
+        m1c, m2c = _tile_origins(plan_c, out_cam_c, in_cam_c, rot_c)
         words_uv = jnp.stack([
             _pack_input(p, plan_c, mip, 128, use_kernel)
             for p in (u, v)
         ])
-        wc = call_c(rot9, m1c, m2c, words_uv, *rays[1:])
+        wc = call_c(rot9c, m1c, m2c, words_uv, *rays[1:])
         return (wy, wc[0], wc[1])
 
     if ray_grid:
@@ -1831,7 +1872,7 @@ def warp_yuv_pallas(
     fn = _build_warp_yuv_fn(
         plan_y, _camera_key(out_camera), _camera_key(in_camera),
         plan_c, _camera_key(out_camera_c), _camera_key(in_camera_c),
-        interpret, mip,
+        interpret, mip, rs=(jnp.ndim(rotation) == 3),
     )
     return fn(y, u, v, rotation)
 
@@ -1839,7 +1880,8 @@ def warp_yuv_pallas(
 @functools.lru_cache(maxsize=16)
 def _build_warp_yuv_batch_fn(plan_y: WarpPlan, out_key_y, in_key_y,
                              plan_c: WarpPlan, out_key_c, in_key_c,
-                             t: int, interpret: bool, mip: int = 0):
+                             t: int, interpret: bool, mip: int = 0,
+                             rs: bool = False):
     """T frames per dispatch: all packs, origin passes, and per-frame
     kernels in ONE jitted call.
 
@@ -1858,7 +1900,7 @@ def _build_warp_yuv_batch_fn(plan_y: WarpPlan, out_key_y, in_key_y,
     in_cam_c = _camera_from_key(in_key_c)
 
     ray_grid = out_cam_y.model != CameraModel.RECTILINEAR
-    kernel_y = _make_kernel(plan_y, out_cam_y, in_cam_y, out_u8=True)
+    kernel_y = _make_kernel(plan_y, out_cam_y, in_cam_y, out_u8=True, rs=rs)
     nyy, nxy = plan_y.grid
     in_specs_y = [pl.BlockSpec(memory_space=pl.ANY)]
     if ray_grid:
@@ -1882,7 +1924,7 @@ def _build_warp_yuv_batch_fn(plan_y: WarpPlan, out_key_y, in_key_y,
         interpret=interpret,
     )
     kernel_c = _make_kernel(plan_c, out_cam_c, in_cam_c, batched="uv",
-                            border=128.0, out_u8=True)
+                            border=128.0, out_u8=True, rs=rs)
     nyc, nxc = plan_c.grid
     in_specs_c = [pl.BlockSpec(memory_space=pl.ANY)]
     if ray_grid:
@@ -1909,23 +1951,25 @@ def _build_warp_yuv_batch_fn(plan_y: WarpPlan, out_key_y, in_key_y,
 
     @jax.jit
     def run(ys, us, vs, rotations, *rays):
-        rots = rotations.astype(jnp.float32)
-        rot9 = rots.reshape(t, 9)
+        rots = rotations.astype(jnp.float32)  # (t,3,3) or rs (t,nyy,3,3)
+        rots_c = _chroma_row_rotations(rots, nyc) if rs else rots
+        rot9y = rots.reshape(t, -1)
+        rot9c = rots_c.reshape(t, -1)
         m1y, m2y = jax.vmap(
             lambda r: _tile_origins(plan_y, out_cam_y, in_cam_y, r)
         )(rots)
         m1c, m2c = jax.vmap(
             lambda r: _tile_origins(plan_c, out_cam_c, in_cam_c, r)
-        )(rots)
+        )(rots_c)
         out = []
         for i in range(t):
             words_y = _pack_input(ys[i], plan_y, mip, 0, use_kernel)
-            wy = call_y(rot9[i], m1y[i], m2y[i], words_y, *rays[:1])
+            wy = call_y(rot9y[i], m1y[i], m2y[i], words_y, *rays[:1])
             words_uv = jnp.stack([
                 _pack_input(p, plan_c, mip, 128, use_kernel)
                 for p in (us[i], vs[i])
             ])
-            wc = call_c(rot9[i], m1c[i], m2c[i], words_uv, *rays[1:])
+            wc = call_c(rot9c[i], m1c[i], m2c[i], words_uv, *rays[1:])
             out.append((wy, wc[0], wc[1]))
         return out
 
@@ -1954,7 +1998,7 @@ def warp_yuv_batch_pallas(
     fn = _build_warp_yuv_batch_fn(
         plan_y, _camera_key(out_camera), _camera_key(in_camera),
         plan_c, _camera_key(out_camera_c), _camera_key(in_camera_c),
-        t, interpret, mip,
+        t, interpret, mip, rs=(jnp.ndim(rotations) == 4),
     )
     return fn(tuple(ys), tuple(us), tuple(vs), rotations)
 
@@ -2069,6 +2113,6 @@ def warp_frame_pallas(
         assert frame.shape == (plan.in_h, plan.in_w), (frame.shape, plan)
     fn = _build_warp_fn(
         plan, _camera_key(out_camera), _camera_key(in_camera), interpret,
-        border, mip,
+        border, mip, rs=(jnp.ndim(rotation) == 3),
     )
     return fn(frame, rotation)

@@ -39,7 +39,10 @@ def compute_warp_map(
     ``rotation`` is the 3x3 matrix applied to output-camera rays, i.e. the
     18-scalar-arg rotation handed to the kernel at
     ``opencv/FrameSourceWarp.cpp:291-299`` (the inverse of the stabilization
-    correction, ``opencv/FrameSourceWarp.cpp:475``).
+    correction, ``opencv/FrameSourceWarp.cpp:475``). A (n_tile_rows, 3, 3)
+    stack applies rotation ``r // 8`` to output row ``r`` — the
+    rolling-shutter form (per-scanline camera pose, quantized to the
+    Pallas kernel's 8-row tiles).
     """
     if out_size is None:
         out_size = (out_camera.height, out_camera.width)
@@ -48,12 +51,22 @@ def compute_warp_map(
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     pixels = jnp.stack([xs, ys], axis=-1)
     rays = out_camera.unproject(pixels)  # (h, w, 3)
-    rotated = jnp.einsum(
-        "ij,hwj->hwi",
-        rotation.astype(jnp.float32),
-        rays,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    rotation = jnp.asarray(rotation, jnp.float32)
+    if rotation.ndim == 3:
+        idx = jnp.clip(jnp.arange(h) // 8, 0, rotation.shape[0] - 1)
+        rotated = jnp.einsum(
+            "hij,hwj->hwi",
+            rotation[idx],
+            rays,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        rotated = jnp.einsum(
+            "ij,hwj->hwi",
+            rotation,
+            rays,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     src = in_camera.project(rotated)  # (h, w, 2)
     if in_camera.model != CameraModel.EQUIRECT:
         # Behind-camera rays (possible when an equirect OUTPUT looks past

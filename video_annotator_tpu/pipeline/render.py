@@ -109,6 +109,11 @@ class RenderOptions:
     # source has no telemetry). Applies to any stabilise mode / family
     # with SO(3) trajectories.
     horizon_lock: bool = False
+    # Rolling-shutter readout time as a fraction of the frame period
+    # (GoPro HERO-era sensors ~0.75; 0 disables). Each output tile row
+    # warps with its own scanline-time rotation (smoothing/rolling.py) —
+    # per-scanline jello correction the reference cannot express.
+    rolling_shutter: float = 0.0
     # phases
     analyse_only: bool = False
     encode_only: bool = False
@@ -666,12 +671,21 @@ class FrameWarper:
         # trajectory and passing it in was measured SLOWER than computing
         # it inline (the fused executable pipelines it; input transfers
         # serialize), so each call plans inline.
+        rs = jnp.ndim(rotation) == 3  # rolling shutter: per-tile-row rots
         if self._use_pallas:
+            from video_annotator_tpu.ops.warp_pallas import (
+                _chroma_row_rotations,
+            )
+
             wy = warp_frame_pallas(y, rotation, self.plan_y, self.out_cam,
                                    self.in_eff, mip=self.mip)
+            rot_c = (
+                _chroma_row_rotations(rotation, self.plan_c.grid[0])
+                if rs else rotation
+            )
             # U and V share the map: one dispatch, one origin pass.
             wu, wv = warp_planes_pallas(
-                (u, v), rotation, self.plan_c, self.out_half,
+                (u, v), rot_c, self.plan_c, self.out_half,
                 self.in_half, border=128.0, mip=self.mip,
             )
             return wy, wu, wv
@@ -679,11 +693,19 @@ class FrameWarper:
             y = box_downsample(y, self.mip)
             u = box_downsample(u, self.mip)
             v = box_downsample(v, self.mip)
+        if rs:
+            from video_annotator_tpu.ops.warp_pallas import (
+                _chroma_row_rotations,
+            )
+
+            rot_c = _chroma_row_rotations(rotation, -(-(self.out_h // 2) // 8))
+        else:
+            rot_c = rotation
         wy = warp_image_xla(y, self.out_cam, self.in_eff, rotation,
                             (self.out_h, self.out_w))
-        wu = warp_image_xla(u - 128.0, self.out_half, self.in_half, rotation,
+        wu = warp_image_xla(u - 128.0, self.out_half, self.in_half, rot_c,
                             (self.out_h // 2, self.out_w // 2))
-        wv = warp_image_xla(v - 128.0, self.out_half, self.in_half, rotation,
+        wv = warp_image_xla(v - 128.0, self.out_half, self.in_half, rot_c,
                             (self.out_h // 2, self.out_w // 2))
         return wy, wu + 128.0, wv + 128.0
 
@@ -737,13 +759,30 @@ def encode(
     in_cam, out_cam = build_cameras(meta, options)
     corrections = compute_corrections(traj, options)
 
+    # Rolling-shutter mode: per-frame corrections become per-TILE-ROW
+    # rotations (scanline-time poses).
+    if options.rolling_shutter:
+        from video_annotator_tpu.smoothing.rolling import (
+            rs_row_rotations,
+            scan_fractions,
+        )
+
+        ny_tiles = -(-(
+            out_cam.height - out_cam.height % 2
+        ) // 8)
+        fractions = scan_fractions(out_cam, in_cam, ny_tiles)
+        corrections = np.asarray(rs_row_rotations(
+            jnp.asarray(corrections), jnp.asarray(traj.rotations()),
+            options.rolling_shutter, fractions,
+        ))
+
     # The Pallas plan sizes static per-tile DMA windows by probing
     # max_correction_deg rotations; corrections beyond it (a large
     # --roll/--pitch/--yaw attitude, a horizon lock on a heavily tilted
     # camera, violent shake) would gather outside their windows and warp
     # silently wrong pixels. The trajectory is known up front here, so
     # size the plan to the actual worst case.
-    need_deg = max_rotation_deg(corrections)
+    need_deg = max_rotation_deg(corrections.reshape(-1, 3, 3))
     budget_deg = max(options.max_correction_deg, need_deg + 0.5)
     warper = FrameWarper(in_cam, out_cam, budget_deg,
                          prefilter=options.prefilter == "auto")
@@ -935,6 +974,17 @@ def render(
             "(--filter rotation/dewobble); 2D families have no camera "
             "attitude to level"
         )
+    if options.rolling_shutter:
+        if family != "rotation":
+            raise ValueError(
+                "--rolling-shutter needs the rotation family (per-scanline "
+                "camera poses)"
+            )
+        if options.streaming:
+            raise ValueError(
+                "--rolling-shutter uses the two-phase path (scanline "
+                "velocities need the frame after each frame)"
+            )
     # Horizon lock needs the measured attitude even when not stabilising.
     needs_motion = options.stabilise != "none" or options.horizon_lock
     tpath = trajectory_path(dest) if dest else None
