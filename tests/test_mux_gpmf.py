@@ -162,3 +162,26 @@ def test_mux_rejects_faststart(tmp_path):
         f.write(moov + rest)
     with pytest.raises(ValueError, match="moov"):
         mux_gpmf_track(bad, [b"\x00" * 16], str(tmp_path / "o.mp4"))
+
+
+def test_analyse_gyro_honors_trim(tmp_path):
+    """Gyro trajectories must cover exactly the trimmed frame range and
+    rebase at its first frame (encode indexes corrections from there)."""
+    from video_annotator_tpu.pipeline.render import RenderOptions, analyse_gyro
+
+    path, omega, n, fps = _make_gopro_like(tmp_path)
+    full = analyse_gyro(path, RenderOptions(gyro=True))
+    k = 6
+    trimmed = analyse_gyro(
+        path, RenderOptions(gyro=True, start=k / fps)
+    )
+    assert full.num_frames == n
+    assert trimmed.num_frames == n - k
+    np.testing.assert_allclose(trimmed.params[0], 0.0, atol=1e-6)
+    # Trimmed trajectory == full trajectory rebased at frame k.
+    Rf = so3.exp(jnp.asarray(full.params, jnp.float32))
+    expect = np.asarray(so3.matmul(
+        Rf[k:], jnp.swapaxes(Rf[k], -1, -2)[None]
+    ))
+    got = np.asarray(so3.exp(jnp.asarray(trimmed.params, jnp.float32)))
+    np.testing.assert_allclose(got, expect, atol=1e-4)

@@ -175,3 +175,40 @@ def test_rs_rejects_wrong_modes(tmp_path):
         render("synthetic://shaky?w=64&h=48&n=4", str(tmp_path / "o.y4m"),
                RenderOptions(rolling_shutter=0.7, streaming=True,
                              stabilise="smooth"))
+
+
+def test_rs_row_rotations_gyro_exact():
+    """Telemetry-exact scanline poses: constant rate matches the velocity
+    model; non-constant rate matches the true integral where the
+    velocity model cannot."""
+    from video_annotator_tpu.smoothing.rolling import rs_row_rotations_gyro
+
+    t, ny = 4, 8
+    fps = 30.0
+    readout_s = 1.0 / fps
+    frame_ts = jnp.asarray(np.arange(t) / fps, jnp.float32)
+    f = jnp.asarray((np.arange(ny) * 8.0 + 4.0) / (ny * 8.0), jnp.float32)
+
+    # Accelerating roll rate: w(t) = a * t (rad/s).
+    a = 3.0
+    s = 2000
+    ts = np.arange(s) / (s / (t / fps + 0.1))  # dense grid over the clip
+    omega = np.stack([np.zeros(s), np.zeros(s), a * ts], axis=1)
+
+    def angle_at(time):  # integral of a*t
+        return 0.5 * a * time * time
+
+    corr = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (t, 3, 3))
+    rows = np.asarray(rs_row_rotations_gyro(
+        corr, jnp.asarray(omega, jnp.float32), jnp.asarray(ts, jnp.float32),
+        frame_ts, readout_s, f,
+    ))
+    for ti in (1, 3):
+        for j in (0, 7):
+            tf = ti / fps + float(f[j]) * readout_s
+            # rows = M(t,f) M_t^T: rotation between scanline and frame start.
+            want_angle = -(angle_at(tf) - angle_at(ti / fps))
+            got = rows[ti, j]
+            got_angle = np.arctan2(got[1, 0], got[0, 0])
+            assert abs(got_angle - want_angle) < 2e-3, (ti, j, got_angle,
+                                                        want_angle)

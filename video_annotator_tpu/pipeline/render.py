@@ -420,29 +420,11 @@ def _estimate_up0(source: str, t0: float) -> Optional[np.ndarray]:
         return None
 
 
-def analyse_gyro(
-    source: str,
-    options: RenderOptions,
-    profiler: Optional[StageProfiler] = None,
-) -> Trajectory:
-    """Trajectory from the GPMF gyro track instead of visual tracking.
-
-    The design the reference sketched but never wired up
-    (``opencv/gpmf.cpp:82-105``; demux hook TODO at
-    ``opencv/AvFrameSourceFileVaapi.cpp:121-125``): integrate angular-rate
-    samples on SO(3) and resample at frame timestamps. Massively cheaper
-    than vision (no decode needed for analysis at all) and immune to
-    texture-poor footage.
-    """
-    prof = profiler or StageProfiler()
-    from video_annotator_tpu.io.gpmf import extract_gyro
+def _gyro_frame_times(source: str, gyro_ts):
+    """(frame_ts, fps, width, height): video frame timestamps, from the
+    container's video track when available, else a synthetic grid."""
     from video_annotator_tpu.io.mp4 import parse_tracks
-    from video_annotator_tpu.smoothing.gyro import integrate_gyro
 
-    with prof.stage("gyro-parse"):
-        omega, ts = extract_gyro(source)
-
-    # Frame timestamps from the video track when available.
     frame_ts = None
     meta_w = meta_h = 0
     fps = Fraction(30, 1)
@@ -464,11 +446,46 @@ def analyse_gyro(
             reader.close()
             fps = meta.fps
             meta_w, meta_h = meta.width, meta.height
-            n = meta.num_frames or int((ts[-1] - ts[0]) * float(fps)) + 1
+            n = meta.num_frames or int(
+                (gyro_ts[-1] - gyro_ts[0]) * float(fps)
+            ) + 1
         except Exception:
             # telemetry-only file: frame grid from the gyro span at 30 fps
-            n = int((ts[-1] - ts[0]) * 30.0) + 1
-        frame_ts = ts[0] + np.arange(n) / float(fps)
+            n = int((gyro_ts[-1] - gyro_ts[0]) * 30.0) + 1
+        frame_ts = gyro_ts[0] + np.arange(n) / float(fps)
+    return frame_ts, fps, meta_w, meta_h
+
+
+def analyse_gyro(
+    source: str,
+    options: RenderOptions,
+    profiler: Optional[StageProfiler] = None,
+) -> Trajectory:
+    """Trajectory from the GPMF gyro track instead of visual tracking.
+
+    The design the reference sketched but never wired up
+    (``opencv/gpmf.cpp:82-105``; demux hook TODO at
+    ``opencv/AvFrameSourceFileVaapi.cpp:121-125``): integrate angular-rate
+    samples on SO(3) and resample at frame timestamps. Massively cheaper
+    than vision (no decode needed for analysis at all) and immune to
+    texture-poor footage.
+    """
+    prof = profiler or StageProfiler()
+    from video_annotator_tpu.io.gpmf import extract_gyro
+    from video_annotator_tpu.smoothing.gyro import integrate_gyro
+
+    with prof.stage("gyro-parse"):
+        omega, ts = extract_gyro(source)
+
+    frame_ts, fps, meta_w, meta_h = _gyro_frame_times(source, ts)
+    # Honor the trim window like the visual analyser: encode() indexes
+    # corrections from the trimmed range's first frame, and the trajectory
+    # rebases there (integrate_gyro's first resample time is identity).
+    meta_stub = VideoMeta(meta_w, meta_h, fps, len(frame_ts))
+    first, last = _frame_range(meta_stub, options)
+    frame_ts = frame_ts[first:min(last, len(frame_ts))]
+    if len(frame_ts) == 0:
+        raise ValueError("trim window selects no frames")
 
     with prof.stage("gyro-integrate"):
         import jax.numpy as jnp_
@@ -764,6 +781,7 @@ def encode(
     if options.rolling_shutter:
         from video_annotator_tpu.smoothing.rolling import (
             rs_row_rotations,
+            rs_row_rotations_gyro,
             scan_fractions,
         )
 
@@ -771,10 +789,39 @@ def encode(
             out_cam.height - out_cam.height % 2
         ) // 8)
         fractions = scan_fractions(out_cam, in_cam, ny_tiles)
-        corrections = np.asarray(rs_row_rotations(
-            jnp.asarray(corrections), jnp.asarray(traj.rotations()),
-            options.rolling_shutter, fractions,
-        ))
+        rows = None
+        if options.gyro:
+            # Exact scanline poses from the ~400 Hz telemetry (captures
+            # intra-frame acceleration the velocity model cannot).
+            try:
+                from video_annotator_tpu.io.gpmf import extract_gyro
+
+                omega, gts = extract_gyro(source)
+                all_ts, _, _, _ = _gyro_frame_times(source, gts)
+                first_f, last_f = _frame_range(
+                    VideoMeta(meta.width, meta.height, meta.fps,
+                              len(all_ts)),
+                    options,
+                )
+                f_ts = all_ts[first_f:min(last_f, len(all_ts))]
+                f_ts = f_ts[: traj.num_frames]
+                if len(f_ts) == traj.num_frames:
+                    rows = np.asarray(rs_row_rotations_gyro(
+                        jnp.asarray(corrections),
+                        jnp.asarray(omega, jnp.float32),
+                        jnp.asarray(gts, jnp.float32),
+                        jnp.asarray(f_ts, jnp.float32),
+                        options.rolling_shutter / float(meta.fps),
+                        fractions,
+                    ))
+            except Exception:
+                rows = None  # no telemetry: velocity model below
+        if rows is None:
+            rows = np.asarray(rs_row_rotations(
+                jnp.asarray(corrections), jnp.asarray(traj.rotations()),
+                options.rolling_shutter, fractions,
+            ))
+        corrections = rows
 
     # The Pallas plan sizes static per-tile DMA windows by probing
     # max_correction_deg rotations; corrections beyond it (a large

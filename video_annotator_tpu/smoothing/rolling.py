@@ -50,6 +50,41 @@ def scan_fractions(out_camera, in_camera, ny: int) -> jax.Array:
     return jnp.clip(src[:, 1] / float(in_camera.height), 0.0, 1.0)
 
 
+@functools.partial(jax.jit, static_argnames=("readout_s",))
+def rs_row_rotations_gyro(
+    corrections: jax.Array,  # (T, 3, 3) per-frame warp rotations
+    omega: jax.Array,  # (S, 3) gyro rad/s, camera frame
+    ts: jax.Array,  # (S,) gyro sample times
+    frame_ts: jax.Array,  # (T,) frame timestamps (trimmed range)
+    readout_s: float,  # readout time in SECONDS
+    fractions: jax.Array,  # (ny,) source scan fraction per output tile row
+) -> jax.Array:
+    """(T, ny, 3, 3) per-tile-row warp rotations, EXACT from telemetry.
+
+    Where :func:`rs_row_rotations` extrapolates each frame's pose with
+    its frame-rate angular velocity (first-order), this integrates the
+    ~400 Hz gyro stream at every scanline time — intra-frame
+    acceleration (whip pans, impacts) is captured exactly.
+    """
+    from video_annotator_tpu.smoothing.gyro import integrate_gyro
+
+    t = corrections.shape[0]
+    ny = fractions.shape[0]
+    times = (
+        frame_ts[:, None] + fractions[None, :].astype(frame_ts.dtype)
+        * readout_s
+    ).reshape(-1)
+    # One integration pass over frame starts + every scanline time, all
+    # rebased at the first frame (the trajectory's reference).
+    all_times = jnp.concatenate([frame_ts, times])
+    R = integrate_gyro(omega, ts, all_times)
+    M = jnp.swapaxes(R, -1, -2)  # measured convention (cf. analyse_gyro)
+    m_frames = M[:t]
+    m_rows = M[t:].reshape(t, ny, 3, 3)
+    delta = so3.matmul(m_rows, jnp.swapaxes(m_frames, -1, -2)[:, None])
+    return so3.matmul(delta, corrections.astype(jnp.float32)[:, None])
+
+
 @functools.partial(jax.jit, static_argnames=("readout",))
 def rs_row_rotations(
     corrections: jax.Array,  # (T, 3, 3) per-frame warp rotations
