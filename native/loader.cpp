@@ -11,14 +11,24 @@
 //
 // C ABI (consumed via ctypes — no pybind11 in this image):
 //   void* va_open(const char* path, int ring_frames);
+//   void* va_open_seek(const char* path, int ring_frames, long start_frame);
+//   long  va_start_frame(void* h);  // index of the first frame va_next yields
 //   int   va_meta(void* h, int* w, int* h_, int* fps_num, int* fps_den,
 //                 long* nframes);
 //   int   va_next(void* h, uint8_t* y, uint8_t* u, uint8_t* v);  // 1 ok, 0 eof, <0 err
 //   long  va_frame_index(void* h);
 //   void  va_close(void* h);
 //   const char* va_error(void* h);
+//
+// va_open_seek is the ffmpeg `-ss` analogue the reference leans on for its
+// trimmed renders (fluent-ffmpeg seek, src/render.ts:1369-1373; concat.sh's
+// split stage renders -s/-e windows out of hour-long matches): demuxer-level
+// keyframe seek, then decode-and-drop (no sws_scale, no ring traffic) up to
+// the exact requested frame. Without it every `render -s N` decodes the
+// whole prefix.
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -59,6 +69,15 @@ struct Loader {
     std::atomic<bool> stop{false};
     std::atomic<long> frame_index{-1};
     std::string error;
+
+    // Trim seek: frames before start_frame are decoded (from the seeked-to
+    // keyframe) but dropped before sws_scale / the ring. When the demuxer
+    // seek failed, decoding starts at frame 0 and the drop window covers
+    // the whole prefix — still cheaper than pushing frames Python discards.
+    int64_t start_frame = 0;
+    int64_t last_idx = -1;      // source index of the last decoded frame
+    AVRational time_base{1, 1};
+    int64_t stream_start_ts = 0;
 
     ~Loader() {
         {
@@ -136,6 +155,24 @@ void decode_loop(Loader* L) {
                 push_frame(L, nullptr, /*err=*/true);
                 goto done;
             }
+            // Source frame index from the presentation timestamp (the
+            // demuxer seek lands on the preceding keyframe, so the drop
+            // window must be pts-exact, matching Python's
+            // round(start_s * fps) trim arithmetic). Pts-less frames
+            // (raw streams) count on from the last known index.
+            int64_t bet = frame->best_effort_timestamp;
+            int64_t idx;
+            if (bet != AV_NOPTS_VALUE) {
+                double t = (bet - L->stream_start_ts) * av_q2d(L->time_base);
+                idx = llround(t * L->fps.num / (double)L->fps.den);
+            } else {
+                idx = L->last_idx + 1;
+            }
+            L->last_idx = idx;
+            if (idx < L->start_frame) {
+                av_frame_unref(frame);
+                continue;
+            }
             push_frame(L, frame);
             av_frame_unref(frame);
         }
@@ -145,11 +182,7 @@ done:
     av_frame_free(&frame);
 }
 
-}  // namespace
-
-extern "C" {
-
-void* va_open(const char* path, int ring_frames) {
+void* open_impl(const char* path, int ring_frames, long start_frame) {
     auto* L = new Loader();
     if (avformat_open_input(&L->fmt, path, nullptr, nullptr) < 0) {
         delete L;
@@ -185,6 +218,25 @@ void* va_open(const char* path, int ring_frames) {
     }
     L->fps = st->avg_frame_rate.num ? st->avg_frame_rate : AVRational{30, 1};
     L->nframes = st->nb_frames;
+    L->time_base = st->time_base.num ? st->time_base : AVRational{1, 1};
+    L->stream_start_ts =
+        st->start_time != AV_NOPTS_VALUE ? st->start_time : 0;
+
+    if (start_frame > 0) {
+        // Keyframe-backward seek toward the requested frame; exactness
+        // comes from the pts drop window in decode_loop. A failed seek
+        // (unseekable container) just decodes from 0 through the same
+        // drop window — correct, merely slower.
+        double t = start_frame * L->fps.den / (double)L->fps.num;
+        int64_t target =
+            L->stream_start_ts + (int64_t)llround(t / av_q2d(L->time_base));
+        if (av_seek_frame(L->fmt, L->stream_index, target,
+                          AVSEEK_FLAG_BACKWARD) >= 0) {
+            avcodec_flush_buffers(L->dec);
+        }
+        L->start_frame = start_frame;
+        L->frame_index = start_frame - 1;
+    }
 
     L->sws = sws_getContext(L->dec->width, L->dec->height, L->dec->pix_fmt,
                             L->width, L->height, AV_PIX_FMT_YUV420P,
@@ -205,6 +257,22 @@ void* va_open(const char* path, int ring_frames) {
     }
     L->worker = std::thread(decode_loop, L);
     return L;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* va_open(const char* path, int ring_frames) {
+    return open_impl(path, ring_frames, 0);
+}
+
+void* va_open_seek(const char* path, int ring_frames, long start_frame) {
+    return open_impl(path, ring_frames, start_frame > 0 ? start_frame : 0);
+}
+
+long va_start_frame(void* h) {
+    return (long)static_cast<Loader*>(h)->start_frame;
 }
 
 int va_meta(void* h, int* w, int* ht, int* fps_num, int* fps_den,

@@ -22,6 +22,7 @@ int vaw_write(void*, const uint8_t*, const uint8_t*, const uint8_t*);
 int vaw_close(void*);
 // loader.cpp
 void* va_open(const char*, int);
+void* va_open_seek(const char*, int, long);
 int va_meta(void*, int*, int*, int*, int*, long*);
 int va_next(void*, uint8_t*, uint8_t*, uint8_t*);
 void va_close(void*);
@@ -66,6 +67,34 @@ int read_clip(const std::string& path, long* frames) {
     *frames = count;
     return 0;
 }
+
+// Trim seek: the first frame after va_open_seek(start) must be the same
+// frame a sequential reader reaches by decoding `start` frames (row
+// pattern y[r] = (r + i*3) & 0xff identifies frame i exactly: QP 19 is
+// not bit-exact, so allow a small tolerance). Also abandon a seeked
+// loader mid-stream (close with the ring full) to race the teardown.
+int seek_clip(const std::string& path, long start, long content_frame) {
+    void* l = va_open_seek(path.c_str(), 4, start);
+    if (!l) return 1;
+    std::vector<uint8_t> y(W * H), u(W * H / 4), v(W * H / 4);
+    if (va_next(l, y.data(), u.data(), v.data()) != 1) {
+        va_close(l);
+        return 2;
+    }
+    for (int r = 0; r < H; r += 17) {
+        int want = (r + (int)content_frame * 3) & 0xff;
+        int got = y[r * W + W / 2];
+        int d = got > want ? got - want : want - got;
+        if (d > 4 && d < 252) {  // wraparound-aware tolerance
+            std::fprintf(stderr, "seek row %d: got %d want %d\n", r, got,
+                         want);
+            va_close(l);
+            return 3;
+        }
+    }
+    va_close(l);  // decode thread still pumping: teardown under load
+    return 0;
+}
 }  // namespace
 
 int main() {
@@ -107,6 +136,18 @@ int main() {
                      fa, N, fj, 2 * N);
         return 1;
     }
-    std::printf("native selftest OK: %ld + %ld frames\n", fa, fj);
+
+    // Concurrent seeked readers (distinct offsets; the joined clip's
+    // global frame N+7 carries segment b's frame-7 content).
+    int sa = -1, sb = -1;
+    std::thread te([&] { sa = seek_clip(a, N / 2, N / 2); });
+    std::thread tf([&] { sb = seek_clip(j, N + 7, 7); });
+    te.join();
+    tf.join();
+    if (sa || sb) {
+        std::fprintf(stderr, "seek failed: %d %d\n", sa, sb);
+        return 1;
+    }
+    std::printf("native selftest OK: %ld + %ld frames (+seek)\n", fa, fj);
     return 0;
 }

@@ -93,3 +93,84 @@ def test_synthetic_source():
     assert y0.std() > 20  # textured
     # consecutive frames differ (camera moves)
     assert np.abs(frames[1][0].astype(int) - y0.astype(int)).mean() > 0.5
+
+
+# --- trim seeks (open_reader(start_frame=...)) ------------------------------
+
+
+def test_y4m_seek(tmp_path):
+    path = str(tmp_path / "seek.y4m")
+    meta = VideoMeta(48, 32, Fraction(30, 1))
+    w = open_writer(path, meta)
+    frames = [_planes(48, 32, i) for i in range(9)]
+    for f in frames:
+        w.write(f)
+    w.close()
+    r = open_reader(path, start_frame=5)
+    assert r.start_frame == 5
+    got = list(r)
+    assert len(got) == 4
+    np.testing.assert_array_equal(got[0][0], frames[5][0])
+    np.testing.assert_array_equal(got[-1][2], frames[8][2])
+    r.close()
+
+
+def _write_indexed_mp4(path, n=20, w=64, h=48):
+    """Frames whose mean luma encodes the frame index (x264-robust)."""
+    meta = VideoMeta(w, h, Fraction(30, 1))
+    wr = open_writer(path, meta, encoder="mp4v")
+    for i in range(n):
+        y = np.full((h, w), 20 + i * 10, np.uint8)
+        u = np.full((h // 2, w // 2), 128, np.uint8)
+        v = np.full((h // 2, w // 2), 128, np.uint8)
+        wr.write((y, u, v))
+    wr.close()
+    return meta
+
+
+def _assert_seeked(reader, start, n_total):
+    frames = list(reader)
+    assert len(frames) == n_total - start
+    for off in (0, len(frames) - 1):
+        want = 20 + (start + off) * 10
+        assert abs(float(frames[off][0].mean()) - want) < 6, (
+            off, float(frames[off][0].mean()), want)
+    reader.close()
+
+
+def test_native_seek_mp4(tmp_path):
+    from video_annotator_tpu.io.native import native_available
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native loader not built")
+    path = str(tmp_path / "seek.mp4")
+    _write_indexed_mp4(path, n=20)
+    r = open_reader(path, prefer_native=True, start_frame=13)
+    assert r.start_frame == 13
+    _assert_seeked(r, 13, 20)
+
+
+def test_cv2_seek_mp4(tmp_path):
+    path = str(tmp_path / "seek_cv.mp4")
+    _write_indexed_mp4(path, n=20)
+    r = open_reader(path, prefer_native=False, start_frame=7)
+    assert r.start_frame == 7
+    _assert_seeked(r, 7, 20)
+
+
+def test_seek_matches_skip(tmp_path):
+    """Seeked iteration yields byte-identical frames to skip-from-zero."""
+    path = str(tmp_path / "match.mp4")
+    _write_indexed_mp4(path, n=16)
+    full = list(open_reader(path, start_frame=0))
+    seeked = open_reader(path, start_frame=10)
+    got = list(seeked)
+    if seeked.start_frame == 0:  # no seek support in this build
+        got = got[10:]
+    assert len(got) == 6
+    for (y, u, v), (y2, u2, v2) in zip(full[10:], got):
+        np.testing.assert_array_equal(y, y2)
+        np.testing.assert_array_equal(u, u2)
+        np.testing.assert_array_equal(v, v2)

@@ -39,6 +39,13 @@ def load_library():
         return None
     lib.va_open.restype = ctypes.c_void_p
     lib.va_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    if hasattr(lib, "va_open_seek"):  # pre-seek builds of the .so
+        lib.va_open_seek.restype = ctypes.c_void_p
+        lib.va_open_seek.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_long,
+        ]
+        lib.va_start_frame.restype = ctypes.c_long
+        lib.va_start_frame.argtypes = [ctypes.c_void_p]
     lib.va_meta.restype = ctypes.c_int
     lib.va_meta.argtypes = [ctypes.c_void_p] + [
         ctypes.POINTER(ctypes.c_int)
@@ -62,14 +69,27 @@ def native_available() -> bool:
 
 
 class NativeVideoSource:
-    """Reader-compatible source backed by the C++ loader."""
+    """Reader-compatible source backed by the C++ loader.
 
-    def __init__(self, path: str, ring_frames: int = 8):
+    ``start_frame`` trims at the demuxer: keyframe-backward seek plus a
+    pts-exact decode-and-drop window in C (the ffmpeg ``-ss`` analogue the
+    reference's trimmed renders rely on, ``src/render.ts:1369-1373``).
+    Iteration then begins at source frame ``self.start_frame``.
+    """
+
+    def __init__(self, path: str, ring_frames: int = 8,
+                 start_frame: int = 0):
         lib = load_library()
         if lib is None:
             raise RuntimeError("native loader not built (make -C native)")
         self._lib = lib
-        self._h = lib.va_open(path.encode(), ring_frames)
+        if start_frame > 0 and hasattr(lib, "va_open_seek"):
+            self._h = lib.va_open_seek(path.encode(), ring_frames,
+                                       int(start_frame))
+            self.start_frame = int(start_frame)
+        else:
+            self._h = lib.va_open(path.encode(), ring_frames)
+            self.start_frame = 0
         if not self._h:
             raise FileNotFoundError(f"native loader cannot open {path}")
         w = ctypes.c_int()
@@ -87,7 +107,7 @@ class NativeVideoSource:
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         w, h = self.meta.width, self.meta.height
         u8p = ctypes.POINTER(ctypes.c_uint8)
-        while True:
+        while self._h:  # a concurrent close() ends iteration, not a UAF
             y = np.empty((h, w), np.uint8)
             u = np.empty((h // 2, w // 2), np.uint8)
             v = np.empty((h // 2, w // 2), np.uint8)

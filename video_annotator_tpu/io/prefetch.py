@@ -50,9 +50,16 @@ class DevicePrefetcher:
 
     def _worker(self):
         try:
-            for y, u, v in self._frames:
-                if self._stop.is_set():
-                    return
+            it = iter(self._frames)
+            # The stop check must precede next(): pulling another frame
+            # after close() races the caller freeing the underlying
+            # source (the native loader's handle — a use-after-free, not
+            # just a wasted decode).
+            while not self._stop.is_set():
+                try:
+                    y, u, v = next(it)
+                except StopIteration:
+                    break
                 def put(a):
                     out = jax.device_put(np.asarray(a), self._device)
                     if self._dtype is not None:
@@ -74,13 +81,22 @@ class DevicePrefetcher:
             yield item
 
     def close(self):
+        """Stop and JOIN the worker before the caller closes the source.
+
+        Returning before the worker exits would let it touch a source the
+        caller is about to free (segfault observed with the native
+        loader: worker in ``va_next`` while ``va_close`` deletes the
+        handle). Drain in a loop — the worker may be blocked in ``put()``
+        and enqueue one more item after each drain.
+        """
         self._stop.set()
-        # drain so the worker can exit its put()
-        try:
-            while True:
-                self._q.get_nowait()
-        except queue.Empty:
-            pass
+        while self._thread.is_alive():
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=0.05)
 
 
 class AsyncFrameWriter:

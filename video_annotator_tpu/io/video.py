@@ -67,7 +67,7 @@ def yuv420_to_bgr(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
 
 
 class _Y4MSource:
-    def __init__(self, path: str):
+    def __init__(self, path: str, start_frame: int = 0):
         self._r = y4m_mod.Y4MReader(path)
         h = self._r.header
         # Frame count from the file size (fixed-size frames after the header).
@@ -82,6 +82,18 @@ class _Y4MSource:
         self.meta = VideoMeta(
             h.width, h.height, h.fps, int(max(fsz - header_len, 0) // frame_bytes)
         )
+        # Fixed-size frames make trim seeks byte-exact; a marker check
+        # guards against variable-length FRAME parameter lines.
+        self.start_frame = 0
+        if start_frame > 0:
+            pos = header_len + start_frame * frame_bytes
+            self._r._f.seek(pos)
+            probe = self._r._f.read(5)
+            if probe == b"FRAME":
+                self._r._f.seek(pos)
+                self.start_frame = start_frame
+            else:
+                self._r._f.seek(header_len)
 
     def __iter__(self) -> Iterator[Planes]:
         return iter(self._r)
@@ -91,7 +103,7 @@ class _Y4MSource:
 
 
 class _CvSource:
-    def __init__(self, path: str):
+    def __init__(self, path: str, start_frame: int = 0):
         import cv2
 
         self._cap = cv2.VideoCapture(path)
@@ -102,6 +114,14 @@ class _CvSource:
         fps = self._cap.get(cv2.CAP_PROP_FPS) or 30.0
         n = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
         self.meta = VideoMeta(w, h, Fraction(fps).limit_denominator(1001), n or None)
+        self.start_frame = 0
+        if start_frame > 0:
+            # OpenCV's FFMPEG backend seeks then decodes forward from the
+            # keyframe internally, so positioning is frame-exact.
+            if self._cap.set(cv2.CAP_PROP_POS_FRAMES, start_frame) and int(
+                self._cap.get(cv2.CAP_PROP_POS_FRAMES)
+            ) == start_frame:
+                self.start_frame = start_frame
 
     def __iter__(self) -> Iterator[Planes]:
         while True:
@@ -114,9 +134,17 @@ class _CvSource:
         self._cap.release()
 
 
-def open_reader(path: str, prefer_native: bool = True):
-    """Open a video source; returns an object with ``.meta`` and ``__iter__``
-    yielding (y, u, v) uint8 planes.
+def open_reader(path: str, prefer_native: bool = True, start_frame: int = 0):
+    """Open a video source; returns an object with ``.meta``, ``__iter__``
+    yielding (y, u, v) uint8 planes, and ``.start_frame`` — the source
+    index of the first yielded frame.
+
+    ``start_frame`` requests a trim seek (the ffmpeg ``-ss`` the
+    reference's trimmed renders use): honored exactly by the native libav
+    loader (keyframe seek + pts drop window), the cv2 backend
+    (``CAP_PROP_POS_FRAMES``) and y4m (fixed-size frames). Sources that
+    cannot seek report ``start_frame == 0`` and the caller skips frames
+    itself — iterate with ``enumerate(reader, start=reader.start_frame)``.
 
     Compressed files prefer the threaded C++/libav loader
     (``io/native.py``) when built, falling back to OpenCV's reader.
@@ -124,9 +152,11 @@ def open_reader(path: str, prefer_native: bool = True):
     if path.startswith("synthetic://"):
         from video_annotator_tpu.io.synthetic import SyntheticSource
 
-        return SyntheticSource.from_uri(path)
+        src = SyntheticSource.from_uri(path)
+        src.start_frame = 0
+        return src
     if path.endswith(".y4m"):
-        return _Y4MSource(path)
+        return _Y4MSource(path, start_frame=start_frame)
     if prefer_native:
         try:
             from video_annotator_tpu.io.native import (
@@ -135,10 +165,10 @@ def open_reader(path: str, prefer_native: bool = True):
             )
 
             if native_available():
-                return NativeVideoSource(path)
+                return NativeVideoSource(path, start_frame=start_frame)
         except (FileNotFoundError, RuntimeError, OSError):
             pass
-    return _CvSource(path)
+    return _CvSource(path, start_frame=start_frame)
 
 
 class _Y4MSink:

@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from video_annotator_tpu.io.video import open_reader
 from video_annotator_tpu.ops.phasecorr import phase_correlate
 from video_annotator_tpu.pipeline.profiler import StageProfiler
 from video_annotator_tpu.pipeline.trajectory import Trajectory
@@ -30,11 +29,10 @@ def analyse_deshake(
     profiler: Optional[StageProfiler] = None,
 ) -> Trajectory:
     """Accumulated global translation per frame via phase correlation."""
-    from video_annotator_tpu.pipeline.render import _frame_range
+    from video_annotator_tpu.pipeline.render import open_trimmed
 
     prof = profiler or StageProfiler()
-    reader = open_reader(source, prefer_native=options.native_io)
-    meta = reader.meta
+    reader, meta, first, last = open_trimmed(source, options)
     # --analysis-scale: phase-correlate a box-downsampled level
     # (translations scale back by 2^level at collect time).
     from video_annotator_tpu.pipeline.render import analysis_level
@@ -58,11 +56,10 @@ def analyse_deshake(
             jnp.float32
         )
 
-    first, last = _frame_range(meta, options)
     acc = jnp.zeros(2, jnp.float32)
     out = []
     prev_gray = None
-    idx = -1
+    idx = reader.start_frame - 1
     from video_annotator_tpu.io.prefetch import DevicePrefetcher
 
     pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)),

@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from video_annotator_tpu.io.video import open_reader
 from video_annotator_tpu.ops.affine import (
     compose_similarity,
     fit_similarity,
@@ -41,12 +40,11 @@ def analyse_similarity(
     from video_annotator_tpu.pipeline.render import (
         KEY_FRAME_MAX_AGE,
         MAX_CORNERS,
-        _frame_range,
+        open_trimmed,
     )
 
     prof = profiler or StageProfiler()
-    reader = open_reader(source, prefer_native=options.native_io)
-    meta = reader.meta
+    reader, meta, first, last = open_trimmed(source, options)
     # --analysis-scale: track on a box-downsampled level; similarities
     # conjugate through scaling (translation x 2^level, angle/log-scale
     # unchanged), applied once at collect time.
@@ -104,14 +102,13 @@ def analyse_similarity(
             gray, max_corners=MAX_CORNERS, min_distance=min_distance
         ) + (gray,)
 
-    first, last = _frame_range(meta, options)
     acc = jnp.zeros(4, jnp.float32)
     prev_params = jnp.zeros(4, jnp.float32)
     out = []
     prev_gray = None
     pts = valid = None
     age = 0
-    idx = -1
+    idx = reader.start_frame - 1
     from video_annotator_tpu.io.prefetch import DevicePrefetcher
 
     pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)),

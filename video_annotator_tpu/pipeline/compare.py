@@ -96,8 +96,9 @@ def render_compare(
     parsed = [_parse_mode(m) for m in modes]
     fams = {f for f, _, _ in parsed}
 
-    reader = open_reader(source, prefer_native=options.native_io)
-    meta = reader.meta
+    from video_annotator_tpu.pipeline.render import open_trimmed
+
+    reader, meta, first, _last = open_trimmed(source, options)
 
     def _count_frames():
         # Containers without a frame count (cv2 CAP_PROP_FRAME_COUNT 0)
@@ -225,12 +226,9 @@ def render_compare(
         return canvas
 
     # Honor the trim window like the analysers do (corrections index from
-    # the trimmed range's first frame).
-    from video_annotator_tpu.pipeline.render import _frame_range
-
-    first, _last = _frame_range(meta, options)
+    # the trimmed range's first frame); the reader was opened seeked to it.
     t = 0
-    idx = -1
+    idx = reader.start_frame - 1
     try:
         for y, u, v in prof.wrap_iter("decode", iter(reader)):
             idx += 1

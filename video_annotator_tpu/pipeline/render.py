@@ -190,6 +190,35 @@ def _frame_range(meta: VideoMeta, o: RenderOptions):
     return first, last
 
 
+def open_trimmed(source: str, o) -> tuple:
+    """(reader, meta, first, last) with the reader seeked to the trim start.
+
+    The seek target depends on the source fps, so the source is probed
+    first and reopened with a demuxer seek when ``--start`` lands past
+    frame 0 (the ffmpeg ``-ss`` the reference's trimmed renders rely on —
+    without it every ``render -s N`` decodes the whole prefix, quadratic
+    over a ``workflow split``). Callers must still iterate with
+    ``enumerate(reader, start=reader.start_frame)`` and skip
+    ``idx < first``: sources that cannot seek report ``start_frame == 0``.
+    """
+    native = getattr(o, "native_io", True)
+    reader = open_reader(source, prefer_native=native)
+    meta = reader.meta
+    first, last = _frame_range(meta, o)
+    if first > 0:
+        try:
+            seeked = open_reader(source, prefer_native=native,
+                                 start_frame=first)
+        except Exception:
+            seeked = None
+        if seeked is not None:
+            reader.close()
+            reader = seeked
+    if not hasattr(reader, "start_frame"):
+        reader.start_frame = 0
+    return reader, meta, first, last
+
+
 def build_cameras(meta: VideoMeta, o: RenderOptions):
     """Input camera from preset/dfov; output camera auto-fit or explicit.
 
@@ -334,11 +363,9 @@ def analyse(
 ) -> Trajectory:
     """Estimate the per-frame accumulated camera rotation trajectory."""
     prof = profiler or StageProfiler()
-    reader = open_reader(source, prefer_native=options.native_io)
-    meta = reader.meta
+    reader, meta, first, last = open_trimmed(source, options)
     detect_step, track_step = _make_tracker(meta, options)
 
-    first, last = _frame_range(meta, options)
     r_list = []
     r_acc = jnp.eye(3, dtype=jnp.float32)
     prev_delta = jnp.eye(3, dtype=jnp.float32)
@@ -346,7 +373,7 @@ def analyse(
     prev_gray = None
     pts = valid = None
     age = 0
-    idx = -1
+    idx = reader.start_frame - 1
     from video_annotator_tpu.io.prefetch import DevicePrefetcher
 
     # Uploads happen uint8 on the prefetch thread (the jitted steps
@@ -771,8 +798,7 @@ def encode(
 ) -> VideoMeta:
     """Smooth + warp + write. Returns the output metadata."""
     prof = profiler or StageProfiler()
-    reader = open_reader(source, prefer_native=options.native_io)
-    meta = reader.meta
+    reader, meta, first, last = open_trimmed(source, options)
     in_cam, out_cam = build_cameras(meta, options)
     corrections = compute_corrections(traj, options)
 
@@ -849,7 +875,6 @@ def encode(
                     **_passthrough_kwargs(source, meta, options))
     )
 
-    first, last = _frame_range(meta, options)
     from video_annotator_tpu.io.prefetch import DevicePrefetcher
 
     # Pre-upload per-BATCH rotation stacks: an eager host->device transfer
@@ -873,7 +898,7 @@ def encode(
 
     pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)),
                            depth=options.prefetch_depth)
-    idx = -1
+    idx = reader.start_frame - 1
     t = 0
     pending = []
 
@@ -942,8 +967,7 @@ def encode_2d(
     )
 
     prof = profiler or StageProfiler()
-    reader = open_reader(source, prefer_native=options.native_io)
-    meta = reader.meta
+    reader, meta, first, last = open_trimmed(source, options)
     if traj.kind == "similarity":
         corrections = similarity_corrections(traj, options)
         warp = jax.jit(warp_frame_similarity)
@@ -964,8 +988,7 @@ def encode_2d(
     writer = open_writer(None if options.no_output else dest, out_meta,
                          encoder=options.encoder,
                          **_passthrough_kwargs(source, meta, options))
-    first, last = _frame_range(meta, options)
-    idx = -1
+    idx = reader.start_frame - 1
     t = 0
     try:
         for y, u, v in prof.wrap_iter("decode", iter(reader)):

@@ -36,8 +36,8 @@ from video_annotator_tpu.pipeline.render import (
     FrameWarper,
     RenderOptions,
     _estimate_up0,
-    _frame_range,
     _make_tracker,
+    open_trimmed,
     _passthrough_kwargs,
     build_cameras,
     make_window_corrections,
@@ -63,8 +63,7 @@ def render_streaming(
             "smoother needs the whole trajectory — use the two-phase path"
         )
 
-    reader = open_reader(source, prefer_native=options.native_io)
-    meta = reader.meta
+    reader, meta, first, last = open_trimmed(source, options)
     # stabilise=none without a horizon lock needs no measured attitude at
     # all: skip the per-frame tracker entirely (corrections are identity).
     needs_motion = options.stabilise != "none" or options.horizon_lock
@@ -72,7 +71,6 @@ def render_streaming(
         _make_tracker(meta, options) if needs_motion else (None, None)
     )
     in_cam, out_cam = build_cameras(meta, options)
-    first, last = _frame_range(meta, options)
 
     up0 = (
         _estimate_up0(source, float(first) / float(meta.fps))
@@ -194,7 +192,7 @@ def render_streaming(
 
     pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)),
                            depth=options.prefetch_depth)
-    idx = -1
+    idx = reader.start_frame - 1
     try:
         for y, u, v in pre:
             idx += 1
