@@ -82,3 +82,94 @@ def test_calibrate_corner_origin_board_close_range():
     assert np.isfinite(rms) and rms < 0.5, rms
     assert abs(float(est.fx) - float(cam.fx)) < 4.0
     assert abs(float(est.cx) - float(cam.cx)) < 4.0
+
+
+def _render_board_frames(cam, poses, cols=9, rows=6):
+    """Rasterize a chessboard seen through a known camera (unit squares).
+
+    Inner corners sit at integer board coords (0..cols-1, 0..rows-1); the
+    cells extend one square beyond on every side, over a white backing so
+    ``findChessboardCorners`` sees the light border it requires.
+    """
+    import cv2
+    import jax.numpy as jnp
+
+    w, h = cam.width, cam.height
+    frames = []
+
+    def project(pts_board, R, t):
+        p3 = np.concatenate([pts_board, np.zeros((len(pts_board), 1))], 1)
+        uv = np.asarray(cam.project(jnp.asarray(p3 @ R.T + t, jnp.float32)))
+        return np.round(uv * 16).astype(np.int32)  # shift=4 subpixel coords
+
+    for R, t in poses:
+        img = np.full((h, w), 160, np.uint8)
+        m = 1.0
+        backing = np.array([
+            [-1 - m, -1 - m], [cols + m, -1 - m],
+            [cols + m, rows + m], [-1 - m, rows + m],
+        ], np.float64)
+        cv2.fillConvexPoly(img, project(backing, R, t), 255, cv2.LINE_AA,
+                           shift=4)
+        for i in range(-1, cols):
+            for j in range(-1, rows):
+                if (i + j) % 2 == 0:
+                    continue
+                quad = np.array(
+                    [[i, j], [i + 1, j], [i + 1, j + 1], [i, j + 1]],
+                    np.float64,
+                )
+                cv2.fillConvexPoly(img, project(quad, R, t), 10,
+                                   cv2.LINE_AA, shift=4)
+        frames.append(cv2.GaussianBlur(img, (3, 3), 0.8))
+    return frames
+
+
+def test_calibrate_from_video_detection(tmp_path):
+    """The reference tool's full workflow: footage of a chessboard in,
+    intrinsics + RMS out (``camera_calibration.cpp:379-390,574``) — board
+    DETECTION included, via this framework's own readers."""
+    import jax.numpy as jnp
+    from fractions import Fraction
+
+    from video_annotator_tpu.calibrate import calibrate, detect_board_views
+    from video_annotator_tpu.camera import Camera, CameraModel
+    from video_annotator_tpu.io.video import VideoMeta, open_writer
+
+    true_cam = Camera.make(
+        300.0, 302.0, 321.0, 239.0, 640, 480, CameraModel.FISHEYE,
+        dist=jnp.asarray([0.02, -0.005, 0.0, 0.0], jnp.float32),
+    )
+    rng = np.random.default_rng(4)
+    poses = []
+    for k in range(8):
+        R = np.asarray(so3.exp(jnp.asarray(
+            rng.normal(size=3) * np.array([0.22, 0.22, 0.1]), jnp.float32)))
+        t = np.array([
+            -4.0 + rng.uniform(-1.2, 1.2),
+            -2.5 + rng.uniform(-1.0, 1.0),
+            rng.uniform(11.0, 16.0),
+        ])
+        poses.append((R, t))
+    frames = _render_board_frames(true_cam, poses)
+
+    path = str(tmp_path / "board.y4m")
+    wsink = open_writer(path, VideoMeta(640, 480, Fraction(30, 1)))
+    for y in frames:
+        uv = np.full((240, 320), 128, np.uint8)
+        wsink.write((y, uv, uv))
+    wsink.close()
+
+    obj, img, size = detect_board_views(
+        path, pattern=(9, 6), max_views=8, interval_s=0.0
+    )
+    assert size == (640, 480)
+    assert img.shape[0] >= 6, img.shape  # most views detected
+    assert obj.shape == (54, 3)
+
+    est, rms = calibrate(obj, img, size, CameraModel.FISHEYE, steps=2500)
+    assert rms < 1.0, rms
+    assert abs(float(est.fx) - 300.0) < 6.0, float(est.fx)
+    assert abs(float(est.fy) - 302.0) < 6.0, float(est.fy)
+    assert abs(float(est.cx) - 321.0) < 8.0, float(est.cx)
+    assert abs(float(est.cy) - 239.0) < 8.0, float(est.cy)

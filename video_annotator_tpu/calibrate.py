@@ -9,9 +9,12 @@ calibration is plain gradient-based nonlinear least squares over
 (fx, fy, cx, cy, k1..k4, per-view pose) — no bespoke solver, and the same
 code path that runs in the pipeline is the one being calibrated.
 
-Input: an ``.npz`` with ``object_points`` (N, 3) board coordinates and
-``image_points`` (V, N, 2) detections per view (detections can come from
-``cv2.findChessboardCorners`` or any external tool).
+Input: a video to detect a chessboard in (the reference tool's workflow —
+its settings point ``Input`` at GoPro footage of a 9x6 board,
+``opencv/camera_calibration/in_VID5.xml``; detection + subpixel refinement
+as in ``camera_calibration.cpp:379-390``), or an ``.npz`` with
+``object_points`` (N, 3) board coordinates and ``image_points`` (V, N, 2)
+pre-extracted detections per view.
 """
 
 from __future__ import annotations
@@ -177,16 +180,91 @@ def _lm_refine(params, obj, img, model: CameraModel, iters: int = 40):
     return unravel(jnp.asarray(p, jnp.float32))
 
 
-def calibrate_cli(points_path: str, model: str, size: str | None, output: str | None):
-    data = np.load(points_path)
-    obj = data["object_points"]
-    img = data["image_points"]
+def board_object_points(cols: int, rows: int, square_size: float = 1.0):
+    """(cols*rows, 3) inner-corner board coordinates (z = 0)."""
+    xs, ys = np.meshgrid(np.arange(cols), np.arange(rows))
+    return np.stack(
+        [xs.ravel(), ys.ravel(), np.zeros(cols * rows)], axis=1
+    ).astype(np.float64) * float(square_size)
+
+
+def detect_board_views(
+    source: str,
+    pattern: Tuple[int, int] = (9, 6),
+    square_size: float = 1.0,
+    max_views: int = 25,
+    interval_s: float = 0.25,
+):
+    """Detect chessboard inner corners across a video's frames.
+
+    The reference tool's capture loop (``camera_calibration.cpp:379-390``):
+    ``findChessboardCorners`` with adaptive threshold + normalization, then
+    ``cornerSubPix`` refinement, sampling views at least ``interval_s``
+    apart until ``max_views`` are collected. Decoding runs through this
+    framework's readers (luma plane only — detection is grayscale).
+
+    Returns ``(object_points (N, 3), image_points (V, N, 2), (w, h))``.
+    """
+    import cv2
+
+    from video_annotator_tpu.io.video import open_reader
+
+    cols, rows = pattern
+    reader = open_reader(source)
+    meta = reader.meta
+    stride = max(1, int(round(interval_s * float(meta.fps))))
+    flags = cv2.CALIB_CB_ADAPTIVE_THRESH | cv2.CALIB_CB_NORMALIZE_IMAGE
+    crit = (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_COUNT, 30, 0.01)
+    views = []
+    try:
+        for i, (y, _, _) in enumerate(iter(reader)):
+            if i % stride:
+                continue
+            found, corners = cv2.findChessboardCorners(y, (cols, rows), flags)
+            if not found:
+                continue
+            corners = cv2.cornerSubPix(
+                y, corners, (11, 11), (-1, -1), crit
+            )
+            views.append(corners.reshape(-1, 2))
+            if len(views) >= max_views:
+                break
+    finally:
+        reader.close()
+    if len(views) < 3:
+        raise ValueError(
+            f"found a {cols}x{rows} chessboard in only {len(views)} frames "
+            f"of {source}; calibration needs at least 3 views"
+        )
+    obj = board_object_points(cols, rows, square_size)
+    return obj, np.stack(views), (meta.width, meta.height)
+
+
+def calibrate_cli(points_path: str, model: str, size: str | None,
+                  output: str | None, board: str = "9x6",
+                  square_size: float = 1.0, max_views: int = 25,
+                  interval_s: float = 0.25):
+    if points_path.endswith(".npz"):
+        data = np.load(points_path)
+        obj = data["object_points"]
+        img = data["image_points"]
+        detected = None
+    else:
+        cols, rows = (int(x) for x in board.lower().split("x"))
+        obj, img, detected = detect_board_views(
+            points_path, (cols, rows), square_size,
+            max_views=max_views, interval_s=interval_s,
+        )
+        print(f"detected {img.shape[0]} board views in {points_path}")
+        data = {}
     if obj.ndim == 3:
         # cv2-style per-view board lists (V, N, 3): all views observe the
         # same board, so one copy suffices.
         obj = obj[0]
     if size:
         w, h = (int(x) for x in size.lower().split("x"))
+    elif detected is not None:
+        w, h = detected
     elif "image_size" in data:
         w, h = (int(x) for x in data["image_size"])
     else:
@@ -202,6 +280,7 @@ def calibrate_cli(points_path: str, model: str, size: str | None, output: str | 
         "cx": float(cam.cx), "cy": float(cam.cy),
         "dist": [float(d) for d in np.asarray(cam.dist)],
         "width": w, "height": h,
+        "views": int(img.shape[0]),
         "rms_reprojection_error_px": rms,
     }
     text = json.dumps(result, indent=2)

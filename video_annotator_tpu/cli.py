@@ -183,11 +183,24 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pr.add_argument("source")
 
-    k = sub.add_parser("calibrate",
-                       help="Fit fisheye intrinsics from point correspondences")
-    k.add_argument("points", help=".npz with object_points/image_points arrays")
+    k = sub.add_parser(
+        "calibrate",
+        help="Fit fisheye intrinsics from chessboard footage (the "
+             "reference tool's workflow) or pre-extracted points",
+    )
+    k.add_argument("points",
+                   help="video to detect a chessboard in, or .npz with "
+                        "object_points/image_points arrays")
     k.add_argument("--model", default="fisheye", choices=["fisheye", "rectilinear"])
     k.add_argument("--size", default=None, help="WxH image size override")
+    k.add_argument("--board", default="9x6",
+                   help="inner-corner grid COLSxROWS (in_VID5.xml: 9x6)")
+    k.add_argument("--square-size", type=float, default=1.0,
+                   help="board square edge length (output units)")
+    k.add_argument("--frames", type=int, default=25,
+                   help="max board views to collect (in_VID5.xml: 25)")
+    k.add_argument("--interval", type=float, default=0.25,
+                   help="seconds between detection attempts")
     k.add_argument("-o", "--output", default=None, help="Write intrinsics JSON here")
 
     return p
@@ -380,7 +393,9 @@ def main(argv=None) -> int:
         elif args.command == "calibrate":
             from video_annotator_tpu.calibrate import calibrate_cli
 
-            calibrate_cli(args.points, args.model, args.size, args.output)
+            calibrate_cli(args.points, args.model, args.size, args.output,
+                          board=args.board, square_size=args.square_size,
+                          max_views=args.frames, interval_s=args.interval)
         return 0
     except Exception as e:  # CLI exits 1 on pipeline errors (src/cli.ts:13-23)
         if getattr(args, "debug", False):
