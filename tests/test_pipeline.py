@@ -149,3 +149,34 @@ def test_upsample_scales_output_canvas(tmp_path):
     finally:
         rs.close()
         rb.close()
+
+
+def test_debug_overlay_hud(tmp_path):
+    """--debug draws the HUD (the reference forwards debug into its
+    filters' overlays, src/render.ts:677,891): text at top-left, darkened
+    curve strip at the bottom, pixel content otherwise identical."""
+    from video_annotator_tpu.io.video import open_reader
+    from video_annotator_tpu.pipeline.render import RenderOptions, render
+
+    src = "synthetic://shaky?w=160&h=128&n=8&seed=5"
+    plain, dbg = str(tmp_path / "p.y4m"), str(tmp_path / "d.y4m")
+    base = dict(stabilise="smooth", stabilise_radius=3, warp_batch=4)
+    render(src, plain, RenderOptions(**base))
+    render(src, dbg, RenderOptions(debug=True, **base))
+
+    fp = list(open_reader(plain))
+    fd = list(open_reader(dbg))
+    assert len(fp) == len(fd) == 8
+    yp, yd = fp[4][0].astype(int), fd[4][0].astype(int)
+    h = yp.shape[0]
+    strip = max(24, h // 8)
+    # Bottom strip redrawn: darkened background (0.35x) under bright
+    # curve/cursor pixels.
+    assert (yd[h - strip:] > 200).any()
+    assert (yd[h - strip:] != yp[h - strip:]).mean() > 0.2
+    # Text region has bright pixels the plain render lacks.
+    top = yd[:20, :120]
+    assert (top > 200).sum() > (yp[:20, :120] > 200).sum()
+    # The mid-frame body is untouched.
+    mid = slice(h // 3, 2 * h // 3)
+    np.testing.assert_array_equal(yp[mid], yd[mid])

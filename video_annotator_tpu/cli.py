@@ -143,7 +143,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(the reference demo tracks at 0.5)")
     r.add_argument("--compare", type=str, default=None,
                    help="Comma-separated stabilise modes to tile side-by-side")
-    r.add_argument("--debug", action="store_true")
+    r.add_argument("--debug", action="store_true",
+                   help="Draw stabilization diagnostics into the output "
+                        "(correction HUD + trajectory curves; the "
+                        "reference's filter debug overlays) and raise "
+                        "full tracebacks")
     r.add_argument("--trace", default=None, metavar="DIR",
                    help="write a jax.profiler device trace (view with "
                         "TensorBoard/Perfetto) alongside the per-stage "
@@ -251,6 +255,7 @@ def _render_options(args) -> "RenderOptions":
         analysis_scale=getattr(args, "analysis_scale", 1.0),
         max_correction_deg=getattr(args, "max_correction", 8.0),
         prefilter=getattr(args, "prefilter", "off"),
+        debug=getattr(args, "debug", False),
         verbose=getattr(args, "verbose", False),
     )
 

@@ -140,6 +140,9 @@ class RenderOptions:
     # before warping (antialias + smaller kernel windows). "off" keeps
     # exact bilinear-on-full-res semantics (the reference's behavior).
     prefilter: str = "off"  # off | auto
+    # Draw stabilization diagnostics into the output (the reference's
+    # --debug reaches its filters' debug overlays, src/render.ts:677,891).
+    debug: bool = False
     verbose: bool = False
 
 
@@ -869,11 +872,33 @@ def encode(
     )
     from video_annotator_tpu.io.prefetch import AsyncFrameWriter
 
-    writer = AsyncFrameWriter(
-        open_writer(None if options.no_output else dest, out_meta,
-                    encoder=options.encoder,
-                    **_passthrough_kwargs(source, meta, options))
-    )
+    sink = open_writer(None if options.no_output else dest, out_meta,
+                       encoder=options.encoder,
+                       **_passthrough_kwargs(source, meta, options))
+    if options.debug:
+        from video_annotator_tpu.pipeline.debug import (
+            DebugOverlayWriter,
+            rotation_angles_deg,
+        )
+
+        corr_np = np.asarray(corrections, np.float32)
+        # Rolling-shutter rows: HUD the center scanline's correction.
+        corr_mats = (
+            corr_np if corr_np.ndim == 3 else corr_np[:, corr_np.shape[1] // 2]
+        )
+        corr_deg = rotation_angles_deg(corr_mats)
+        meas_deg = rotation_angles_deg(
+            np.asarray(traj.rotations(), np.float32)[: len(corr_deg)]
+        )
+        sink = DebugOverlayWriter(
+            sink, total=traj.num_frames,
+            curves={"measured deg": meas_deg, "correction deg": corr_deg},
+        )
+        sink.text = {
+            t: f"frame {t}  correction {corr_deg[t]:.2f} deg"
+            for t in range(len(corr_deg))
+        }
+    writer = AsyncFrameWriter(sink)
 
     from video_annotator_tpu.io.prefetch import DevicePrefetcher
 
@@ -988,6 +1013,25 @@ def encode_2d(
     writer = open_writer(None if options.no_output else dest, out_meta,
                          encoder=options.encoder,
                          **_passthrough_kwargs(source, meta, options))
+    if options.debug:
+        from video_annotator_tpu.pipeline.debug import DebugOverlayWriter
+
+        corr_np = np.asarray(corrections, np.float32)
+        meas_np = np.asarray(traj.params, np.float32)[: len(corr_np)]
+        unit = "px"
+        curves = {
+            "measured px": np.linalg.norm(meas_np[:, :2], axis=1),
+            "correction px": np.linalg.norm(corr_np[:, :2], axis=1),
+        }
+        if corr_np.shape[1] >= 3:  # similarity: (dx, dy, angle, log_scale)
+            curves["correction deg"] = np.degrees(np.abs(corr_np[:, 2]))
+        writer = DebugOverlayWriter(writer, total=traj.num_frames,
+                                    curves=curves)
+        writer.text = {
+            k: f"frame {k}  correction "
+               f"{np.linalg.norm(corr_np[k, :2]):.1f} {unit}"
+            for k in range(len(corr_np))
+        }
     idx = reader.start_frame - 1
     t = 0
     try:

@@ -112,11 +112,18 @@ def render_streaming(
     )
     from video_annotator_tpu.io.prefetch import AsyncFrameWriter, DevicePrefetcher
 
-    writer = AsyncFrameWriter(
-        open_writer(None if options.no_output else dest, out_meta,
-                    encoder=options.encoder,
-                    **_passthrough_kwargs(source, meta, options))
-    )
+    sink = open_writer(None if options.no_output else dest, out_meta,
+                       encoder=options.encoder,
+                       **_passthrough_kwargs(source, meta, options))
+    overlay = None
+    if options.debug:
+        # Single-pass mode discovers corrections per batch, so the HUD is
+        # text-only (no whole-trajectory curves to plot up front).
+        from video_annotator_tpu.pipeline.debug import DebugOverlayWriter
+
+        overlay = DebugOverlayWriter(sink)
+        sink = overlay
+    writer = AsyncFrameWriter(sink)
 
     batch = options.warp_batch or max(
         1, int(os.environ.get("VAT_WARP_BATCH", "32")))
@@ -168,6 +175,16 @@ def render_streaming(
         )
         with prof.stage("smooth"):
             corr = batch_corr(window)
+        if overlay is not None:
+            from video_annotator_tpu.pipeline.debug import (
+                rotation_angles_deg,
+            )
+
+            degs = rotation_angles_deg(np.asarray(corr, np.float32))
+            for i in range(n):
+                overlay.text[t0 + i] = (
+                    f"frame {t0 + i}  correction {degs[i]:.2f} deg"
+                )
         if warper._use_pallas:
             # Enforce the plan's static window budget (see above); the
             # (batch, 3, 3) sync is a few KB once per batch.
