@@ -180,3 +180,31 @@ def test_debug_overlay_hud(tmp_path):
     # The mid-frame body is untouched.
     mid = slice(h // 3, 2 * h // 3)
     np.testing.assert_array_equal(yp[mid], yd[mid])
+
+
+def test_progress_reporting():
+    """Progress prints CR status lines on TTY streams and stays silent on
+    captured ones (the reference streams ffmpeg progress events,
+    src/render.ts:1357-1359)."""
+    import io
+
+    from video_annotator_tpu.pipeline.profiler import Progress
+
+    class Tty(io.StringIO):
+        def isatty(self):
+            return True
+
+    s = Tty()
+    p = Progress("encode", total=10, interval=0.0, stream=s)
+    for _ in range(10):
+        p.tick()
+    p.close()
+    out = s.getvalue()
+    assert "encode:" in out and "fps" in out and out.endswith("\n")
+    assert "10 frames" in out
+
+    quiet = io.StringIO()  # isatty() False
+    p2 = Progress("encode", total=5, interval=0.0, stream=quiet)
+    p2.tick(5)
+    p2.close()
+    assert quiet.getvalue() == ""

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from video_annotator_tpu.io.video import VideoMeta, open_reader, open_writer
-from video_annotator_tpu.pipeline.profiler import StageProfiler
+from video_annotator_tpu.pipeline.profiler import Progress, StageProfiler
 from video_annotator_tpu.pipeline.render import (
     FrameWarper,
     RenderOptions,
@@ -229,6 +229,7 @@ def render_compare(
     # the trimmed range's first frame); the reader was opened seeked to it.
     t = 0
     idx = reader.start_frame - 1
+    prog = Progress("compare", total=num_frames)
     try:
         for y, u, v in prof.wrap_iter("decode", iter(reader)):
             idx += 1
@@ -267,6 +268,7 @@ def render_compare(
             with prof.stage("encode"):
                 writer.write((tile(ys, 1), tile(us, 2), tile(vs, 2)))
             t += 1
+            prog.tick()
     except BaseException:
         try:
             writer.close()
@@ -274,6 +276,7 @@ def render_compare(
             pass
         reader.close()
         raise
+    prog.close()
     writer.close()
     reader.close()
     if options.verbose:

@@ -80,3 +80,61 @@ class StageProfiler:
 
     def totals(self):
         return dict(self._total), dict(self._count)
+
+
+class Progress:
+    """Live render progress on stderr — frames done, fps, ETA.
+
+    The reference streams ffmpeg's progress events (percent + current
+    fps) while a render runs (``src/render.ts:1357-1359``; join progress
+    from frame counts, ``src/join.ts:36-41``). Prints a carriage-return
+    status line at most every ``interval`` seconds, only when stderr is a
+    terminal (captured/piped runs stay clean); ``close()`` finishes the
+    line with wall time.
+    """
+
+    def __init__(self, label: str, total: int | None = None,
+                 interval: float = 0.5, stream=None):
+        import sys
+
+        self._label = label
+        self._total = total if (total or 0) > 0 else None
+        self._interval = interval
+        self._stream = stream if stream is not None else sys.stderr
+        self._enabled = bool(getattr(self._stream, "isatty", lambda: False)())
+        self._t0 = time.perf_counter()
+        self._last = 0.0
+        self._n = 0
+        self._dirty = False
+
+    def tick(self, n: int = 1):
+        self._n += n
+        if not self._enabled:
+            return
+        now = time.perf_counter()
+        if now - self._last < self._interval:
+            return
+        self._last = now
+        fps = self._n / max(now - self._t0, 1e-9)
+        if self._total:
+            pct = 100.0 * self._n / self._total
+            eta = (self._total - self._n) / max(fps, 1e-9)
+            msg = (f"\r{self._label}: {self._n}/{self._total} frames "
+                   f"({pct:4.1f}%), {fps:.1f} fps, eta {eta:4.0f}s ")
+        else:
+            msg = f"\r{self._label}: {self._n} frames, {fps:.1f} fps "
+        self._stream.write(msg)
+        self._stream.flush()
+        self._dirty = True
+
+    def close(self):
+        if not self._enabled:
+            return
+        dt = time.perf_counter() - self._t0
+        fps = self._n / max(dt, 1e-9)
+        self._stream.write(
+            f"\r{self._label}: {self._n} frames in {dt:.1f}s "
+            f"({fps:.1f} fps)      \n"
+        )
+        self._stream.flush()
+        self._dirty = False

@@ -52,7 +52,7 @@ from video_annotator_tpu.ops.warp_pallas import (  # noqa: F401
     warp_planes_pallas,
 )
 from video_annotator_tpu.ops.warp_xla import _scaled_camera, warp_image_xla
-from video_annotator_tpu.pipeline.profiler import StageProfiler
+from video_annotator_tpu.pipeline.profiler import Progress, StageProfiler
 from video_annotator_tpu.pipeline.trajectory import Trajectory, trajectory_path
 from video_annotator_tpu.smoothing.kalman import smooth_rotations_kalman
 from video_annotator_tpu.smoothing.savgol import smooth_rotations
@@ -384,6 +384,7 @@ def analyse(
     # transfer bandwidth.
     pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)),
                            depth=options.prefetch_depth)
+    prog = Progress("analyse", total=(last - first) if meta.num_frames else None)
     try:
         for y, _, _ in pre:
             idx += 1
@@ -403,7 +404,9 @@ def analyse(
                     )
                     r_list.append(r_acc)
                 age = 0 if age >= KEY_FRAME_MAX_AGE else age + 1
+            prog.tick()
     finally:
+        prog.close()
         pre.close()
         reader.close()
 
@@ -926,6 +929,7 @@ def encode(
     idx = reader.start_frame - 1
     t = 0
     pending = []
+    prog = Progress("encode", total=traj.num_frames)
 
     def flush():
         # Pad short tails by repeating the last frame (same compiled
@@ -943,6 +947,7 @@ def encode(
             for triple in outs[:n]:
                 writer.write(triple)
         pending.clear()
+        prog.tick(n)
 
     try:
         for y, u, v in pre:
@@ -967,6 +972,7 @@ def encode(
             pass
         reader.close()
         raise
+    prog.close()
     pre.close()
     with prof.stage("encode"):
         writer.close()
@@ -1034,6 +1040,7 @@ def encode_2d(
         }
     idx = reader.start_frame - 1
     t = 0
+    prog = Progress("encode", total=traj.num_frames)
     try:
         for y, u, v in prof.wrap_iter("decode", iter(reader)):
             idx += 1
@@ -1052,6 +1059,7 @@ def encode_2d(
             with prof.stage("encode"):
                 writer.write((cast(wy), cast(wu), cast(wv)))
             t += 1
+            prog.tick()
     except BaseException:
         try:
             writer.close()
@@ -1059,6 +1067,7 @@ def encode_2d(
             pass
         reader.close()
         raise
+    prog.close()
     writer.close()
     reader.close()
     return out_meta

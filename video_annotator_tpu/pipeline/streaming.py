@@ -31,7 +31,7 @@ import numpy as np
 
 from video_annotator_tpu import so3
 from video_annotator_tpu.io.video import VideoMeta, open_reader, open_writer
-from video_annotator_tpu.pipeline.profiler import StageProfiler
+from video_annotator_tpu.pipeline.profiler import Progress, StageProfiler
 from video_annotator_tpu.pipeline.render import (
     FrameWarper,
     RenderOptions,
@@ -206,10 +206,12 @@ def render_streaming(
         for _ in range(n):
             frames.popleft()
         emitted += n
+        prog.tick(n)
 
     pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)),
                            depth=options.prefetch_depth)
     idx = reader.start_frame - 1
+    prog = Progress("render", total=n_expect or None)
     try:
         for y, u, v in pre:
             idx += 1
@@ -248,6 +250,7 @@ def render_streaming(
             pass
         reader.close()
         raise
+    prog.close()
     with prof.stage("encode"):
         writer.close()
     reader.close()
