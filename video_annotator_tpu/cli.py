@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Scale video before processing (percent)")
     r.add_argument("--scale", type=float, default=1.0,
                    help="Output camera scale relative to auto-fit")
+    r.add_argument("--interp", default="bilinear",
+                   choices=["bilinear", "bicubic"],
+                   help="Warp resampler: bilinear (the native engine's "
+                        "INTER_LINEAR; fused Pallas kernel) or bicubic "
+                        "(the reference's vidstab interpol=bicubic / v360 "
+                        "lanczos intent; 4x4 taps, XLA path)")
     r.add_argument("--prefilter", default="off", choices=["off", "auto"],
                    help="Mip-prefilter minifying inputs before the warp "
                         "(antialias + faster kernel; off = exact bilinear "
@@ -255,6 +261,7 @@ def _render_options(args) -> "RenderOptions":
         analysis_scale=getattr(args, "analysis_scale", 1.0),
         max_correction_deg=getattr(args, "max_correction", 8.0),
         prefilter=getattr(args, "prefilter", "off"),
+        interp=getattr(args, "interp", "bilinear"),
         debug=getattr(args, "debug", False),
         verbose=getattr(args, "verbose", False),
     )

@@ -111,24 +111,79 @@ def bilinear_sample(image: jax.Array, coords: jax.Array) -> jax.Array:
     return top * (1.0 - fy) + bot * fy
 
 
-@functools.partial(jax.jit, static_argnames=("out_size",))
+def bicubic_sample(image: jax.Array, coords: jax.Array,
+                   a: float = -0.75) -> jax.Array:
+    """Bicubic-sample ``image`` (H, W) at ``coords`` (..., 2), (x, y) order.
+
+    Keys cubic with ``a = -0.75`` — ``cv::remap INTER_CUBIC``'s kernel, the
+    interpolation the reference's vidstab encode requests
+    (``interpol: "bicubic"``, ``src/render.ts:571``; its v360 path asks for
+    lanczos, ``:533`` — same intent: a higher-order resampler). 4x4 taps;
+    out-of-bounds taps contribute zero (BORDER_CONSTANT), like
+    :func:`bilinear_sample`.
+    """
+    h, w = image.shape
+    x = coords[..., 0]
+    y = coords[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    img = image.astype(jnp.float32)
+
+    def cubic_w(t):
+        # |t| <= 1: (a+2)|t|^3 - (a+3)|t|^2 + 1
+        # 1 < |t| < 2: a(|t|^3 - 5|t|^2 + 8|t| - 4)
+        t = jnp.abs(t)
+        near = ((a + 2.0) * t - (a + 3.0)) * t * t + 1.0
+        far = a * (((t - 5.0) * t + 8.0) * t - 4.0)
+        return jnp.where(t <= 1.0, near, jnp.where(t < 2.0, far, 0.0))
+
+    def tap(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        return jnp.where(valid, img[yc, xc], 0.0)
+
+    out = jnp.zeros(x.shape, jnp.float32)
+    wxs = [cubic_w(fx - k) for k in (-1, 0, 1, 2)]
+    for j in (-1, 0, 1, 2):
+        wy = cubic_w(fy - j)
+        row = jnp.zeros(x.shape, jnp.float32)
+        for k, wx in zip((-1, 0, 1, 2), wxs):
+            row = row + wx * tap(y0i + j, x0i + k)
+        out = out + wy * row
+    return out
+
+
+_SAMPLERS = {"bilinear": bilinear_sample, "bicubic": bicubic_sample}
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "interp"))
 def warp_image_xla(
     image: jax.Array,
     out_camera: Camera,
     in_camera: Camera,
     rotation: jax.Array,
     out_size: Tuple[int, int] | None = None,
+    interp: str = "bilinear",
 ) -> jax.Array:
     """Warp a single-channel (H, W) or multi-channel (H, W, C) image.
 
     Fuses map computation and the gather; equivalent to running ``createMap``
-    then ``cv::remap`` for one frame.
+    then ``cv::remap`` for one frame. ``interp`` picks the resampler:
+    ``bilinear`` (the reference native engine's INTER_LINEAR) or ``bicubic``
+    (the vidstab/v360 higher-order option).
     """
+    sample = _SAMPLERS[interp]
     coords = compute_warp_map(out_camera, in_camera, rotation, out_size)
     if image.ndim == 2:
-        return bilinear_sample(image, coords)
+        return sample(image, coords)
     return jnp.stack(
-        [bilinear_sample(image[..., c], coords) for c in range(image.shape[-1])],
+        [sample(image[..., c], coords) for c in range(image.shape[-1])],
         axis=-1,
     )
 

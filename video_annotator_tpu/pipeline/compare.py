@@ -188,7 +188,8 @@ def render_compare(
     )
     warper = FrameWarper(in_cam, out_cam,
                          max(options.max_correction_deg, need_deg + 0.5),
-                         prefilter=options.prefilter == "auto")
+                         prefilter=options.prefilter == "auto",
+                         interp=options.interp)
 
     rows, cols = comparison_grid_size(len(modes))
     cell_h = warper.out_h - warper.out_h % 2

@@ -140,6 +140,10 @@ class RenderOptions:
     # before warping (antialias + smaller kernel windows). "off" keeps
     # exact bilinear-on-full-res semantics (the reference's behavior).
     prefilter: str = "off"  # off | auto
+    # Resampler: bilinear (the native engine's INTER_LINEAR; the fused
+    # Pallas kernel) or bicubic (vidstab's interpol=bicubic / v360's
+    # lanczos intent, src/render.ts:571,533; XLA gather path).
+    interp: str = "bilinear"
     # Draw stabilization diagnostics into the output (the reference's
     # --debug reaches its filters' debug overlays, src/render.ts:677,891).
     debug: bool = False
@@ -671,16 +675,24 @@ class FrameWarper:
     """
 
     def __init__(self, in_cam: Camera, out_cam: Camera,
-                 max_correction_deg: float, prefilter: bool = False):
+                 max_correction_deg: float, prefilter: bool = False,
+                 interp: str = "bilinear"):
         self.in_cam = in_cam
         self.out_cam = out_cam
         # Even output dims for 4:2:0 chroma.
         self.out_w = out_cam.width - out_cam.width % 2
         self.out_h = out_cam.height - out_cam.height % 2
+        if interp not in ("bilinear", "bicubic"):
+            raise ValueError(f"--interp must be bilinear or bicubic, got {interp!r}")
+        self.interp = interp
         # The Pallas kernel inlines rectilinear output-ray math; other
         # output projections (fisheye/equirect, the v360 reprojection
         # modes) pipeline a precomputed host-exact ray grid per tile.
-        self._use_pallas = jax.default_backend() not in ("cpu",)
+        # Bicubic (4x4 taps) runs on the XLA gather path on every backend;
+        # the fused Pallas kernel stays the exact-bilinear default.
+        self._use_pallas = (
+            jax.default_backend() not in ("cpu",) and interp == "bilinear"
+        )
         # Opt-in minification prefilter: minifying regions sample from a
         # box-downsampled mip level — antialiased AND ~4x less kernel
         # window work per level. The Pallas path picks the level PER
@@ -752,11 +764,13 @@ class FrameWarper:
         else:
             rot_c = rotation
         wy = warp_image_xla(y, self.out_cam, self.in_eff, rotation,
-                            (self.out_h, self.out_w))
+                            (self.out_h, self.out_w), interp=self.interp)
         wu = warp_image_xla(u - 128.0, self.out_half, self.in_half, rot_c,
-                            (self.out_h // 2, self.out_w // 2))
+                            (self.out_h // 2, self.out_w // 2),
+                            interp=self.interp)
         wv = warp_image_xla(v - 128.0, self.out_half, self.in_half, rot_c,
-                            (self.out_h // 2, self.out_w // 2))
+                            (self.out_h // 2, self.out_w // 2),
+                            interp=self.interp)
         return wy, wu + 128.0, wv + 128.0
 
     def warp_yuv(self, y, u, v, rotation):
@@ -864,7 +878,8 @@ def encode(
     need_deg = max_rotation_deg(corrections.reshape(-1, 3, 3))
     budget_deg = max(options.max_correction_deg, need_deg + 0.5)
     warper = FrameWarper(in_cam, out_cam, budget_deg,
-                         prefilter=options.prefilter == "auto")
+                         prefilter=options.prefilter == "auto",
+                         interp=options.interp)
     out_meta = VideoMeta(
         width=warper.out_w,
         height=warper.out_h,

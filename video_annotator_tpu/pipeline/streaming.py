@@ -99,7 +99,8 @@ def render_streaming(
         + (tilt_deg + 2.0 if options.horizon_lock else 0.0)
     )
     warper = FrameWarper(in_cam, out_cam, budget_deg,
-                         prefilter=options.prefilter == "auto")
+                         prefilter=options.prefilter == "auto",
+                         interp=options.interp)
 
     n_expect = (last - first) if meta.num_frames else 0
     out_meta = VideoMeta(
