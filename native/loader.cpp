@@ -169,7 +169,10 @@ void decode_loop(Loader* L) {
                 idx = L->last_idx + 1;
             }
             L->last_idx = idx;
-            if (idx < L->start_frame) {
+            // Only drop inside an explicit trim window: without a seek,
+            // a container whose first pts sits below stream start_time
+            // (negative idx) must still deliver every frame.
+            if (L->start_frame > 0 && idx < L->start_frame) {
                 av_frame_unref(frame);
                 continue;
             }
