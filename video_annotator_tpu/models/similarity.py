@@ -194,10 +194,15 @@ def similarity_corrections(traj: Trajectory, options) -> np.ndarray:
     return np.asarray(sample)
 
 
-def warp_frame_similarity(y, u, v, sample_params):
-    """Warp YUV planes by a similarity sampling transform."""
+def warp_frame_similarity(y, u, v, sample_params, interp="bilinear"):
+    """Warp YUV planes by a similarity sampling transform.
+
+    The reference's vidstabtransform asks for bicubic interpolation
+    (``src/render.ts:571``) — pass ``interp='bicubic'`` (CLI
+    ``--filter vidstab --interp bicubic``) for that exact behavior.
+    """
     half = sample_params * jnp.asarray([0.5, 0.5, 1.0, 1.0])
-    wy = warp_similarity(y, sample_params)
-    wu = warp_similarity(u - 128.0, half) + 128.0
-    wv = warp_similarity(v - 128.0, half) + 128.0
+    wy = warp_similarity(y, sample_params, interp=interp)
+    wu = warp_similarity(u - 128.0, half, interp=interp) + 128.0
+    wv = warp_similarity(v - 128.0, half, interp=interp) + 128.0
     return wy, wu, wv

@@ -96,13 +96,20 @@ def invert_similarity(p: jax.Array) -> jax.Array:
     return jnp.stack([ndx, ndy, -ang, -ls])
 
 
-@functools.partial(jax.jit, static_argnames=("out_size",))
+@functools.partial(jax.jit, static_argnames=("out_size", "interp"))
 def warp_similarity(
     image: jax.Array,  # (H, W)
     params: jax.Array,  # (4,) forward transform prev->curr; we sample inverse
     out_size: Tuple[int, int] | None = None,
+    interp: str = "bilinear",
 ) -> jax.Array:
-    """Warp so that applying the *inverse* of ``params`` stabilizes."""
+    """Warp so that applying the *inverse* of ``params`` stabilizes.
+
+    ``interp='bicubic'`` matches the reference's vidstabtransform
+    invocation (``interpol: "bicubic"``, ``src/render.ts:571``).
+    """
+    from video_annotator_tpu.ops.warp_xla import _SAMPLERS
+
     h, w = image.shape if out_size is None else out_size
     inv = params  # caller passes the sampling transform (output px -> src px)
     dx, dy, ang, ls = inv[0], inv[1], inv[2], inv[3]
@@ -112,4 +119,4 @@ def warp_similarity(
     ca, sa = jnp.cos(ang), jnp.sin(ang)
     sx = s * (ca * xs - sa * ys) + dx
     sy = s * (sa * xs + ca * ys) + dy
-    return bilinear_sample(image, jnp.stack([sx, sy], axis=-1))
+    return _SAMPLERS[interp](image, jnp.stack([sx, sy], axis=-1))

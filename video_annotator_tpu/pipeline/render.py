@@ -1016,7 +1016,11 @@ def encode_2d(
     reader, meta, first, last = open_trimmed(source, options)
     if traj.kind == "similarity":
         corrections = similarity_corrections(traj, options)
-        warp = jax.jit(warp_frame_similarity)
+        import functools as _ft
+
+        warp = jax.jit(
+            _ft.partial(warp_frame_similarity, interp=options.interp)
+        )
     elif traj.kind == "translation":
         corrections = deshake_corrections(traj, options)
         warp = lambda y, u, v, p: warp_frame_deshake(y, u, v, p)  # noqa: E731
