@@ -69,11 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--scale", type=float, default=1.0,
                    help="Output camera scale relative to auto-fit")
     r.add_argument("--interp", default="bilinear",
-                   choices=["bilinear", "bicubic"],
+                   choices=["bilinear", "bicubic", "lanczos"],
                    help="Warp resampler: bilinear (the native engine's "
-                        "INTER_LINEAR; fused Pallas kernel) or bicubic "
-                        "(the reference's vidstab interpol=bicubic / v360 "
-                        "lanczos intent; 4x4 taps, XLA path)")
+                        "INTER_LINEAR; fused Pallas kernel), bicubic "
+                        "(the reference's vidstab interpol=bicubic), or "
+                        "lanczos (v360's interp=lanczos, 4x4 windowed "
+                        "sinc); higher-order modes run the XLA path")
     r.add_argument("--prefilter", default="off", choices=["off", "auto"],
                    help="Mip-prefilter minifying inputs before the warp "
                         "(antialias + faster kernel; off = exact bilinear "

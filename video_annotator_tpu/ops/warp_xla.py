@@ -159,7 +159,63 @@ def bicubic_sample(image: jax.Array, coords: jax.Array,
     return out
 
 
-_SAMPLERS = {"bilinear": bilinear_sample, "bicubic": bicubic_sample}
+def lanczos_sample(image: jax.Array, coords: jax.Array,
+                   a: int = 2) -> jax.Array:
+    """Lanczos-sample ``image`` (H, W) at ``coords`` (..., 2), (x, y) order.
+
+    Windowed-sinc kernel ``sinc(t) * sinc(t/a)`` over ``2a x 2a`` taps with
+    the tap weights normalized to unit sum (both ffmpeg's v360 and
+    ``cv::remap`` normalize). ``a=2`` (4x4 taps) is ffmpeg v360's
+    ``interp=lanczos`` — the resampler the reference's v360 reprojection
+    stage requests (``src/render.ts:533``); ``a=4`` (8x8) is cv2's
+    INTER_LANCZOS4, used by the test oracle. Out-of-bounds taps contribute
+    zero (BORDER_CONSTANT), like :func:`bilinear_sample`.
+    """
+    h, w = image.shape
+    x = coords[..., 0]
+    y = coords[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    img = image.astype(jnp.float32)
+
+    def lanczos_w(t):
+        # sinc(t)*sinc(t/a) for |t| < a, 1 at t=0, 0 outside the window.
+        t = jnp.abs(t)
+        pt = jnp.pi * jnp.maximum(t, 1e-6)
+        win = jnp.sin(pt) * jnp.sin(pt / a) * (a / (pt * pt))
+        return jnp.where(t < 1e-6, 1.0, jnp.where(t < a, win, 0.0))
+
+    def tap(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        return jnp.where(valid, img[yc, xc], 0.0)
+
+    offsets = range(1 - a, a + 1)  # e.g. a=2 -> -1, 0, 1, 2
+    wxs = [lanczos_w(fx - k) for k in offsets]
+    wys = [lanczos_w(fy - j) for j in offsets]
+    # Separable normalization == normalizing the full 2a x 2a stencil.
+    sum_wx = functools.reduce(jnp.add, wxs)
+    sum_wy = functools.reduce(jnp.add, wys)
+    out = jnp.zeros(x.shape, jnp.float32)
+    for j, wy in zip(offsets, wys):
+        row = jnp.zeros(x.shape, jnp.float32)
+        for k, wx in zip(offsets, wxs):
+            row = row + wx * tap(y0i + j, x0i + k)
+        out = out + wy * row
+    return out / (sum_wx * sum_wy)
+
+
+_SAMPLERS = {
+    "bilinear": bilinear_sample,
+    "bicubic": bicubic_sample,
+    "lanczos": lanczos_sample,
+}
 
 
 @functools.partial(jax.jit, static_argnames=("out_size", "interp"))
@@ -175,8 +231,9 @@ def warp_image_xla(
 
     Fuses map computation and the gather; equivalent to running ``createMap``
     then ``cv::remap`` for one frame. ``interp`` picks the resampler:
-    ``bilinear`` (the reference native engine's INTER_LINEAR) or ``bicubic``
-    (the vidstab/v360 higher-order option).
+    ``bilinear`` (the reference native engine's INTER_LINEAR), ``bicubic``
+    (vidstab's ``interpol=bicubic``), or ``lanczos`` (v360's
+    ``interp=lanczos``, 4x4).
     """
     sample = _SAMPLERS[interp]
     coords = compute_warp_map(out_camera, in_camera, rotation, out_size)

@@ -682,8 +682,10 @@ class FrameWarper:
         # Even output dims for 4:2:0 chroma.
         self.out_w = out_cam.width - out_cam.width % 2
         self.out_h = out_cam.height - out_cam.height % 2
-        if interp not in ("bilinear", "bicubic"):
-            raise ValueError(f"--interp must be bilinear or bicubic, got {interp!r}")
+        if interp not in ("bilinear", "bicubic", "lanczos"):
+            raise ValueError(
+                f"--interp must be bilinear, bicubic or lanczos, got {interp!r}"
+            )
         self.interp = interp
         # The Pallas kernel inlines rectilinear output-ray math; other
         # output projections (fisheye/equirect, the v360 reprojection
