@@ -178,3 +178,130 @@ def test_equirect_project_unproject_roundtrip():
     )
     back = np.asarray(cam.project(dirs))
     np.testing.assert_allclose(back, pts, atol=0.05)
+
+
+# --- v360 panoramic projection family --------------------------------------
+# The reference forwards --projection verbatim to the v360 filter
+# (src/cli.ts:117-121; `output: projection`, src/render.ts:523), so the
+# closed-form v360 output projections are part of the capability surface.
+
+_PANO_MODELS = [
+    CameraModel.STEREOGRAPHIC,
+    CameraModel.MERCATOR,
+    CameraModel.BALL,
+    CameraModel.HAMMER,
+    CameraModel.SINUSOIDAL,
+    CameraModel.CYLINDRICAL,
+]
+
+
+@pytest.mark.parametrize("model", _PANO_MODELS, ids=lambda m: m.value)
+def test_panoramic_project_unproject_roundtrip(model):
+    """unproject gives unit directions; project inverts it (interior px)."""
+    from video_annotator_tpu.camera import camera_from_dfov
+
+    # Stay inside each chart's valid region: moderate dfov, interior pixels.
+    cam = camera_from_dfov(160.0, (640, 480), model)
+    rng = np.random.default_rng(11)
+    pts = rng.uniform([120, 120], [519, 359], size=(128, 2)).astype(np.float32)
+    dirs = cam.unproject(jnp.asarray(pts))
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(dirs), axis=-1), 1.0, atol=1e-5
+    )
+    back = np.asarray(cam.project(dirs))
+    np.testing.assert_allclose(back, pts, atol=0.08)
+
+
+@pytest.mark.parametrize("model", _PANO_MODELS, ids=lambda m: m.value)
+def test_panoramic_numpy_twin_matches_jax(model):
+    """camera.unproject_np (the Pallas planner's host twin) must stay in
+    lock-step with Camera.unproject for every model."""
+    from video_annotator_tpu.camera import camera_from_dfov, unproject_np
+
+    cam = camera_from_dfov(200.0, (320, 240), model)
+    ys, xs = np.mgrid[0:240:7, 0:320:9].astype(np.float64)
+    ref = unproject_np(cam, ys, xs)
+    pts = jnp.asarray(np.stack([xs, ys], axis=-1), jnp.float32)
+    ours = np.asarray(cam.unproject(pts))
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_panoramic_invalid_regions_point_backward():
+    """Pixels outside hammer's ellipse / ball's disk / sinusoidal's wings
+    unproject to (0,0,-1) so the warp renders border there."""
+    from video_annotator_tpu.camera import camera_from_dfov
+
+    for model in (CameraModel.HAMMER, CameraModel.SINUSOIDAL):
+        cam = camera_from_dfov(360.0, (400, 400), model)
+        corner = jnp.asarray([[1.0, 1.0], [399.0, 1.0]], jnp.float32)
+        dirs = np.asarray(cam.unproject(corner))
+        np.testing.assert_allclose(dirs, [[0, 0, -1]] * 2, atol=1e-6)
+    # Ball's dfov-360 disk circumscribes the canvas (focal is
+    # diagonal-derived), so probe a point beyond one disk radius.
+    cam = camera_from_dfov(360.0, (400, 400), CameraModel.BALL)
+    outside = jnp.asarray(
+        [[float(cam.cx) + 1.2 * float(cam.fx), float(cam.cy)]], jnp.float32
+    )
+    dirs = np.asarray(cam.unproject(outside))
+    np.testing.assert_allclose(dirs, [[0, 0, -1]], atol=1e-6)
+
+
+def test_panoramic_known_angles():
+    """Spot-check chart geometry: the point one focal length right of the
+    principal point is at the model's characteristic longitude."""
+    from video_annotator_tpu.camera import camera_from_dfov
+
+    # Equirect/mercator/cylindrical: x displacement == longitude (radians).
+    for model in (CameraModel.EQUIRECT, CameraModel.MERCATOR,
+                  CameraModel.CYLINDRICAL):
+        cam = camera_from_dfov(180.0, (720, 720), model)
+        p = jnp.asarray([float(cam.cx) + float(cam.fx) * 1.0, float(cam.cy)])
+        d = np.asarray(cam.unproject(p))
+        lon = math.atan2(d[0], d[2])
+        assert abs(lon - 1.0) < 1e-5, (model, lon)
+        assert abs(d[1]) < 1e-6
+    # Stereographic: r = 2 tan(theta/2) -> r = 2 at theta = 90 deg.
+    cam = camera_from_dfov(180.0, (720, 720), CameraModel.STEREOGRAPHIC)
+    p = jnp.asarray([float(cam.cx) + float(cam.fx) * 2.0, float(cam.cy)])
+    d = np.asarray(cam.unproject(p))
+    assert abs(d[2]) < 1e-5 and d[0] > 0.999
+    # Ball: r = sin(theta/2) -> r = 1 is the backward pole.
+    cam = camera_from_dfov(360.0, (720, 720), CameraModel.BALL)
+    p = jnp.asarray([float(cam.cx) + float(cam.fx) * 1.0, float(cam.cy)])
+    d = np.asarray(cam.unproject(p))
+    np.testing.assert_allclose(d, [0, 0, -1], atol=1e-4)
+
+
+def test_projection_cli_choices_match_models():
+    """cli.py hardcodes the --projection choices (so --help stays jax-free);
+    they must equal pipeline.render.PROJECTION_MODELS' keys."""
+    from video_annotator_tpu.cli import build_parser
+    from video_annotator_tpu.pipeline.render import PROJECTION_MODELS
+
+    p = build_parser()
+    sub = dict(p._subparsers._group_actions[0].choices.items())["render"]  # noqa: SLF001
+    for a in sub._actions:  # noqa: SLF001
+        if "--projection" in getattr(a, "option_strings", ()):
+            assert set(a.choices) == set(PROJECTION_MODELS)
+            break
+    else:
+        raise AssertionError("--projection not found")
+
+
+def test_build_cameras_applies_projection_without_explicit_dfov():
+    """--projection must take effect even without -w/-h/--output-dfov (the
+    reference's v360 path applies it unconditionally, src/render.ts:523)."""
+    from video_annotator_tpu.io.video import VideoMeta
+    from video_annotator_tpu.pipeline.render import RenderOptions, build_cameras
+
+    meta = VideoMeta(width=640, height=480, fps=30.0, num_frames=10)
+    for name, model in (("equirect", CameraModel.EQUIRECT),
+                        ("sg", CameraModel.STEREOGRAPHIC),
+                        ("mercator", CameraModel.MERCATOR)):
+        o = RenderOptions(projection=name)
+        _, out_cam = build_cameras(meta, o)
+        assert out_cam.model == model, name
+        assert out_cam.width > 0 and out_cam.height > 0
+    # Default rect path unchanged: auto-fit rectilinear.
+    _, out_cam = build_cameras(meta, RenderOptions())
+    assert out_cam.model == CameraModel.RECTILINEAR

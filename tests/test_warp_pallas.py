@@ -37,17 +37,18 @@ def test_pallas_matches_xla_oracle(crop_borders):
     np.testing.assert_allclose(ours, ref, atol=0.05)
 
 
-@pytest.mark.parametrize("out_model", ["fisheye", "equirect"])
+@pytest.mark.parametrize(
+    "out_model",
+    ["fisheye", "equirect", "stereographic", "mercator", "hammer", "ball"],
+)
 def test_pallas_nonrect_output_matches_oracle(out_model):
-    """Non-rectilinear OUTPUT projections (--projection fisheye/equirect)
-    run through the precomputed-ray-grid kernel path and must match the
-    XLA oracle like the inlined rectilinear path does."""
+    """Non-rectilinear OUTPUT projections (--projection with any of the
+    v360 family names) run through the precomputed-ray-grid kernel path
+    and must match the XLA oracle like the inlined rectilinear path does."""
     from video_annotator_tpu.camera import CameraModel, camera_from_dfov
 
     in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (320, 240))
-    model = (
-        CameraModel.FISHEYE if out_model == "fisheye" else CameraModel.EQUIRECT
-    )
+    model = CameraModel(out_model)
     out_cam = camera_from_dfov(110.0, (256, 192), model)
     plan = plan_warp(out_cam, in_cam, max_correction_deg=6.0)
 

@@ -32,9 +32,31 @@ import jax.numpy as jnp
 class CameraModel(enum.Enum):
     RECTILINEAR = "rectilinear"
     FISHEYE = "fisheye"
-    # Equirectangular panorama (the v360 filter's reprojection targets,
-    # src/render.ts:487-544 / --projection, src/cli.ts:117-121).
+    # Panoramic output models. The reference's --projection option is
+    # forwarded verbatim to the v360 filter ("See v360 filter docs for
+    # options", src/cli.ts:117-121; `output: projection`,
+    # src/render.ts:523), so every v360 output projection is a legal
+    # value; these cover v360's closed-form single-image family
+    # (e/equirect, sg, mercator, ball, hammer, sinusoidal, cylindrical).
     EQUIRECT = "equirect"
+    STEREOGRAPHIC = "stereographic"  # v360 "sg": r = 2 tan(theta/2)
+    MERCATOR = "mercator"  # Gudermannian vertical, angular horizontal
+    BALL = "ball"  # v360 "ball" mirror-sphere: r = sin(theta/2)
+    HAMMER = "hammer"  # Hammer-Aitoff equal-area ellipse
+    SINUSOIDAL = "sinusoidal"  # equal-area pseudocylindrical
+    CYLINDRICAL = "cylindrical"  # angular horizontal, tan vertical
+
+
+# Panoramic models whose image plane is a (possibly warped) lon/lat chart.
+_LONLAT_MODELS = frozenset(
+    {
+        CameraModel.EQUIRECT,
+        CameraModel.MERCATOR,
+        CameraModel.SINUSOIDAL,
+        CameraModel.CYLINDRICAL,
+        CameraModel.HAMMER,
+    }
+)
 
 
 class CameraPreset(enum.Enum):
@@ -122,11 +144,42 @@ class Camera:
         Rectilinear: standard pinhole ``p = c + f * xy / z``.
         """
         x, y, z = rays[..., 0], rays[..., 1], rays[..., 2]
-        if self.model == CameraModel.EQUIRECT:
+        if self.model in _LONLAT_MODELS:
+            # Panoramic family: work in (lon, lat) with lat positive
+            # DOWNWARD (image y grows down), like the equirect model.
             lon = jnp.arctan2(x, z)
             lat = jnp.arctan2(y, jnp.sqrt(x * x + z * z))
-            u = self.fx * lon + self.cx
-            v = self.fy * lat + self.cy
+            if self.model == CameraModel.EQUIRECT:
+                mx, my = lon, lat
+            elif self.model == CameraModel.MERCATOR:
+                # Gudermannian: my = asinh(tan lat); poles go to +-inf,
+                # clamp so projected points stay finite.
+                t = jnp.tan(jnp.clip(lat, -1.55, 1.55))
+                mx, my = lon, jnp.arcsinh(t)
+            elif self.model == CameraModel.SINUSOIDAL:
+                mx, my = lon * jnp.cos(lat), lat
+            elif self.model == CameraModel.CYLINDRICAL:
+                mx, my = lon, jnp.tan(jnp.clip(lat, -1.55, 1.55))
+            else:  # HAMMER
+                d = jnp.sqrt(1.0 + jnp.cos(lat) * jnp.cos(lon / 2.0))
+                mx = 2.0 * math.sqrt(2.0) * jnp.cos(lat) * jnp.sin(lon / 2.0) / d
+                my = math.sqrt(2.0) * jnp.sin(lat) / d
+            u = self.fx * mx + self.cx
+            v = self.fy * my + self.cy
+            return jnp.stack([u, v], axis=-1)
+        if self.model in (CameraModel.STEREOGRAPHIC, CameraModel.BALL):
+            # Radial full-sphere models: r is a function of the angle
+            # theta from the forward axis (like fisheye's r = theta_d,
+            # but covering the whole sphere).
+            rho = jnp.sqrt(x * x + y * y)
+            theta = jnp.arctan2(rho, z)
+            if self.model == CameraModel.STEREOGRAPHIC:
+                r = 2.0 * jnp.tan(jnp.minimum(theta, 3.1) / 2.0)
+            else:  # BALL
+                r = jnp.sin(theta / 2.0)
+            scale = jnp.where(rho > 1e-8, r / jnp.maximum(rho, 1e-8), 0.0)
+            u = self.fx * x * scale + self.cx
+            v = self.fy * y * scale + self.cy
             return jnp.stack([u, v], axis=-1)
         inv_z = 1.0 / z
         a = x * inv_z
@@ -155,13 +208,53 @@ class Camera:
         """
         xd = (pixels[..., 0] - self.cx) / self.fx
         yd = (pixels[..., 1] - self.cy) / self.fy
-        if self.model == CameraModel.EQUIRECT:
-            # Direction vectors (not z=1 rays): valid over the full sphere.
-            lon, lat = xd, yd
+        if self.model in _LONLAT_MODELS:
+            # Direction vectors (not z=1 rays): valid over the full
+            # sphere. Pixels outside the model's valid region unproject
+            # to the backward direction (0, 0, -1) so the warp's
+            # behind-camera mask renders them as border.
+            if self.model == CameraModel.EQUIRECT:
+                lon, lat, bad = xd, yd, jnp.zeros_like(xd, bool)
+            elif self.model == CameraModel.MERCATOR:
+                lon = xd
+                lat = jnp.arctan(jnp.sinh(yd))
+                bad = jnp.zeros_like(xd, bool)
+            elif self.model == CameraModel.SINUSOIDAL:
+                lat = jnp.clip(yd, -math.pi / 2, math.pi / 2)
+                cl = jnp.maximum(jnp.cos(lat), 1e-8)
+                lon = xd / cl
+                bad = (jnp.abs(yd) > math.pi / 2) | (jnp.abs(lon) > math.pi)
+            elif self.model == CameraModel.CYLINDRICAL:
+                lon = xd
+                lat = jnp.arctan(yd)
+                bad = jnp.zeros_like(xd, bool)
+            else:  # HAMMER (inverse Hammer-Aitoff)
+                z2 = 1.0 - 0.0625 * xd * xd - 0.25 * yd * yd
+                bad = z2 < 0.5  # outside the full-sphere ellipse
+                zz = jnp.sqrt(jnp.maximum(z2, 0.5))
+                lon = 2.0 * jnp.arctan2(zz * xd / 2.0, 2.0 * z2 - 1.0)
+                lat = jnp.arcsin(jnp.clip(zz * yd, -1.0, 1.0))
             cl = jnp.cos(lat)
-            return jnp.stack(
+            dirs = jnp.stack(
                 [cl * jnp.sin(lon), jnp.sin(lat), cl * jnp.cos(lon)], axis=-1
             )
+            backward = jnp.asarray([0.0, 0.0, -1.0], dirs.dtype)
+            return jnp.where(bad[..., None], backward, dirs)
+        if self.model in (CameraModel.STEREOGRAPHIC, CameraModel.BALL):
+            rd = jnp.sqrt(xd * xd + yd * yd)
+            if self.model == CameraModel.STEREOGRAPHIC:
+                theta = 2.0 * jnp.arctan(rd / 2.0)
+                bad = jnp.zeros_like(xd, bool)
+            else:  # BALL: r = sin(theta/2) covers the sphere at r == 1
+                theta = 2.0 * jnp.arcsin(jnp.minimum(rd, 1.0))
+                bad = rd > 1.0
+            st = jnp.sin(theta)
+            scale = jnp.where(rd > 1e-8, st / jnp.maximum(rd, 1e-8), 0.0)
+            dirs = jnp.stack(
+                [xd * scale, yd * scale, jnp.cos(theta)], axis=-1
+            )
+            backward = jnp.asarray([0.0, 0.0, -1.0], dirs.dtype)
+            return jnp.where(bad[..., None], backward, dirs)
         if self.model == CameraModel.RECTILINEAR:
             return jnp.stack([xd, yd, jnp.ones_like(xd)], axis=-1)
         theta_d = jnp.sqrt(xd * xd + yd * yd)
@@ -192,6 +285,77 @@ def _undistort_theta(theta_d: jax.Array, dist: jax.Array) -> jax.Array:
         poly = 1.0 + t2 * (dist[0] + t2 * (dist[1] + t2 * (dist[2] + t2 * dist[3])))
         theta = theta_d / poly
     return theta
+
+
+def unproject_np(camera: "Camera", ys, xs):
+    """NumPy (f64) twin of :meth:`Camera.unproject` over pixel grids.
+
+    Host-side warp planning (``ops/warp_pallas.py``) and the
+    non-rectilinear kernels' precomputed ray grids need exact
+    output-model unprojection without a device round trip. Must stay in
+    lock-step with :meth:`Camera.unproject` for every model.
+    """
+    import numpy as np
+
+    xd = (np.asarray(xs, np.float64) - float(camera.cx)) / float(camera.fx)
+    yd = (np.asarray(ys, np.float64) - float(camera.cy)) / float(camera.fy)
+    model = camera.model
+    if model in _LONLAT_MODELS:
+        if model == CameraModel.EQUIRECT:
+            lon, lat, bad = xd, yd, np.zeros(xd.shape, bool)
+        elif model == CameraModel.MERCATOR:
+            lon = xd
+            lat = np.arctan(np.sinh(yd))
+            bad = np.zeros(xd.shape, bool)
+        elif model == CameraModel.SINUSOIDAL:
+            lat = np.clip(yd, -math.pi / 2, math.pi / 2)
+            lon = xd / np.maximum(np.cos(lat), 1e-8)
+            bad = (np.abs(yd) > math.pi / 2) | (np.abs(lon) > math.pi)
+        elif model == CameraModel.CYLINDRICAL:
+            lon = xd
+            lat = np.arctan(yd)
+            bad = np.zeros(xd.shape, bool)
+        else:  # HAMMER
+            z2 = 1.0 - 0.0625 * xd * xd - 0.25 * yd * yd
+            bad = z2 < 0.5
+            zz = np.sqrt(np.maximum(z2, 0.5))
+            lon = 2.0 * np.arctan2(zz * xd / 2.0, 2.0 * z2 - 1.0)
+            lat = np.arcsin(np.clip(zz * yd, -1.0, 1.0))
+        cl = np.cos(lat)
+        dirs = np.stack(
+            [cl * np.sin(lon), np.sin(lat), cl * np.cos(lon)], axis=-1
+        )
+        dirs[bad] = (0.0, 0.0, -1.0)
+        return dirs
+    if model in (CameraModel.STEREOGRAPHIC, CameraModel.BALL):
+        rd = np.sqrt(xd * xd + yd * yd)
+        if model == CameraModel.STEREOGRAPHIC:
+            theta = 2.0 * np.arctan(rd / 2.0)
+            bad = np.zeros(xd.shape, bool)
+        else:
+            theta = 2.0 * np.arcsin(np.minimum(rd, 1.0))
+            bad = rd > 1.0
+        st = np.sin(theta)
+        scale = np.where(rd > 1e-8, st / np.maximum(rd, 1e-8), 0.0)
+        dirs = np.stack([xd * scale, yd * scale, np.cos(theta)], axis=-1)
+        dirs[bad] = (0.0, 0.0, -1.0)
+        return dirs
+    if model == CameraModel.RECTILINEAR:
+        return np.stack([xd, yd, np.ones_like(xd)], axis=-1)
+    # Equidistant fisheye: solve theta_d = theta * (1 + k.theta^2...) by
+    # fixed point (_undistort_theta), then r = tan(theta).
+    theta_d = np.sqrt(xd * xd + yd * yd)
+    k = np.asarray(camera.dist, np.float64)
+    theta = theta_d.copy()
+    if np.any(np.abs(k) > 0):
+        for _ in range(10):
+            t2 = theta * theta
+            theta = theta_d / (
+                1.0 + t2 * (k[0] + t2 * (k[1] + t2 * (k[2] + t2 * k[3])))
+            )
+    r = np.tan(np.clip(theta, 0.0, math.pi / 2 - 1e-3))
+    scale = np.where(theta_d > 1e-8, r / np.maximum(theta_d, 1e-8), 1.0)
+    return np.stack([xd * scale, yd * scale, np.ones_like(xd)], axis=-1)
 
 
 # --- presets ---------------------------------------------------------------
@@ -255,7 +419,23 @@ def camera_from_dfov(
     w, h = size
     half_diag = math.hypot(w - 1.0, h - 1.0) / 2.0
     half_fov = math.radians(dfov_degrees) / 2.0
-    if model in (CameraModel.FISHEYE, CameraModel.EQUIRECT):
+    if model == CameraModel.STEREOGRAPHIC:
+        # r(theta) = 2 tan(theta/2)
+        f = half_diag / (2.0 * math.tan(half_fov / 2.0))
+    elif model == CameraModel.BALL:
+        # r(theta) = sin(theta/2); dfov 360 fills the unit disk
+        f = half_diag / math.sin(min(half_fov, math.pi) / 2.0)
+    elif model == CameraModel.HAMMER:
+        # exact on-equator radial distance of the Hammer chart at half_fov
+        hf = min(half_fov, math.pi)
+        r = (
+            2.0
+            * math.sqrt(2.0)
+            * math.sin(hf / 2.0)
+            / math.sqrt(1.0 + math.cos(hf / 2.0))
+        )
+        f = half_diag / r
+    elif model == CameraModel.FISHEYE or model in _LONLAT_MODELS:
         # angular models: pixels per radian
         f = half_diag / half_fov
     else:

@@ -100,7 +100,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Percent extra canvas to avoid cropping")
     r.add_argument("--input-dfov", type=float, default=145.8)
     r.add_argument("--output-dfov", type=float, default=None)
-    r.add_argument("--projection", default="rect", choices=["rect", "fisheye", "equirect"])
+    # Kept in sync with pipeline.render.PROJECTION_MODELS (tested); a
+    # literal list so --help never imports jax.
+    r.add_argument(
+        "--projection", default="rect",
+        choices=[
+            "rect", "flat", "gnomonic", "fisheye", "fish",
+            "equirect", "equirectangular", "e",
+            "stereographic", "sg", "mercator", "ball", "hammer",
+            "sinusoidal", "sinusoid", "cylindrical",
+        ],
+        help="Output lens projection — the v360 single-image family "
+        "(the reference forwards this option to v360, src/cli.ts:117-121)",
+    )
     r.add_argument("--preset", default=None,
                    help="GoPro camera preset name (e.g. gopro_h4b_wide43_measured)")
     r.add_argument("--gyro", action="store_true",

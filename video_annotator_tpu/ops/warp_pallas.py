@@ -222,32 +222,12 @@ def _unproject_np(out_camera: Camera, ys: np.ndarray, xs: np.ndarray):
 
     Host-side planning and the non-rectilinear kernels' precomputed ray
     grids both need exact output-model unprojection without a device
-    round trip.
+    round trip. Delegates to :func:`camera.unproject_np`, which covers
+    every output model (including the v360 panoramic family).
     """
-    xd = (xs - float(out_camera.cx)) / float(out_camera.fx)
-    yd = (ys - float(out_camera.cy)) / float(out_camera.fy)
-    if out_camera.model == CameraModel.EQUIRECT:
-        lon, lat = xd, yd
-        cl = np.cos(lat)
-        return np.stack(
-            [cl * np.sin(lon), np.sin(lat), cl * np.cos(lon)], axis=-1
-        )
-    if out_camera.model == CameraModel.RECTILINEAR:
-        return np.stack([xd, yd, np.ones_like(xd)], axis=-1)
-    # Equidistant fisheye: solve theta_d = theta * (1 + k.theta^2...) by
-    # fixed point (camera.py's _undistort_theta), then r = tan(theta).
-    theta_d = np.sqrt(xd * xd + yd * yd)
-    k = np.asarray(out_camera.dist, np.float64)
-    theta = theta_d.copy()
-    if np.any(np.abs(k) > 0):
-        for _ in range(10):
-            t2 = theta * theta
-            theta = theta_d / (
-                1.0 + t2 * (k[0] + t2 * (k[1] + t2 * (k[2] + t2 * k[3])))
-            )
-    r = np.tan(np.clip(theta, 0.0, np.pi / 2 - 1e-3))
-    scale = np.where(theta_d > 1e-8, r / np.maximum(theta_d, 1e-8), 1.0)
-    return np.stack([xd * scale, yd * scale, np.ones_like(xd)], axis=-1)
+    from video_annotator_tpu.camera import unproject_np
+
+    return unproject_np(out_camera, ys, xs)
 
 
 def _warp_map_np(out_camera: Camera, in_camera: Camera, rot: np.ndarray, out_size):

@@ -63,6 +63,28 @@ KEY_FRAME_MIN_CORNERS = 150
 MAX_CORNERS = 256  # reference tracks 200 (FrameSourceWarp.cpp:230); padded
 MIN_INLIERS_FULL = 40  # reference gate at full resolution (cpp:432)
 
+# --projection values. The reference forwards the option verbatim to the
+# v360 filter ("See v360 filter docs for options", src/cli.ts:117-121), so
+# v360's names — and its aliases — are accepted alongside the long forms.
+PROJECTION_MODELS = {
+    "rect": CameraModel.RECTILINEAR,
+    "flat": CameraModel.RECTILINEAR,
+    "gnomonic": CameraModel.RECTILINEAR,
+    "fisheye": CameraModel.FISHEYE,
+    "fish": CameraModel.FISHEYE,
+    "equirect": CameraModel.EQUIRECT,
+    "equirectangular": CameraModel.EQUIRECT,
+    "e": CameraModel.EQUIRECT,
+    "stereographic": CameraModel.STEREOGRAPHIC,
+    "sg": CameraModel.STEREOGRAPHIC,
+    "mercator": CameraModel.MERCATOR,
+    "ball": CameraModel.BALL,
+    "hammer": CameraModel.HAMMER,
+    "sinusoidal": CameraModel.SINUSOIDAL,
+    "sinusoid": CameraModel.SINUSOIDAL,
+    "cylindrical": CameraModel.CYLINDRICAL,
+}
+
 
 @dataclasses.dataclass
 class RenderOptions:
@@ -94,7 +116,7 @@ class RenderOptions:
     # lens
     input_dfov: float = 145.8
     output_dfov: Optional[float] = None
-    projection: str = "rect"  # rect | fisheye
+    projection: str = "rect"  # any PROJECTION_MODELS key (v360 family)
     preset: Optional[CameraPreset] = None
     # gyro-assisted analysis (GPMF telemetry instead of visual tracking)
     gyro: bool = False
@@ -253,12 +275,20 @@ def build_cameras(meta: VideoMeta, o: RenderOptions):
     if o.stabilise != "none" and o.stabilise_buffer:
         zoom = 1.0 / (1.0 + o.stabilise_buffer / 100.0)
 
-    out_model = {
-        "fisheye": CameraModel.FISHEYE,
-        "equirect": CameraModel.EQUIRECT,
-    }.get(o.projection, CameraModel.RECTILINEAR)
+    out_model = PROJECTION_MODELS.get(o.projection, CameraModel.RECTILINEAR)
     if o.width and o.height and o.output_dfov:
         out_cam = camera_from_dfov(o.output_dfov, (o.width, o.height), out_model)
+    elif out_model != CameraModel.RECTILINEAR:
+        # Non-rectilinear output without an explicit camera: the
+        # reference's v360 path applies the projection unconditionally
+        # (`output: projection`, src/render.ts:523), so honor it here
+        # too — canvas from the auto-fit, dfov defaulting to the input's
+        # (the whole captured field, like v360's default fov passthrough).
+        base = get_output_camera(
+            in_cam, scale=out_scale, crop_borders=o.crop_borders, zoom=zoom
+        )
+        size = (o.width or base.width, o.height or base.height)
+        out_cam = camera_from_dfov(o.output_dfov or o.input_dfov, size, out_model)
     else:
         out_cam = get_output_camera(
             in_cam, scale=out_scale, crop_borders=o.crop_borders, zoom=zoom
