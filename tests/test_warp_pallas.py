@@ -583,3 +583,92 @@ def test_origin_pass_guards_behind_rays():
         assert bool(jnp.all(jnp.isfinite(arr))), "non-finite tile bounds"
     assert float(mnx.min()) >= -8.0 and float(mxx.max()) <= plan.in_w + 8.0
     assert float(mny.min()) >= -8.0 and float(mxy.max()) <= plan.in_h + 8.0
+
+
+# --- 4-tap modes (bicubic / lanczos) ---------------------------------------
+
+
+@pytest.mark.parametrize("interp", ["bicubic", "lanczos"])
+def test_pallas_four_tap_matches_oracle(interp):
+    """The 4-tap kernel modes (--interp bicubic/lanczos on the Pallas
+    path) must match the XLA samplers, including the border band where
+    the 4x4 stencil partially overlaps the image."""
+    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (320, 240))
+    out_cam = get_output_camera(in_cam, scale=1.0, crop_borders=False)
+    plan = plan_warp(out_cam, in_cam, max_correction_deg=6.0, interp=interp)
+    assert plan.taps == 4
+
+    rng = np.random.default_rng(5)
+    img = np.round(rng.uniform(0, 255, size=(240, 320))).astype(np.float32)
+    for w in ([0.03, -0.02, 0.04], [0.0, 0.0, 0.0], [-0.08, 0.0, 0.05]):
+        rot = so3.exp(jnp.asarray(w, jnp.float32))
+        ours = np.asarray(
+            warp_frame_pallas(jnp.asarray(img), rot, plan, out_cam, in_cam,
+                              interpret=True)
+        )
+        ref = np.asarray(
+            warp_image_xla(jnp.asarray(img), out_cam, in_cam, rot,
+                           interp=interp)
+        )
+        np.testing.assert_allclose(ours, ref, atol=0.08)
+
+
+@pytest.mark.parametrize("interp", ["bicubic", "lanczos"])
+def test_pallas_four_tap_nonrect_output(interp):
+    """4-tap sampling composes with the precomputed-ray-grid path
+    (non-rectilinear --projection)."""
+    from video_annotator_tpu.camera import CameraModel, camera_from_dfov
+
+    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (320, 240))
+    out_cam = camera_from_dfov(110.0, (256, 192), CameraModel.STEREOGRAPHIC)
+    plan = plan_warp(out_cam, in_cam, max_correction_deg=6.0, interp=interp)
+
+    rng = np.random.default_rng(6)
+    img = np.round(rng.uniform(0, 255, size=(240, 320))).astype(np.float32)
+    rot = so3.exp(jnp.array([0.02, -0.03, 0.01]))
+    ours = np.asarray(
+        warp_frame_pallas(jnp.asarray(img), rot, plan, out_cam, in_cam,
+                          interpret=True)
+    )
+    ref = np.asarray(
+        warp_image_xla(jnp.asarray(img), out_cam, in_cam, rot, interp=interp)
+    )
+    np.testing.assert_allclose(ours, ref, atol=0.08)
+
+
+def test_pallas_four_tap_yuv_batch():
+    """The fused YUV batch dispatch (the encode hot path) honors the
+    plan's 4-tap mode; uint8 outputs match the XLA bicubic oracle to
+    the rounding step."""
+    from video_annotator_tpu.camera import camera_from_dfov, CameraModel
+    from video_annotator_tpu.ops.warp_pallas import warp_yuv_batch_pallas
+    from video_annotator_tpu.ops.warp_xla import _scaled_camera
+
+    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (192, 144))
+    out_cam = get_output_camera(in_cam, scale=1.0, crop_borders=True)
+    in_h = _scaled_camera(in_cam, 0.5)
+    out_h = _scaled_camera(out_cam, 0.5)
+    oh = out_cam.height - out_cam.height % 2
+    ow = out_cam.width - out_cam.width % 2
+    plan_y = plan_warp(out_cam, in_cam, 6.0, (oh, ow), interp="bicubic")
+    plan_c = plan_warp(out_h, in_h, 6.0, (oh // 2, ow // 2), interp="bicubic")
+
+    rng = np.random.default_rng(7)
+    mk = lambda h, w: jnp.asarray(  # noqa: E731
+        rng.integers(0, 255, (h, w), dtype=np.uint8)
+    )
+    ys = [mk(144, 192) for _ in range(2)]
+    us = [mk(72, 96) for _ in range(2)]
+    vs = [mk(72, 96) for _ in range(2)]
+    rots = so3.exp(jnp.asarray(rng.normal(size=(2, 3)) * 0.02, jnp.float32))
+
+    batch = warp_yuv_batch_pallas(ys, us, vs, rots, plan_y, out_cam, in_cam,
+                                  plan_c, out_h, in_h, interpret=True)
+    for i in range(2):
+        ref_y = np.asarray(
+            warp_image_xla(ys[i].astype(jnp.float32), out_cam, in_cam,
+                           rots[i], (oh, ow), interp="bicubic")
+        )
+        got_y = np.asarray(batch[i][0]).astype(np.float64)
+        # uint8 rounding: allow 1 count plus the kernel/oracle float gap.
+        assert np.abs(got_y - np.clip(np.round(ref_y), 0, 255)).max() <= 1.0

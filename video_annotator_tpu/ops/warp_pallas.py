@@ -120,6 +120,19 @@ class WarpPlan:
     # uint8 level grid (hashable for the jit caches).
     mip_max: int = 0
     levels_blob: bytes = b""
+    # Resampler: "bilinear" (exact 2x2, the reference native engine's
+    # INTER_LINEAR), "bicubic" (Keys a=-0.75, vidstab's interpol=bicubic)
+    # or "lanczos" (v360's interp=lanczos, 4x4 windowed sinc). The 4-tap
+    # modes run the same schedule walk with one extra pixel of window
+    # margin, 4 horizontal gathers per word-row visit (vs 2) and
+    # per-tap polynomial weights in the fractional offset (exact for
+    # Keys — it IS a cubic; fitted to ~1e-6 for lanczos, whose sinc
+    # window Mosaic cannot evaluate directly).
+    interp: str = "bilinear"
+
+    @property
+    def taps(self) -> int:
+        return 2 if self.interp == "bilinear" else 4
 
     @property
     def levels(self) -> np.ndarray:
@@ -264,6 +277,52 @@ def _warp_map_np(out_camera: Camera, in_camera: Camera, rot: np.ndarray, out_siz
     return np.stack([sx, sy], axis=-1)
 
 
+@functools.lru_cache(maxsize=8)
+def _tap_weight_coeffs(interp: str) -> tuple:
+    """Per-tap weight polynomials in the fractional offset f in [0, 1).
+
+    Returns 4 coefficient tuples (highest power first, np.polyval order),
+    one per tap offset (-1, 0, 1, 2). Keys bicubic weights ARE cubics in
+    f, so the degree-3 fit is exact (to f64 rounding); lanczos2's
+    normalized windowed-sinc weights are fitted with a degree-9
+    polynomial (max error ~1e-7 — far below uint8 quantization). The
+    normalization matches the XLA oracle: lanczos divides by the
+    full-stencil weight sum (``ops/warp_xla.py:lanczos_sample``), Keys
+    sums to 1 by construction.
+    """
+    f = np.linspace(0.0, 1.0, 2049)
+
+    def keys(t, a=-0.75):
+        t = np.abs(t)
+        near = ((a + 2.0) * t - (a + 3.0)) * t * t + 1.0
+        far = a * (((t - 5.0) * t + 8.0) * t - 4.0)
+        return np.where(t <= 1.0, near, np.where(t < 2.0, far, 0.0))
+
+    def lanczos(t, a=2.0):
+        t = np.abs(t)
+        pt = np.pi * np.maximum(t, 1e-9)
+        win = np.sin(pt) * np.sin(pt / a) * (a / (pt * pt))
+        return np.where(t < 1e-9, 1.0, np.where(t < a, win, 0.0))
+
+    if interp == "bicubic":
+        ws = [keys(f - k) for k in (-1, 0, 1, 2)]
+        deg = 3
+    elif interp == "lanczos":
+        ws = [lanczos(f - k) for k in (-1, 0, 1, 2)]
+        norm = ws[0] + ws[1] + ws[2] + ws[3]
+        ws = [w / norm for w in ws]
+        deg = 9
+    else:
+        raise ValueError(f"no 4-tap weights for interp={interp!r}")
+    out = []
+    for w in ws:
+        c = np.polyfit(f, w, deg)
+        err = float(np.abs(np.polyval(c, f) - w).max())
+        assert err < 1e-5, (interp, err)
+        out.append(tuple(float(v) for v in c))
+    return tuple(out)
+
+
 def _rodrigues_np(w: np.ndarray) -> np.ndarray:
     theta = float(np.linalg.norm(w))
     if theta < 1e-12:
@@ -294,6 +353,7 @@ def plan_warp(
     mip_levels: int = 0,
     trip_group: int | None = None,
     split_acc: bool | None = None,
+    interp: str = "bilinear",
 ) -> WarpPlan:
     """Choose static window sizes by probing the map over worst-case rotations.
 
@@ -444,13 +504,17 @@ def plan_warp(
     # Dips measured on the probe set; +0.75 guards sub-probe rotations.
     dip_x += 0.75
     dip_y += 0.75
-    margin_x = int(math.ceil(dip_x)) + 2
-    margin_y = int(math.ceil(dip_y)) + 2
+    # 4-tap modes reach one pixel further on each side (taps -1..+2 vs
+    # the bilinear 0..+1): grow the conservative origin margin and the
+    # window extent by the extra tap reach.
+    tap_pad = 0 if interp == "bilinear" else 1
+    margin_x = int(math.ceil(dip_x)) + 2 + tap_pad
+    margin_y = int(math.ceil(dip_y)) + 2 + tap_pad
     # Window must cover: margin below the sampled min, the tile's true
-    # source extent, +2 for the upper bilinear tap, and the origin
-    # alignment rounding (4 rows / 128 cols).
-    wh = _round_up(int(math.ceil(max_dy)) + margin_y + 4 + 4, 32)
-    ww = _round_up(int(math.ceil(max_dx)) + margin_x + 4 + 128, 128)
+    # source extent, +2 for the upper bilinear tap (+1 more for 4-tap),
+    # and the origin alignment rounding (4 rows / 128 cols).
+    wh = _round_up(int(math.ceil(max_dy)) + margin_y + 4 + 4 + tap_pad, 32)
+    ww = _round_up(int(math.ceil(max_dx)) + margin_x + 4 + 128 + tap_pad, 128)
     # The frame is zero-padded up to the packing/DMA grid before the
     # kernel (zero padding reproduces the BORDER_CONSTANT edge exactly),
     # so the window may cover the padded extent but no more.
@@ -476,6 +540,7 @@ def plan_warp(
         dbuf=dbuf,
         mip_max=mip_max,
         levels_blob=levels_blob,
+        interp=interp,
     )
     meta1_bits = (
         plan.meta1_bits_oyw
@@ -622,10 +687,12 @@ def _tile_origins(
     ]
     # Tap coverage bounds from measured dips (NOT the conservative origin
     # margins): true source x in [xmin-dip, xmax+dip]; taps floor(x) and
-    # floor(x)+1. A section is touched iff the tap interval
-    # [floor(xmin-dip), floor(xmax+dip)+1] meets [lo_b, hi_b).
-    mx1 = plan.dip_x
-    mx2 = plan.dip_x + 1.0
+    # floor(x)+1 (4-tap modes: floor(x)-1 .. floor(x)+2). A section is
+    # touched iff the tap interval meets [lo_b, hi_b).
+    tap_lo = 1.0 if plan.taps == 4 else 0.0  # reach below floor(x)
+    tap_hi = 2.0 if plan.taps == 4 else 1.0  # reach above floor(x)
+    mx1 = plan.dip_x + tap_lo
+    mx2 = plan.dip_x + tap_hi
     nsec = plan.sections
     # Vectorized over sections: (S, ...) bounds from the NX_SUB interval
     # bound sets (a python loop here costs hundreds of tiny HLO ops that
@@ -674,16 +741,18 @@ def _tile_origins(
     empty = ymax < ymin
     ymin = jnp.where(empty, 0.0, ymin)
     ymax = jnp.where(empty, -8.0, ymax)
-    # Active word rows cover taps floor(sy)..floor(sy)+1 for true
-    # sy in [ymin-dip, ymax+dip]; every extra word row here costs ~8
+    # Active word rows cover taps floor(sy)-tap_lo..floor(sy)+tap_hi for
+    # true sy in [ymin-dip, ymax+dip]; every extra word row here costs ~8
     # row-visits of kernel time per (tile, section).
     wr_lo = jnp.clip(
-        (jnp.floor(ymin - plan.dip_y).astype(jnp.int32) - oy[None]) // 4,
+        (jnp.floor(ymin - plan.dip_y).astype(jnp.int32) - int(tap_lo)
+         - oy[None]) // 4,
         0,
         plan.wh_words,
     )
     wr_hi = jnp.clip(
-        (jnp.floor(ymax + plan.dip_y).astype(jnp.int32) + 1 - oy[None]) // 4
+        (jnp.floor(ymax + plan.dip_y).astype(jnp.int32) + int(tap_hi)
+         - oy[None]) // 4
         + 1,
         0,
         plan.wh_words,
@@ -1034,13 +1103,17 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             sx = ifx * a + icx
             sy = ify * b + icy
 
-        # cv::remap BORDER_CONSTANT semantics: pixels whose 2x2 neighborhood
-        # partially overlaps the image blend the inside taps with zeros. The
-        # window is clamped inside the (zero-padded) image, so taps outside
-        # it vanish from the section gather automatically; only
-        # fully-outside pixels (and behind-camera rays) need masking.
+        # cv::remap BORDER_CONSTANT semantics: pixels whose tap
+        # neighborhood partially overlaps the image blend the inside taps
+        # with zeros. The window is clamped inside the (zero-padded)
+        # image, so taps outside it vanish from the section gather
+        # automatically; only fully-outside pixels (and behind-camera
+        # rays) need masking. 4-tap modes reach one pixel further, so a
+        # one-pixel-wider band of sources still touches the image.
+        tpad = 1.0 if plan.taps == 4 else 0.0
         valid = (
-            (sx > -1.0) & (sx < in_w + 0.0) & (sy > -1.0) & (sy < in_h + 0.0)
+            (sx > -1.0 - tpad) & (sx < in_w + tpad)
+            & (sy > -1.0 - tpad) & (sy < in_h + tpad)
             & (vz > 1e-6)
         )
 
@@ -1057,19 +1130,35 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
         syr = sy - (oyw * 4).astype(jnp.float32)
         ix0 = jnp.floor(sxr).astype(jnp.int32)
         fx = sxr - jnp.floor(sxr)
-        one_m_fx = 1.0 - fx
-        # Vertical taps, resolved per pixel once: tap rows t, t+1 live at
-        # byte (t & 3) of word row (t >> 2) (two's complement makes both
-        # exact for the negative t of invalid pixels, and q0 < 0 never
-        # matches a loop row). Variable per-lane shifts extract exactly the
-        # two bytes that matter instead of weighting all four.
+        # Vertical taps, resolved per pixel once: tap row t lives at byte
+        # (t & 3) of word row (t >> 2) (two's complement makes both exact
+        # for the negative t of invalid pixels, and q < 0 never matches a
+        # loop row). Variable per-lane shifts extract exactly the bytes
+        # that matter instead of weighting all four.
         ty0 = jnp.floor(syr).astype(jnp.int32)
         fy = syr - jnp.floor(syr)
-        q0 = ty0 >> 2
-        q1 = (ty0 + 1) >> 2
-        sh0 = (ty0 & 3) << 3
-        sh1 = ((ty0 + 1) & 3) << 3
-        wy0 = 1.0 - fy
+        if plan.taps == 4:
+            # 4-tap modes (bicubic/lanczos): per-tap weight polynomials
+            # in the fractional offset, evaluated once per tile (Horner;
+            # exact for Keys, ~1e-7 fit for the lanczos windowed sinc).
+            def _horner(c, t):
+                acc = jnp.full(t.shape, c[0], jnp.float32)
+                for cv in c[1:]:
+                    acc = acc * t + jnp.float32(cv)
+                return acc
+
+            _coeffs = _tap_weight_coeffs(plan.interp)
+            wxs4 = [_horner(c, fx) for c in _coeffs]
+            wys4 = [_horner(c, fy) for c in _coeffs]
+            qs4 = [(ty0 + j) >> 2 for j in (-1, 0, 1, 2)]
+            shs4 = [((ty0 + j) & 3) << 3 for j in (-1, 0, 1, 2)]
+        else:
+            one_m_fx = 1.0 - fx
+            q0 = ty0 >> 2
+            q1 = (ty0 + 1) >> 2
+            sh0 = (ty0 & 3) << 3
+            sh1 = ((ty0 + 1) & 3) << 3
+            wy0 = 1.0 - fy
 
         for c in copies:
             c.wait()
@@ -1144,6 +1233,60 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
                     out[k + 1] = out[k + 1] + (a0 * v10 + a1 * v11)
             return tuple(out)
 
+        def visit_entry4(e, accs, slot):
+            # 4-tap variant: four horizontal gathers per word-row visit
+            # (taps ix0-1..ix0+2) accumulating into one accumulator per
+            # horizontal tap; the four vertical taps' bytes are extracted
+            # per gather and combined with the per-row tap weights
+            # (a_j != 0 only when tap j's word row is this row). The
+            # horizontal polynomial weights blend the four accumulators
+            # once after the loop.
+            base = 4 * nplanes * slot
+            w8 = e & ((1 << bits_w) - 1)
+            sec = (e >> bits_w) & ((1 << plan.entry_bits_s) - 1)
+            if nplanes == 2:
+                blkvs = [
+                    win_view[p, sec, pl.ds(w8, plan.trip_rows), :]
+                    for p in range(2)
+                ]
+            else:
+                blkvs = [win_view[sec, pl.ds(w8, plan.trip_rows), :]]
+            local = ix0 - sec * 128
+            ms = []
+            lidxs = []
+            for hof in (-1, 0, 1, 2):
+                lh = local + hof
+                ms.append(lh.astype(jnp.uint32) < jnp.uint32(128))
+                lidxs.append(lh & 127)
+            out = list(accs)
+            for rr_ in range(plan.trip_rows):
+                row = w8 + rr_
+                avs = [
+                    jnp.where(qs4[j] == row, wys4[j], 0.0) for j in range(4)
+                ]
+                for p in range(nplanes):
+                    seg = jnp.broadcast_to(
+                        blkvs[p][rr_ : rr_ + 1, :], (TILE_H, TILE_W)
+                    )
+                    for hi in range(4):
+                        g = jnp.where(
+                            ms[hi],
+                            jnp.take_along_axis(seg, lidxs[hi], axis=1),
+                            0,
+                        )
+                        val = (
+                            avs[0] * ((g >> shs4[0]) & 0xFF).astype(jnp.float32)
+                            + avs[1] * ((g >> shs4[1]) & 0xFF).astype(jnp.float32)
+                            + avs[2] * ((g >> shs4[2]) & 0xFF).astype(jnp.float32)
+                            + avs[3] * ((g >> shs4[3]) & 0xFF).astype(jnp.float32)
+                        )
+                        k = base + 4 * p + hi
+                        out[k] = out[k] + val
+            return tuple(out)
+
+        if plan.taps == 4:
+            visit_entry = visit_entry4  # noqa: F811
+
         def entry_at(i):
             word = meta2_ref[mbase + (i >> epw_shift)]
             return word >> ((i & epw_mask) * bits)
@@ -1151,8 +1294,15 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
         group = max(1, plan.trip_group)
         # The uv kernel already carries 4 accumulators (2 planes x
         # left/right) — plenty of FMA-chain parallelism; splitting would
-        # double register pressure for no measured gain.
-        n_pairs = 2 if (plan.split_acc and group > 1 and nplanes == 1) else 1
+        # double register pressure for no measured gain. 4-tap modes
+        # carry 4 accumulators per plane for the same reason.
+        n_pairs = (
+            2
+            if (plan.split_acc and group > 1 and nplanes == 1
+                and plan.taps == 2)
+            else 1
+        )
+        ntap = plan.taps
 
         def body(i, accs):
             # `group` entries per iteration amortize the loop's
@@ -1169,7 +1319,7 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             return accs
 
         zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        init = tuple(zero for _ in range(2 * nplanes * n_pairs))
+        init = tuple(zero for _ in range(ntap * nplanes * n_pairs))
         if group > 1 and plan.pred_tail:
             # FULL groups in the loop; the up-to-(group-1) leftover
             # entries run under scalar lax.cond guards. A not-taken
@@ -1192,19 +1342,32 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             # -> gathers fully masked).
             nloop = (total + group - 1) // group if group > 1 else total
             accs = jax.lax.fori_loop(0, nloop, body, init)
-        stride = 2 * nplanes
+        stride = ntap * nplanes
         results = []
         for p in range(nplanes):
-            acc_l, acc_r = accs[2 * p], accs[2 * p + 1]
-            if n_pairs == 2:
-                acc_l = acc_l + accs[stride + 2 * p]
-                acc_r = acc_r + accs[stride + 2 * p + 1]
-            acc = one_m_fx * acc_l + fx * acc_r
+            if ntap == 4:
+                acc = (
+                    wxs4[0] * accs[4 * p]
+                    + wxs4[1] * accs[4 * p + 1]
+                    + wxs4[2] * accs[4 * p + 2]
+                    + wxs4[3] * accs[4 * p + 3]
+                )
+            else:
+                acc_l, acc_r = accs[2 * p], accs[2 * p + 1]
+                if n_pairs == 2:
+                    acc_l = acc_l + accs[stride + 2 * p]
+                    acc_r = acc_r + accs[stride + 2 * p + 1]
+                acc = one_m_fx * acc_l + fx * acc_r
             result = jnp.where(valid, acc, border)
             if out_u8:
                 # Emit video bytes directly: quarters the output DMA and
                 # removes the separate XLA rounding pass in the encode
                 # loop. Mosaic has no f32->u8 cast; round through int32.
+                # 4-tap kernels overshoot [0, 255] (bicubic/lanczos
+                # ringing) and must clamp before the byte cast; exact
+                # bilinear cannot overshoot, keep its path untouched.
+                if plan.taps == 4:
+                    result = jnp.clip(result, 0.0, 255.0)
                 result = jnp.round(result).astype(jnp.int32).astype(
                     jnp.uint8
                 )
