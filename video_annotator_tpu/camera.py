@@ -420,8 +420,12 @@ def camera_from_dfov(
     half_diag = math.hypot(w - 1.0, h - 1.0) / 2.0
     half_fov = math.radians(dfov_degrees) / 2.0
     if model == CameraModel.STEREOGRAPHIC:
-        # r(theta) = 2 tan(theta/2)
-        f = half_diag / (2.0 * math.tan(half_fov / 2.0))
+        # r(theta) = 2 tan(theta/2); the chart is unbounded toward the
+        # antipode, so clamp at a 330-degree diagonal — dfov >= 360
+        # degrades gracefully instead of producing a ~0 or negative
+        # focal length.
+        hf = min(half_fov, math.radians(330.0) / 2.0)
+        f = half_diag / (2.0 * math.tan(hf / 2.0))
     elif model == CameraModel.BALL:
         # r(theta) = sin(theta/2); dfov 360 fills the unit disk
         f = half_diag / math.sin(min(half_fov, math.pi) / 2.0)

@@ -71,10 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--interp", default="bilinear",
                    choices=["bilinear", "bicubic", "lanczos"],
                    help="Warp resampler: bilinear (the native engine's "
-                        "INTER_LINEAR; fused Pallas kernel), bicubic "
-                        "(the reference's vidstab interpol=bicubic), or "
-                        "lanczos (v360's interp=lanczos, 4x4 windowed "
-                        "sinc); higher-order modes run the XLA path")
+                        "INTER_LINEAR), bicubic (the reference's vidstab "
+                        "interpol=bicubic), or lanczos (v360's "
+                        "interp=lanczos, 4x4 windowed sinc); all three "
+                        "run the fused Pallas kernel on TPU (4-tap mode "
+                        "for the higher-order two), XLA gathers on CPU")
     r.add_argument("--prefilter", default="off", choices=["off", "auto"],
                    help="Mip-prefilter minifying inputs before the warp "
                         "(antialias + faster kernel; off = exact bilinear "

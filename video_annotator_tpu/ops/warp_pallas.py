@@ -290,25 +290,18 @@ def _tap_weight_coeffs(interp: str) -> tuple:
     full-stencil weight sum (``ops/warp_xla.py:lanczos_sample``), Keys
     sums to 1 by construction.
     """
+    # Fit against the XLA oracle's own weight functions (single source of
+    # truth — ops/warp_xla.py); evaluated through jnp, so convert back.
+    from video_annotator_tpu.ops.warp_xla import keys_weight, lanczos_weight
+
     f = np.linspace(0.0, 1.0, 2049)
-
-    def keys(t, a=-0.75):
-        t = np.abs(t)
-        near = ((a + 2.0) * t - (a + 3.0)) * t * t + 1.0
-        far = a * (((t - 5.0) * t + 8.0) * t - 4.0)
-        return np.where(t <= 1.0, near, np.where(t < 2.0, far, 0.0))
-
-    def lanczos(t, a=2.0):
-        t = np.abs(t)
-        pt = np.pi * np.maximum(t, 1e-9)
-        win = np.sin(pt) * np.sin(pt / a) * (a / (pt * pt))
-        return np.where(t < 1e-9, 1.0, np.where(t < a, win, 0.0))
-
     if interp == "bicubic":
-        ws = [keys(f - k) for k in (-1, 0, 1, 2)]
+        ws = [np.asarray(keys_weight(f - k), np.float64)
+              for k in (-1, 0, 1, 2)]
         deg = 3
     elif interp == "lanczos":
-        ws = [lanczos(f - k) for k in (-1, 0, 1, 2)]
+        ws = [np.asarray(lanczos_weight(f - k), np.float64)
+              for k in (-1, 0, 1, 2)]
         norm = ws[0] + ws[1] + ws[2] + ws[3]
         ws = [w / norm for w in ws]
         deg = 9
@@ -418,11 +411,16 @@ def plan_warp(
             det = ga * gd - gb * gc
             disc = np.sqrt(np.maximum(e * e - 4.0 * det * det, 0.0))
             smin = np.sqrt(np.maximum((e - disc) * 0.5, 0.0))
+            # Same band the kernel's valid mask renders (4-tap modes
+            # reach one pixel further): excluded border pixels would
+            # leave edge tiles unconstrained and mip-blur the partial
+            # -overlap band the kernel still blends.
+            tpad_r = 0.0 if interp == "bilinear" else 1.0
             rendered = (
-                (cmap[..., 0] > -1.0)
-                & (cmap[..., 0] < in_camera.width)
-                & (cmap[..., 1] > -1.0)
-                & (cmap[..., 1] < in_camera.height)
+                (cmap[..., 0] > -1.0 - tpad_r)
+                & (cmap[..., 0] < in_camera.width + tpad_r)
+                & (cmap[..., 1] > -1.0 - tpad_r)
+                & (cmap[..., 1] < in_camera.height + tpad_r)
             )
             rendered[crop_h:, :] = False
             rendered[:, crop_w:] = False
@@ -889,6 +887,10 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
     ray_grid = out_camera.model != CameraModel.RECTILINEAR
 
     nplanes = 2 if batched == "uv" else 1
+    # Tap-weight polynomials resolve at kernel-BUILD time (they evaluate
+    # the XLA oracle's jnp weight functions — running that inside the
+    # Pallas trace would splice foreign eager ops into the kernel).
+    tap_coeffs = _tap_weight_coeffs(plan.interp) if plan.taps == 4 else None
 
     def kernel(*refs):
         # "band" mode (spatial/TP sharding) prepends a dynamic tile-row
@@ -1147,9 +1149,8 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
                     acc = acc * t + jnp.float32(cv)
                 return acc
 
-            _coeffs = _tap_weight_coeffs(plan.interp)
-            wxs4 = [_horner(c, fx) for c in _coeffs]
-            wys4 = [_horner(c, fy) for c in _coeffs]
+            wxs4 = [_horner(c, fx) for c in tap_coeffs]
+            wys4 = [_horner(c, fy) for c in tap_coeffs]
             qs4 = [(ty0 + j) >> 2 for j in (-1, 0, 1, 2)]
             shs4 = [((ty0 + j) & 3) << 3 for j in (-1, 0, 1, 2)]
         else:

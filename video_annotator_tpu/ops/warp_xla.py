@@ -111,6 +111,32 @@ def bilinear_sample(image: jax.Array, coords: jax.Array) -> jax.Array:
     return top * (1.0 - fy) + bot * fy
 
 
+def keys_weight(t, a: float = -0.75):
+    """Keys cubic kernel weight at offset ``t`` (cv2 INTER_CUBIC's kernel).
+
+    |t| <= 1: (a+2)|t|^3 - (a+3)|t|^2 + 1;  1 < |t| < 2: a(|t|^3 - 5|t|^2
+    + 8|t| - 4). The single source of truth for bicubic weights: both the
+    XLA sampler and the Pallas kernel's fitted tap polynomials
+    (``warp_pallas._tap_weight_coeffs``) evaluate this function.
+    """
+    t = jnp.abs(t)
+    near = ((a + 2.0) * t - (a + 3.0)) * t * t + 1.0
+    far = a * (((t - 5.0) * t + 8.0) * t - 4.0)
+    return jnp.where(t <= 1.0, near, jnp.where(t < 2.0, far, 0.0))
+
+
+def lanczos_weight(t, a: float = 2.0):
+    """Lanczos windowed-sinc weight ``sinc(t) * sinc(t/a)`` at offset ``t``.
+
+    Single source of truth for lanczos weights (XLA sampler + the Pallas
+    tap-polynomial fit), pre-normalization.
+    """
+    t = jnp.abs(t)
+    pt = jnp.pi * jnp.maximum(t, 1e-6)
+    win = jnp.sin(pt) * jnp.sin(pt / a) * (a / (pt * pt))
+    return jnp.where(t < 1e-6, 1.0, jnp.where(t < a, win, 0.0))
+
+
 def bicubic_sample(image: jax.Array, coords: jax.Array,
                    a: float = -0.75) -> jax.Array:
     """Bicubic-sample ``image`` (H, W) at ``coords`` (..., 2), (x, y) order.
@@ -134,14 +160,6 @@ def bicubic_sample(image: jax.Array, coords: jax.Array,
 
     img = image.astype(jnp.float32)
 
-    def cubic_w(t):
-        # |t| <= 1: (a+2)|t|^3 - (a+3)|t|^2 + 1
-        # 1 < |t| < 2: a(|t|^3 - 5|t|^2 + 8|t| - 4)
-        t = jnp.abs(t)
-        near = ((a + 2.0) * t - (a + 3.0)) * t * t + 1.0
-        far = a * (((t - 5.0) * t + 8.0) * t - 4.0)
-        return jnp.where(t <= 1.0, near, jnp.where(t < 2.0, far, 0.0))
-
     def tap(yi, xi):
         valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
         yc = jnp.clip(yi, 0, h - 1)
@@ -149,9 +167,9 @@ def bicubic_sample(image: jax.Array, coords: jax.Array,
         return jnp.where(valid, img[yc, xc], 0.0)
 
     out = jnp.zeros(x.shape, jnp.float32)
-    wxs = [cubic_w(fx - k) for k in (-1, 0, 1, 2)]
+    wxs = [keys_weight(fx - k, a) for k in (-1, 0, 1, 2)]
     for j in (-1, 0, 1, 2):
-        wy = cubic_w(fy - j)
+        wy = keys_weight(fy - j, a)
         row = jnp.zeros(x.shape, jnp.float32)
         for k, wx in zip((-1, 0, 1, 2), wxs):
             row = row + wx * tap(y0i + j, x0i + k)
@@ -184,11 +202,7 @@ def lanczos_sample(image: jax.Array, coords: jax.Array,
     img = image.astype(jnp.float32)
 
     def lanczos_w(t):
-        # sinc(t)*sinc(t/a) for |t| < a, 1 at t=0, 0 outside the window.
-        t = jnp.abs(t)
-        pt = jnp.pi * jnp.maximum(t, 1e-6)
-        win = jnp.sin(pt) * jnp.sin(pt / a) * (a / (pt * pt))
-        return jnp.where(t < 1e-6, 1.0, jnp.where(t < a, win, 0.0))
+        return lanczos_weight(t, float(a))
 
     def tap(yi, xi):
         valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
