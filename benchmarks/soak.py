@@ -1,0 +1,123 @@
+"""Sustained end-to-end soak: long render through the full real pipeline.
+
+The short benchmarks (``bench.py``, ``benchmarks/run.py``) measure
+steady-state kernel/pipeline throughput over a few hundred frames; this
+soak drives the COMPLETE production path — native libav decode ->
+prefetch -> on-device analyse -> smoothing -> fused Pallas warp ->
+threaded libx264 encode with a real container — for thousands of frames
+and reports sustained throughput, first-half vs second-half drift and
+peak RSS. It is the long-run stability check the reference exercises
+only implicitly by processing whole matches (``concat.sh:221-283``).
+
+    python benchmarks/soak.py [--frames 2000] [--width 1920 --height 1440]
+
+Prints one JSON line:
+
+    {"metric": "soak_fps", "frames": N, "value": fps,
+     "fps_first_half": a, "fps_second_half": b, "peak_rss_mb": m}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_input(path: str, n: int, w: int, h: int) -> None:
+    """Procedurally encode a shaky-checkerboard clip with the native writer.
+
+    Pure numpy frame generation (no jax) so input creation neither
+    contends with the TPU nor inflates the soak's measured phase.
+    """
+    import numpy as np
+    from fractions import Fraction
+    from video_annotator_tpu.io.video import VideoMeta, open_writer
+
+    meta = VideoMeta(w, h, Fraction(30, 1), n)
+    sink = open_writer(path, meta, encoder="libx264")
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (((xx // 64) + (yy // 64)) % 2 * 200 + 28).astype(np.uint8)
+    grad = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
+    rng = np.random.default_rng(0)
+    try:
+        for i in range(n):
+            dx = int(8 * np.sin(i / 9.0) + rng.normal() * 3)
+            dy = int(6 * np.cos(i / 7.0) + rng.normal() * 3)
+            y = np.roll(np.roll(base, dy, axis=0), dx, axis=1)
+            u = np.roll(grad, dx, axis=1)[::2, ::2].copy()
+            v = np.roll(grad[::-1], dy, axis=0)[::2, ::2].copy()
+            sink.write((y, u, v))
+    finally:
+        sink.close()
+
+
+def run_soak(frames: int, w: int, h: int, keep: bool = False) -> dict:
+    src = f"/tmp/soak_in_{w}x{h}_{frames}.mp4"
+    dst = "/tmp/soak_out.mp4"
+    if not os.path.exists(src):
+        t0 = time.time()
+        make_input(src, frames, w, h)
+        print(f"# input encoded in {time.time() - t0:.0f}s "
+              f"({os.path.getsize(src) / 1e6:.0f} MB)", file=sys.stderr)
+
+    env = dict(os.environ)
+    # Halves: two timed renders over the first and second half of the
+    # clip via trim seeks — catches slow drift (leaks, allocator
+    # fragmentation, tunnel decay) that a single average hides.
+    halves = []
+    half_frames = frames // 2
+    t_all = time.time()
+    for half in range(2):
+        args = [
+            sys.executable, "-m", "video_annotator_tpu", "render",
+            src, dst, "--stabilise", "smooth", "--stabilise-radius", "30",
+            "-s", str(half * half_frames / 30.0),
+            "-d", str(half_frames / 30.0),
+        ]
+        t0 = time.time()
+        r = subprocess.run(args, env=env, capture_output=True, text=True)
+        dt = time.time() - t0
+        if r.returncode != 0:
+            print(r.stdout[-2000:], r.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"soak render (half {half}) failed")
+        halves.append(half_frames / dt)
+    wall = time.time() - t_all
+    ru = resource.getrusage(resource.RUSAGE_CHILDREN)
+    out = {
+        "metric": "soak_fps",
+        "frames": frames,
+        "width": w,
+        "height": h,
+        "value": round(frames / wall, 1),
+        "fps_first_half": round(halves[0], 1),
+        "fps_second_half": round(halves[1], 1),
+        "peak_rss_mb": round(ru.ru_maxrss / 1024.0, 1),
+    }
+    if not keep:
+        for p in (dst,):
+            if os.path.exists(p):
+                os.unlink(p)
+    return out
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=2000)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1440)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args(argv)
+    print(json.dumps(run_soak(args.frames, args.width, args.height,
+                              keep=args.keep)))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
