@@ -4,7 +4,8 @@ The short benchmarks (``bench.py``, ``benchmarks/run.py``) measure
 steady-state kernel/pipeline throughput over a few hundred frames; this
 soak drives the COMPLETE production path — native libav decode ->
 prefetch -> on-device analyse -> smoothing -> fused Pallas warp ->
-threaded libx264 encode with a real container — for thousands of frames
+the output sink (raw y4m by default; --encoder libx264 adds the
+threaded encoder to the loop) — for thousands of frames
 and reports sustained throughput, first-half vs second-half drift and
 peak RSS. It is the long-run stability check the reference exercises
 only implicitly by processing whole matches (``concat.sh:221-283``).
@@ -31,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_input(path: str, n: int, w: int, h: int) -> None:
-    """Procedurally encode a shaky-checkerboard clip with the native writer.
+    """Procedurally encode a shaky textured clip with the native writer.
 
     Pure numpy frame generation (no jax) so input creation neither
     contends with the TPU nor inflates the soak's measured phase.
@@ -42,25 +43,40 @@ def make_input(path: str, n: int, w: int, h: int) -> None:
 
     meta = VideoMeta(w, h, Fraction(30, 1), n)
     sink = open_writer(path, meta, encoder="libx264")
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = (((xx // 64) + (yy // 64)) % 2 * 200 + 28).astype(np.uint8)
-    grad = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    # Natural-ish textured content (crossed sinusoids): trackable
+    # corners without the pathological everything-matches motion search
+    # a rolled checkerboard hands x264.
+    base = (
+        128
+        + 55 * np.sin(xx / 23.0) * np.cos(yy / 31.0)
+        + 45 * np.sin((xx + yy) / 57.0)
+    )
+    grad = (xx * 255.0 / max(w - 1, 1))
     rng = np.random.default_rng(0)
     try:
         for i in range(n):
             dx = int(8 * np.sin(i / 9.0) + rng.normal() * 3)
             dy = int(6 * np.cos(i / 7.0) + rng.normal() * 3)
-            y = np.roll(np.roll(base, dy, axis=0), dx, axis=1)
-            u = np.roll(grad, dx, axis=1)[::2, ::2].copy()
-            v = np.roll(grad[::-1], dy, axis=0)[::2, ::2].copy()
+            y = np.clip(np.roll(np.roll(base, dy, axis=0), dx, axis=1),
+                        0, 255).astype(np.uint8)
+            u = np.roll(grad, dx, axis=1)[::2, ::2].astype(np.uint8)
+            v = np.roll(grad[::-1], dy, axis=0)[::2, ::2].astype(np.uint8)
             sink.write((y, u, v))
     finally:
         sink.close()
 
 
-def run_soak(frames: int, w: int, h: int, keep: bool = False) -> dict:
+def run_soak(frames: int, w: int, h: int, keep: bool = False,
+             encoder: str = "y4m") -> dict:
     src = f"/tmp/soak_in_{w}x{h}_{frames}.mp4"
-    dst = "/tmp/soak_out.mp4"
+    # Default sink is raw y4m: the soak measures THIS framework's
+    # sustained pipeline (decode -> analyse -> warp -> write), not
+    # x264's single-core speed. Pass --encoder libx264 to include the
+    # encoder in the loop. (On this 1-vCPU dev box, x264 and even the
+    # ~117 MB/s device tunnel dominate; neither exists on a real TPU
+    # host.)
+    dst = "/tmp/soak_out.y4m" if encoder == "y4m" else "/tmp/soak_out.mp4"
     if not os.path.exists(src):
         t0 = time.time()
         make_input(src, frames, w, h)
@@ -81,6 +97,8 @@ def run_soak(frames: int, w: int, h: int, keep: bool = False) -> dict:
             "-s", str(half * half_frames / 30.0),
             "-d", str(half_frames / 30.0),
         ]
+        if encoder != "y4m":
+            args += ["--encoder", encoder]
         t0 = time.time()
         r = subprocess.run(args, env=env, capture_output=True, text=True)
         dt = time.time() - t0
@@ -113,9 +131,12 @@ def main(argv=None) -> int:
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1440)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--encoder", default="y4m",
+                    help="y4m (raw sink, default: measures the pipeline) "
+                         "or a libav encoder name (adds it to the loop)")
     args = ap.parse_args(argv)
     print(json.dumps(run_soak(args.frames, args.width, args.height,
-                              keep=args.keep)))
+                              keep=args.keep, encoder=args.encoder)))
     return 0
 
 

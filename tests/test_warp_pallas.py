@@ -672,3 +672,53 @@ def test_pallas_four_tap_yuv_batch():
         got_y = np.asarray(batch[i][0]).astype(np.float64)
         # uint8 rounding: allow 1 count plus the kernel/oracle float gap.
         assert np.abs(got_y - np.clip(np.round(ref_y), 0, 255)).max() <= 1.0
+
+
+def test_similarity_rides_fused_kernel():
+    """The vidstab family's 2D similarity is a 3x3 homogeneous matrix:
+    over identity pinhole cameras the rotation kernel computes exactly
+    M @ (x, y, 1). Luma must match warp_frame_similarity to rounding;
+    chroma matches except the partial-tap border band (the kernel blends
+    window-edge taps toward 0 — cv::remap BORDER_CONSTANT, like the
+    reference — while the XLA path blends toward neutral 128)."""
+    from video_annotator_tpu.models.similarity import (
+        SimilarityWarper,
+        warp_frame_similarity,
+    )
+    from video_annotator_tpu.ops.warp_pallas import warp_yuv_batch_pallas
+
+    rng = np.random.default_rng(3)
+    w, h = 192, 144
+    corr = np.stack([
+        [4.0, -3.0, 0.02, 0.01],
+        [-5.0, 2.5, -0.015, -0.02],
+    ])
+    warper = SimilarityWarper(w, h, corr)
+    mk = lambda hh, ww: jnp.asarray(  # noqa: E731
+        rng.integers(0, 255, (hh, ww), dtype=np.uint8)
+    )
+    ys = [mk(h, w) for _ in range(2)]
+    us = [mk(h // 2, w // 2) for _ in range(2)]
+    vs = [mk(h // 2, w // 2) for _ in range(2)]
+    mats = jnp.asarray(SimilarityWarper.matrices(corr))
+    outs = warp_yuv_batch_pallas(
+        ys, us, vs, mats, warper.plan_y, warper.cam, warper.cam,
+        warper.plan_c, warper.cam_c, warper.cam_c, interpret=True,
+    )
+    for i in range(2):
+        ry, ru, rv = warp_frame_similarity(
+            ys[i].astype(jnp.float32), us[i].astype(jnp.float32),
+            vs[i].astype(jnp.float32), jnp.asarray(corr[i], jnp.float32),
+        )
+        got_y = np.asarray(outs[i][0]).astype(np.float64)
+        ref_y = np.clip(np.round(np.asarray(ry)), 0, 255)
+        np.testing.assert_allclose(got_y, ref_y, atol=1.0)
+        for got, ref in ((outs[i][1], ru), (outs[i][2], rv)):
+            g = np.asarray(got).astype(np.float64)
+            r = np.clip(np.round(np.asarray(ref)), 0, 255)
+            d = np.abs(g - r)
+            # Interior must match; the border band (partial taps) may
+            # differ by the 0-vs-128 blend direction on < 3% of pixels.
+            assert (d > 1).mean() < 0.03, (d > 1).mean()
+            interior = d[4:-4, 4:-4]
+            assert interior.max() <= 1.0, interior.max()

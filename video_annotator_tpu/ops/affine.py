@@ -96,6 +96,28 @@ def invert_similarity(p: jax.Array) -> jax.Array:
     return jnp.stack([ndx, ndy, -ang, -ls])
 
 
+def similarity_matrix(params: jax.Array) -> jax.Array:
+    """(4,) (dx, dy, angle, log_scale) -> 3x3 homogeneous pixel matrix.
+
+    ``M @ (x, y, 1)`` equals the source coordinates
+    :func:`warp_similarity` samples — which lets the similarity family
+    ride the fused Pallas rotation kernel unchanged: over identity
+    pinhole cameras (f=1, c=0) the kernel computes exactly
+    ``M @ (x, y, 1)`` with a perspective divide by the constant 1
+    (``ops/warp_pallas._make_kernel``'s rectilinear path).
+    """
+    dx, dy, ang, ls = params[0], params[1], params[2], params[3]
+    s = jnp.exp(ls)
+    ca, sa = s * jnp.cos(ang), s * jnp.sin(ang)
+    z = jnp.zeros_like(dx)
+    o = jnp.ones_like(dx)
+    return jnp.stack([
+        jnp.stack([ca, -sa, dx]),
+        jnp.stack([sa, ca, dy]),
+        jnp.stack([z, z, o]),
+    ])
+
+
 @functools.partial(jax.jit, static_argnames=("out_size", "interp"))
 def warp_similarity(
     image: jax.Array,  # (H, W)

@@ -347,6 +347,7 @@ def plan_warp(
     trip_group: int | None = None,
     split_acc: bool | None = None,
     interp: str = "bilinear",
+    probe_mats=None,
 ) -> WarpPlan:
     """Choose static window sizes by probing the map over worst-case rotations.
 
@@ -354,6 +355,12 @@ def plan_warp(
     (``max_correction_deg`` bounds the per-frame stabilization correction)
     and measures the maximum source extent of any (8, 128) output tile plus
     how far true extrema escape the sub-tile sampled bounds.
+
+    ``probe_mats`` overrides the probe set with explicit 3x3 matrices
+    (identity is always added). The similarity/vidstab family plans with
+    its clip's actual correction extremes expressed as homogeneous
+    pixel-space matrices over identity cameras — the same kernel then
+    serves affine warps (``models/similarity.py``).
     """
     import os
     if trip_group is None:
@@ -368,12 +375,15 @@ def plan_warp(
     out_h = _round_up(crop_h, TILE_H)
     out_w = _round_up(crop_w, TILE_W)
 
-    ang = math.radians(max_correction_deg)
-    probes = [np.eye(3)]
-    for axis in ([ang, 0, 0], [0, ang, 0], [0, 0, ang],
-                 [-ang, 0, 0], [0, -ang, 0], [0, 0, -ang],
-                 [ang / 1.7, ang / 1.7, ang / 1.7]):
-        probes.append(_rodrigues_np(np.asarray(axis, np.float64)))
+    if probe_mats is not None:
+        probes = [np.eye(3)] + [np.asarray(p, np.float64) for p in probe_mats]
+    else:
+        ang = math.radians(max_correction_deg)
+        probes = [np.eye(3)]
+        for axis in ([ang, 0, 0], [0, ang, 0], [0, 0, ang],
+                     [-ang, 0, 0], [0, -ang, 0], [0, 0, -ang],
+                     [ang / 1.7, ang / 1.7, ang / 1.7]):
+            probes.append(_rodrigues_np(np.asarray(axis, np.float64)))
 
     ny, nx = out_h // TILE_H, out_w // TILE_W
     span_x_t = np.zeros((ny, nx))  # per-tile source spans, max over probes
