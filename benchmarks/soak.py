@@ -73,9 +73,11 @@ def run_soak(frames: int, w: int, h: int, keep: bool = False,
     # Default sink is raw y4m: the soak measures THIS framework's
     # sustained pipeline (decode -> analyse -> warp -> write), not
     # x264's single-core speed. Pass --encoder libx264 to include the
-    # encoder in the loop. (On this 1-vCPU dev box, x264 and even the
-    # ~117 MB/s device tunnel dominate; neither exists on a real TPU
-    # host.)
+    # encoder in the loop. NOTE on the dev box: the device tunnel moves
+    # ~35 MB/s each way (a real TPU host's PCIe does GB/s), so the
+    # per-frame upload+readback caps this soak at a few fps there —
+    # the numbers validate STABILITY (no leaks/drift/crashes), not
+    # throughput; see bench.py / benchmarks/run.py for device rates.
     dst = "/tmp/soak_out.y4m" if encoder == "y4m" else "/tmp/soak_out.mp4"
     if not os.path.exists(src):
         t0 = time.time()
@@ -127,7 +129,7 @@ def run_soak(frames: int, w: int, h: int, keep: bool = False,
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=2000)
+    ap.add_argument("--frames", type=int, default=600)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1440)
     ap.add_argument("--keep", action="store_true")
