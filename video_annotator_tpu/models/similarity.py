@@ -231,8 +231,6 @@ class SimilarityWarper:
 
     def __init__(self, width: int, height: int, corrections: np.ndarray,
                  interp: str = "bilinear"):
-        import itertools
-
         from video_annotator_tpu.camera import Camera, CameraModel
         from video_annotator_tpu.ops.warp_pallas import plan_warp
 
@@ -259,7 +257,20 @@ class SimilarityWarper:
             return np.array([[ca, -sa, dx * s], [sa, ca, dy * s],
                              [0.0, 0.0, 1.0]])
 
-        combos = list(itertools.product(*zip(lo, hi)))
+        # Probe set: translation shifts the whole map uniformly — it
+        # moves each tile's window ORIGIN (computed per frame by the
+        # origin pass) but not its source SPAN, which is what the plan
+        # sizes. So probe every (angle, zoom) corner, pairing each with
+        # both translation extremes (translation only matters through
+        # the out-of-image clipping at borders): 9 probes instead of
+        # the full 16-corner product — planning is a ~60 s full-res f64
+        # pass per extra probe at 4K on one host core.
+        combos = [
+            (dx, dy, ang, ls)
+            for ang in (lo[2], hi[2])
+            for ls in (lo[3], hi[3])
+            for dx, dy in ((lo[0], lo[1]), (hi[0], hi[1]))
+        ]
         self.plan_y = plan_warp(
             self.cam, self.cam, out_size=(self.out_h, self.out_w),
             interp=interp, probe_mats=[mat(p, 1.0) for p in combos],
