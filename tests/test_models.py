@@ -169,3 +169,55 @@ def test_2d_families_analysis_scale_matches_full():
     full_d = analyse_deshake(src, RenderOptions())
     half_d = analyse_deshake(src, RenderOptions(analysis_scale=0.5))
     np.testing.assert_allclose(half_d.params, full_d.params, atol=1.5)
+
+
+def test_deshake_shift_matches_gather_semantics():
+    """The axis-wise-take translation warp must equal the original
+    per-pixel bilinear_sample formulation (BORDER_CONSTANT zeros for the
+    planes, replicate-edge for the blurred background fill) to float
+    rounding, at integer, fractional and fully-out-of-frame offsets."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_annotator_tpu.models.deshake import (
+        _gauss_blur,
+        warp_frame_deshake,
+    )
+    from video_annotator_tpu.ops.warp_xla import bilinear_sample
+
+    def oracle_shift(img, off, fill_blur):
+        h, w = img.shape
+        ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + off[1]
+        xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + off[0]
+        out = bilinear_sample(img, jnp.stack([xs, ys], axis=-1))
+        if fill_blur:
+            inside = (
+                (xs >= 0) & (xs <= w - 1) & (ys >= 0) & (ys <= h - 1)
+            ).astype(jnp.float32)
+            bg = _gauss_blur(img)
+            xc = jnp.clip(xs, 0, w - 1)
+            yc = jnp.clip(ys, 0, h - 1)
+            bg_s = bilinear_sample(bg, jnp.stack([xc, yc], axis=-1))
+            out = inside * out + (1.0 - inside) * bg_s
+        return out
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(np.round(rng.uniform(0, 255, (96, 128))).astype(np.float32))
+    u = jnp.asarray(np.round(rng.uniform(0, 255, (48, 64))).astype(np.float32))
+    v = jnp.asarray(np.round(rng.uniform(0, 255, (48, 64))).astype(np.float32))
+    for off in ([3.7, -2.3], [0.0, 0.0], [-17.5, 11.25], [200.0, -300.0]):
+        offj = jnp.asarray(off, jnp.float32)
+        wy, wu, wv = warp_frame_deshake(y, u, v, offj)
+        np.testing.assert_allclose(
+            np.asarray(wy), np.asarray(oracle_shift(y, offj, True)), atol=5e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(wu),
+            np.asarray(oracle_shift(u - 128.0, offj * 0.5, False) + 128.0),
+            atol=5e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(wv),
+            np.asarray(oracle_shift(v - 128.0, offj * 0.5, False) + 128.0),
+            atol=5e-3,
+        )
