@@ -301,3 +301,13 @@ class SimilarityWarper:
             ys, us, vs, mats, self.plan_y, self.cam, self.cam,
             self.plan_c, self.cam_c, self.cam_c,
         )
+
+    def warp_yuv(self, y, u, v, mat):
+        """Single-frame fused warp (uint8 planes) — the compare grid's
+        per-cell path."""
+        from video_annotator_tpu.ops.warp_pallas import warp_yuv_pallas
+
+        return warp_yuv_pallas(
+            y, u, v, mat, self.plan_y, self.cam, self.cam,
+            self.plan_c, self.cam_c, self.cam_c,
+        )

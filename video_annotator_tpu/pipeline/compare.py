@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -191,6 +192,22 @@ def render_compare(
                          prefilter=options.prefilter == "auto",
                          interp=options.interp)
 
+    # Similarity cells ride the fused Pallas kernel on TPU like the
+    # encode path does (models/similarity.py:SimilarityWarper) — the
+    # per-pixel gather fallback costs ~245 ms/frame at 4K per cell. All
+    # corrections are known before the loop, so plans probe them.
+    sim_warpers = {}
+    if jax.default_backend() not in ("cpu",):
+        from video_annotator_tpu.models.similarity import SimilarityWarper
+
+        for i, (fam, corr) in enumerate(per_mode):
+            if fam == "similarity":
+                sim_warpers[i] = (
+                    SimilarityWarper(meta.width, meta.height, corr,
+                                     interp=options.interp),
+                    SimilarityWarper.matrices(corr).astype(np.float32),
+                )
+
     rows, cols = comparison_grid_size(len(modes))
     cell_h = warper.out_h - warper.out_h % 2
     cell_w = warper.out_w - warper.out_w % 2
@@ -243,10 +260,15 @@ def render_compare(
                 yj = jnp.asarray(y, jnp.float32)
                 uj = jnp.asarray(u, jnp.float32)
                 vj = jnp.asarray(v, jnp.float32)
-                for fam, corr in per_mode:
+                for i, (fam, corr) in enumerate(per_mode):
                     if fam == "rotation":
                         rot = jnp.asarray(corr[t], jnp.float32)
                         wy, wu, wv = warper(yj, uj, vj, rot)
+                    elif fam == "similarity" and i in sim_warpers:
+                        sw, mats = sim_warpers[i]
+                        wy, wu, wv = sw.warp_yuv(
+                            yj, uj, vj, jnp.asarray(mats[t])
+                        )
                     elif fam == "similarity":
                         from video_annotator_tpu.models.similarity import (
                             warp_frame_similarity,
