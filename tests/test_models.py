@@ -1,5 +1,8 @@
 """Similarity (vidstab) and deshake model family tests."""
 
+import os
+import tempfile
+
 import numpy as np
 import pytest
 
@@ -221,3 +224,50 @@ def test_deshake_shift_matches_gather_semantics():
             np.asarray(oracle_shift(v - 128.0, offj * 0.5, False) + 128.0),
             atol=5e-3,
         )
+
+
+def test_similarity_upsample_folds_scale():
+    """--upsample with the vidstab family grows the canvas and upscales
+    content in the SAME single resample (the reference inserts a scale
+    filter before its 2D chain, src/cli.ts:46-51): with stabilise=none
+    the output equals a pixel-center bilinear upscale of the input."""
+    import subprocess
+    import sys
+
+    import cv2
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    dest = os.path.join(tempfile.mkdtemp(), "up.y4m")
+    r = subprocess.run(
+        [sys.executable, "-m", "video_annotator_tpu", "render",
+         "synthetic://shaky?w=192&h=144&n=4", dest,
+         "--filter", "vidstab", "--stabilise", "none", "--upsample", "50"],
+        env=env, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    d = open(dest, "rb").read()
+    hdr = d[: d.index(b"\n")].decode()
+    assert "W288 H216" in hdr, hdr
+    i = d.index(b"FRAME")
+    j = d.index(b"\n", i) + 1
+    y_up = np.frombuffer(d[j : j + 288 * 216], np.uint8).reshape(216, 288)
+
+    from video_annotator_tpu.io.video import open_reader
+
+    y0 = next(iter(open_reader("synthetic://shaky?w=192&h=144&n=4")))[0]
+    ref = cv2.resize(np.asarray(y0), (288, 216),
+                     interpolation=cv2.INTER_LINEAR)
+    diff = np.abs(y_up.astype(int) - ref.astype(int))
+    assert diff.mean() < 1.5, diff.mean()
+
+
+def test_deshake_upsample_rejected():
+    """Translation-only deshake cannot scale; --upsample must error, not
+    silently ignore."""
+    from video_annotator_tpu.pipeline.render import RenderOptions, render
+
+    with pytest.raises(ValueError, match="upsample"):
+        render("synthetic://shaky?w=96&h=64&n=4", None,
+               RenderOptions(filter="deshake", upsample=25.0,
+                             stabilise="smooth", stabilise_radius=2))

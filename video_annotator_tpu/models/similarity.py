@@ -195,17 +195,26 @@ def similarity_corrections(traj: Trajectory, options) -> np.ndarray:
     return np.asarray(sample)
 
 
-def warp_frame_similarity(y, u, v, sample_params, interp="bilinear"):
+def warp_frame_similarity(y, u, v, sample_params, interp="bilinear",
+                          out_size=None):
     """Warp YUV planes by a similarity sampling transform.
 
     The reference's vidstabtransform asks for bicubic interpolation
     (``src/render.ts:571``) — pass ``interp='bicubic'`` (CLI
     ``--filter vidstab --interp bicubic``) for that exact behavior.
+    ``out_size`` (h, w) grows the canvas (the --upsample fold:
+    ``pipeline/render.py:encode_2d`` shrinks the sampling log-scale by
+    log(1 + upsample/100) to match).
     """
     half = sample_params * jnp.asarray([0.5, 0.5, 1.0, 1.0])
-    wy = warp_similarity(y, sample_params, interp=interp)
-    wu = warp_similarity(u - 128.0, half, interp=interp) + 128.0
-    wv = warp_similarity(v - 128.0, half, interp=interp) + 128.0
+    half_size = (
+        None if out_size is None else (out_size[0] // 2, out_size[1] // 2)
+    )
+    wy = warp_similarity(y, sample_params, interp=interp, out_size=out_size)
+    wu = warp_similarity(u - 128.0, half, interp=interp,
+                         out_size=half_size) + 128.0
+    wv = warp_similarity(v - 128.0, half, interp=interp,
+                         out_size=half_size) + 128.0
     return wy, wu, wv
 
 
@@ -230,12 +239,17 @@ class SimilarityWarper:
     """
 
     def __init__(self, width: int, height: int, corrections: np.ndarray,
-                 interp: str = "bilinear"):
+                 interp: str = "bilinear", out_size=None):
         from video_annotator_tpu.camera import Camera, CameraModel
         from video_annotator_tpu.ops.warp_pallas import plan_warp
 
-        self.out_w = width - width % 2
-        self.out_h = height - height % 2
+        if out_size is not None:
+            # --upsample fold: a larger canvas whose sampling transforms
+            # already carry the shrunken log-scale (encode_2d).
+            self.out_h, self.out_w = out_size
+        else:
+            self.out_w = width - width % 2
+            self.out_h = height - height % 2
         self.cam = Camera.make(1.0, 1.0, 0.0, 0.0, width, height,
                                CameraModel.RECTILINEAR)
         # f=0.5, c=0: chroma coordinate x_c unprojects to 2*x_c and the

@@ -1064,12 +1064,41 @@ def encode_2d(
 
     prof = profiler or StageProfiler()
     reader, meta, first, last = open_trimmed(source, options)
+    # --upsample: the reference scales the video BEFORE its 2D filter
+    # chain (``src/cli.ts:46-51``). A similarity absorbs the scale
+    # EXACTLY — M @ diag(1/s, 1/s, 1) is still a similarity (same
+    # dx/dy/angle, log_scale - log s) — so the canvas grows and content
+    # upscales in the same single resample. Translation-only deshake
+    # cannot express scale; reject rather than silently ignore.
+    up = 1.0 + (options.upsample or 0.0) / 100.0
+    if up != 1.0 and traj.kind != "similarity":
+        raise ValueError(
+            "--upsample with --filter deshake is not supported (a "
+            "translation-only warp cannot scale); use the similarity or "
+            "rotation family"
+        )
+    out_w = int(meta.width * up) // 2 * 2
+    out_h = int(meta.height * up) // 2 * 2
     if traj.kind == "similarity":
         corrections = similarity_corrections(traj, options)
+        if up != 1.0:
+            # Compose with the pixel-center-correct upscale sampler
+            # x_src = (x + 0.5)/s - 0.5 (ffmpeg's scale-filter siting):
+            # a pure similarity (translation c, log-scale -log s).
+            from video_annotator_tpu.ops.affine import compose_similarity
+
+            c = 0.5 * (1.0 / up - 1.0)
+            t_up = jnp.asarray([c, c, 0.0, -np.log(up)], jnp.float32)
+            corrections = np.asarray(
+                jax.vmap(lambda p: compose_similarity(p, t_up))(
+                    jnp.asarray(corrections, jnp.float32)
+                )
+            )
         import functools as _ft
 
         warp = jax.jit(
-            _ft.partial(warp_frame_similarity, interp=options.interp)
+            _ft.partial(warp_frame_similarity, interp=options.interp,
+                        out_size=(out_h, out_w))
         )
     elif traj.kind == "translation":
         corrections = deshake_corrections(traj, options)
@@ -1078,8 +1107,8 @@ def encode_2d(
         raise ValueError(f"encode_2d cannot handle kind {traj.kind!r}")
 
     out_meta = VideoMeta(
-        width=meta.width - meta.width % 2,
-        height=meta.height - meta.height % 2,
+        width=out_w,
+        height=out_h,
         fps=Fraction(options.frame_rate).limit_denominator(1001)
         if options.frame_rate
         else meta.fps,
@@ -1115,7 +1144,8 @@ def encode_2d(
         from video_annotator_tpu.models.similarity import SimilarityWarper
 
         pwarper = SimilarityWarper(meta.width, meta.height, corrections,
-                                   interp=options.interp)
+                                   interp=options.interp,
+                                   out_size=(out_h, out_w))
         mats = SimilarityWarper.matrices(corrections)
         _batched_encode_loop(reader, writer, mats, pwarper.warp_yuv_batch,
                              options, prof, first, last, traj.num_frames)
@@ -1131,11 +1161,13 @@ def encode_2d(
                 continue
             if idx >= last or t >= corrections.shape[0]:
                 break
+            in_h2 = meta.height - meta.height % 2
+            in_w2 = meta.width - meta.width % 2
             with prof.stage("warp"):
                 wy, wu, wv = warp(
-                    jnp.asarray(y[: out_meta.height, : out_meta.width], jnp.float32),
-                    jnp.asarray(u[: out_meta.height // 2, : out_meta.width // 2], jnp.float32),
-                    jnp.asarray(v[: out_meta.height // 2, : out_meta.width // 2], jnp.float32),
+                    jnp.asarray(y[:in_h2, :in_w2], jnp.float32),
+                    jnp.asarray(u[: in_h2 // 2, : in_w2 // 2], jnp.float32),
+                    jnp.asarray(v[: in_h2 // 2, : in_w2 // 2], jnp.float32),
                     jnp.asarray(corrections[t], jnp.float32),
                 )
                 cast = lambda p: np.clip(np.round(np.asarray(p)), 0, 255).astype(np.uint8)  # noqa: E731
