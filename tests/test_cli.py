@@ -2,6 +2,8 @@
 (``src/cli.ts:34-178``), including the time parser that fixes the
 reference's ``=== NaN`` bug (``src/utils.ts:13-19``)."""
 
+import os
+
 import numpy as np
 
 from video_annotator_tpu.cli import _parse_time, _render_options, build_parser
@@ -82,3 +84,30 @@ def test_probe_video_and_telemetry(tmp_path):
     assert out["tracks"][0]["name"] == "GoPro MET"
     assert out["gpmf"]["gyro"]["samples"] == 160
     assert out["gpmf"]["accl"]["samples"] == 80
+
+
+def test_crop_rect_and_border_crop(tmp_path):
+    """--crop takes BOTH forms: bare (auto border crop) and the
+    reference's ffmpeg crop-filter rectangle W:H[:X:Y]
+    (src/cli.ts:71-75, applied in the output configuration for every
+    family, src/render.ts:288-292)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    dest = str(tmp_path / "c.y4m")
+    r = subprocess.run(
+        [sys.executable, "-m", "video_annotator_tpu", "render",
+         "synthetic://shaky?w=192&h=144&n=3", dest,
+         "--crop", "100:80:10:12", "--stabilise", "none"],
+        env=env, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-1200:]
+    hdr = open(dest, "rb").read(40).decode(errors="replace")
+    assert "W100 H80" in hdr, hdr
+    # centered default x/y + even rounding
+    from video_annotator_tpu.pipeline.render import parse_crop_rect
+
+    assert parse_crop_rect("100:80", 192, 144) == (80, 100, 32, 46)
+    assert parse_crop_rect("101:81:3:5", 192, 144) == (80, 100, 4, 2)

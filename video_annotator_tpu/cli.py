@@ -80,8 +80,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Mip-prefilter minifying inputs before the warp "
                         "(antialias + faster kernel; off = exact bilinear "
                         "like the reference)")
-    r.add_argument("--crop", dest="crop_borders", action="store_true",
-                   help="Crop borders to the fully-covered region")
+    # Bare --crop: auto-crop borders to the fully-covered region (the
+    # native engine's crop_borders). --crop W:H[:X:Y]: output crop
+    # rectangle in ffmpeg crop-filter syntax, X/Y defaulting to centered
+    # — the reference forwards the value to `crop=` (src/cli.ts:71-75,
+    # src/render.ts:288-292).
+    r.add_argument("--crop", dest="crop", nargs="?", const=True,
+                   default=None, metavar="W:H[:X:Y]",
+                   help="Bare flag: crop borders to the fully-covered "
+                        "region; with a value: output crop rectangle "
+                        "(ffmpeg crop-filter syntax)")
     r.add_argument("--filter", default="rotation",
                    choices=["rotation", "similarity", "deshake", "dewobble",
                             "vidstab", "deshake_opencl"],
@@ -246,7 +254,12 @@ def _render_options(args) -> "RenderOptions":
         width=getattr(args, "width", None),
         height=getattr(args, "height", None),
         scale=getattr(args, "scale", 1.0),
-        crop_borders=getattr(args, "crop_borders", False),
+        crop_borders=getattr(args, "crop", None) is True,
+        crop_rect=(
+            getattr(args, "crop", None)
+            if isinstance(getattr(args, "crop", None), str)
+            else None
+        ),
         upsample=getattr(args, "upsample", 0.0),
         roll=getattr(args, "roll", 0.0),
         pitch=getattr(args, "pitch", 0.0),

@@ -212,8 +212,13 @@ def render_compare(
     cell_h = warper.out_h - warper.out_h % 2
     cell_w = warper.out_w - warper.out_w % 2
     out_meta = VideoMeta(cell_w * cols, cell_h * rows, meta.fps, num_frames)
-    writer = open_writer(None if options.no_output else dest, out_meta,
+    from video_annotator_tpu.pipeline.render import CropSink, apply_crop_rect
+
+    write_meta, crop_r = apply_crop_rect(out_meta, options)
+    writer = open_writer(None if options.no_output else dest, write_meta,
                          encoder=options.encoder)
+    if crop_r:
+        writer = CropSink(writer, crop_r)
 
     def fit(p, h, w):
         """Center-crop/zero-pad a plane to the cell size (other families

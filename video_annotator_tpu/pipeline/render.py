@@ -99,6 +99,9 @@ class RenderOptions:
     height: Optional[int] = None
     scale: float = 1.0
     crop_borders: bool = False
+    # --crop W:H[:X:Y] — output crop rectangle (ffmpeg crop-filter
+    # syntax; the reference forwards it to `crop=`, src/cli.ts:71-75).
+    crop_rect: Optional[str] = None
     upsample: float = 0.0  # percent
     # camera attitude (degrees; src/cli.ts:46-63)
     roll: float = 0.0
@@ -246,6 +249,65 @@ def open_trimmed(source: str, o) -> tuple:
     if not hasattr(reader, "start_frame"):
         reader.start_frame = 0
     return reader, meta, first, last
+
+
+def parse_crop_rect(spec: str, width: int, height: int):
+    """Parse the reference's ``--crop`` value — ffmpeg crop-filter syntax
+    ``w:h[:x:y]`` (``src/cli.ts:71-75``; applied as ``crop=${crop}`` in
+    its output configuration for every family,
+    ``src/render.ts:288-292``). x/y default to centered like the crop
+    filter; values clamp inside the frame and round to even for 4:2:0.
+    """
+    parts = [p for p in str(spec).split(":") if p != ""]
+    if not parts:
+        raise ValueError(f"empty --crop value {spec!r}")
+    cw = int(parts[0])
+    ch = int(parts[1]) if len(parts) > 1 else height
+    cw = max(2, min(cw, width))
+    ch = max(2, min(ch, height))
+    cw -= cw % 2
+    ch -= ch % 2
+    cx = int(parts[2]) if len(parts) > 2 else (width - cw) // 2
+    cy = int(parts[3]) if len(parts) > 3 else (height - ch) // 2
+    cx = max(0, min(cx, width - cw))
+    cy = max(0, min(cy, height - ch))
+    cx -= cx % 2
+    cy -= cy % 2
+    return ch, cw, cy, cx
+
+
+class CropSink:
+    """Output-rect crop applied at the frame sink (the reference's
+    ``crop=`` output filter) — slices every written YUV triple."""
+
+    def __init__(self, sink, rect):
+        self._sink = sink
+        self._ch, self._cw, self._cy, self._cx = rect
+
+    def write(self, planes):
+        y, u, v = (np.asarray(p) for p in planes)
+        ch, cw, cy, cx = self._ch, self._cw, self._cy, self._cx
+        self._sink.write((
+            y[cy:cy + ch, cx:cx + cw],
+            u[cy // 2:(cy + ch) // 2, cx // 2:(cx + cw) // 2],
+            v[cy // 2:(cy + ch) // 2, cx // 2:(cx + cw) // 2],
+        ))
+
+    def close(self):
+        self._sink.close()
+
+
+def apply_crop_rect(out_meta: VideoMeta, options):
+    """(cropped VideoMeta, rect-or-None) for the --crop W:H[:X:Y] form."""
+    spec = getattr(options, "crop_rect", None)
+    if not spec:
+        return out_meta, None
+    rect = parse_crop_rect(spec, out_meta.width, out_meta.height)
+    ch, cw, _, _ = rect
+    return (
+        VideoMeta(cw, ch, out_meta.fps, out_meta.num_frames),
+        rect,
+    )
 
 
 def build_cameras(meta: VideoMeta, o: RenderOptions):
@@ -923,9 +985,12 @@ def encode(
     )
     from video_annotator_tpu.io.prefetch import AsyncFrameWriter
 
-    sink = open_writer(None if options.no_output else dest, out_meta,
+    write_meta, crop_r = apply_crop_rect(out_meta, options)
+    sink = open_writer(None if options.no_output else dest, write_meta,
                        encoder=options.encoder,
                        **_passthrough_kwargs(source, meta, options))
+    if crop_r:
+        sink = CropSink(sink, crop_r)
     if options.debug:
         from video_annotator_tpu.pipeline.debug import (
             DebugOverlayWriter,
@@ -1114,9 +1179,12 @@ def encode_2d(
         else meta.fps,
         num_frames=traj.num_frames,
     )
-    writer = open_writer(None if options.no_output else dest, out_meta,
+    write_meta, crop_r = apply_crop_rect(out_meta, options)
+    writer = open_writer(None if options.no_output else dest, write_meta,
                          encoder=options.encoder,
                          **_passthrough_kwargs(source, meta, options))
+    if crop_r:
+        writer = CropSink(writer, crop_r)
     if options.debug:
         from video_annotator_tpu.pipeline.debug import DebugOverlayWriter
 

@@ -113,9 +113,14 @@ def render_streaming(
     )
     from video_annotator_tpu.io.prefetch import AsyncFrameWriter, DevicePrefetcher
 
-    sink = open_writer(None if options.no_output else dest, out_meta,
+    from video_annotator_tpu.pipeline.render import CropSink, apply_crop_rect
+
+    write_meta, crop_r = apply_crop_rect(out_meta, options)
+    sink = open_writer(None if options.no_output else dest, write_meta,
                        encoder=options.encoder,
                        **_passthrough_kwargs(source, meta, options))
+    if crop_r:
+        sink = CropSink(sink, crop_r)
     overlay = None
     if options.debug:
         # Single-pass mode discovers corrections per batch, so the HUD is
