@@ -10,7 +10,7 @@ and reports sustained throughput, first-half vs second-half drift and
 peak RSS. It is the long-run stability check the reference exercises
 only implicitly by processing whole matches (``concat.sh:221-283``).
 
-    python benchmarks/soak.py [--frames 2000] [--width 1920 --height 1440]
+    python benchmarks/soak.py [--frames 600] [--width 1920 --height 1440]
 
 Prints one JSON line:
 
@@ -86,6 +86,11 @@ def run_soak(frames: int, w: int, h: int, keep: bool = False,
               f"({os.path.getsize(src) / 1e6:.0f} MB)", file=sys.stderr)
 
     env = dict(os.environ)
+    # The render children import the package by module name; make sure
+    # the repo root reaches them even when soak.py is launched from
+    # elsewhere without PYTHONPATH.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     # Halves: two timed renders over the first and second half of the
     # clip via trim seeks — catches slow drift (leaks, allocator
     # fragmentation, tunnel decay) that a single average hides.

@@ -238,6 +238,26 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _validated_crop(value):
+    """Validate --crop's optional value at option-build time.
+
+    nargs="?" means a following positional can be swallowed as the crop
+    value (`render --crop in.mp4 out.y4m`); failing fast with the
+    expected syntax beats decoding the wrong file or erroring after a
+    whole analyse phase."""
+    import re as _re
+
+    if value is None or value is True:
+        return None
+    if not _re.fullmatch(r"\d+:\d+(:\d+(:\d+)?)?", value):
+        raise SystemExit(
+            f"--crop value {value!r} is not W:H[:X:Y] (ffmpeg crop-filter "
+            "syntax); for the bare border-crop flag, put --crop after the "
+            "source/dest paths"
+        )
+    return value
+
+
 def _render_options(args) -> "RenderOptions":
     from video_annotator_tpu.camera import CameraPreset
     from video_annotator_tpu.io.video import default_encoder
@@ -255,11 +275,7 @@ def _render_options(args) -> "RenderOptions":
         height=getattr(args, "height", None),
         scale=getattr(args, "scale", 1.0),
         crop_borders=getattr(args, "crop", None) is True,
-        crop_rect=(
-            getattr(args, "crop", None)
-            if isinstance(getattr(args, "crop", None), str)
-            else None
-        ),
+        crop_rect=_validated_crop(getattr(args, "crop", None)),
         upsample=getattr(args, "upsample", 0.0),
         roll=getattr(args, "roll", 0.0),
         pitch=getattr(args, "pitch", 0.0),

@@ -11,7 +11,6 @@ family uses, and warps with the inverse correction.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax
@@ -264,13 +263,6 @@ class SimilarityWarper:
         pad = np.array([2.0, 2.0, 0.005, 0.01]) + 0.05 * (hi - lo)
         lo, hi = lo - pad, hi + pad
 
-        def mat(p, s):
-            dx, dy, ang, ls = p
-            sc = math.exp(ls)
-            ca, sa = sc * math.cos(ang), sc * math.sin(ang)
-            return np.array([[ca, -sa, dx * s], [sa, ca, dy * s],
-                             [0.0, 0.0, 1.0]])
-
         # Probe set: translation shifts the whole map uniformly — it
         # moves each tile's window ORIGIN (computed per frame by the
         # origin pass) but not its source SPAN, which is what the plan
@@ -279,20 +271,24 @@ class SimilarityWarper:
         # the out-of-image clipping at borders): 9 probes instead of
         # the full 16-corner product — planning is a ~60 s full-res f64
         # pass per extra probe at 4K on one host core.
-        combos = [
+        combos = np.asarray([
             (dx, dy, ang, ls)
             for ang in (lo[2], hi[2])
             for ls in (lo[3], hi[3])
             for dx, dy in ((lo[0], lo[1]), (hi[0], hi[1]))
-        ]
+        ])
+        # Probe matrices come from the SAME params->matrix mapping the
+        # runtime uses (ops/affine.similarity_matrix via matrices()) so
+        # plan and kernel can never desynchronize.
+        probe_mats = list(self.matrices(combos).astype(np.float64))
         self.plan_y = plan_warp(
             self.cam, self.cam, out_size=(self.out_h, self.out_w),
-            interp=interp, probe_mats=[mat(p, 1.0) for p in combos],
+            interp=interp, probe_mats=probe_mats,
         )
         self.plan_c = plan_warp(
             self.cam_c, self.cam_c,
             out_size=(self.out_h // 2, self.out_w // 2),
-            interp=interp, probe_mats=[mat(p, 1.0) for p in combos],
+            interp=interp, probe_mats=probe_mats,
         )
 
     @staticmethod

@@ -280,7 +280,8 @@ def render_compare(
                         )
 
                         wy, wu, wv = warp_frame_similarity(
-                            yj, uj, vj, jnp.asarray(corr[t], jnp.float32)
+                            yj, uj, vj, jnp.asarray(corr[t], jnp.float32),
+                            interp=options.interp,
                         )
                     else:
                         from video_annotator_tpu.models.deshake import (

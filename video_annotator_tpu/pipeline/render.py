@@ -989,8 +989,6 @@ def encode(
     sink = open_writer(None if options.no_output else dest, write_meta,
                        encoder=options.encoder,
                        **_passthrough_kwargs(source, meta, options))
-    if crop_r:
-        sink = CropSink(sink, crop_r)
     if options.debug:
         from video_annotator_tpu.pipeline.debug import (
             DebugOverlayWriter,
@@ -1014,6 +1012,11 @@ def encode(
             t: f"frame {t}  correction {corr_deg[t]:.2f} deg"
             for t in range(len(corr_deg))
         }
+    if crop_r:
+        # Crop BEFORE the debug overlay draws (outermost wrapper): the
+        # HUD lands on the final cropped frame instead of being sliced
+        # away with the discarded region.
+        sink = CropSink(sink, crop_r)
     _batched_encode_loop(reader, sink, corrections, warper.warp_yuv_batch,
                          options, prof, first, last, traj.num_frames)
     return out_meta
@@ -1128,13 +1131,13 @@ def encode_2d(
     )
 
     prof = profiler or StageProfiler()
-    reader, meta, first, last = open_trimmed(source, options)
     # --upsample: the reference scales the video BEFORE its 2D filter
     # chain (``src/cli.ts:46-51``). A similarity absorbs the scale
     # EXACTLY — M @ diag(1/s, 1/s, 1) is still a similarity (same
     # dx/dy/angle, log_scale - log s) — so the canvas grows and content
     # upscales in the same single resample. Translation-only deshake
-    # cannot express scale; reject rather than silently ignore.
+    # cannot express scale; reject rather than silently ignore (checked
+    # BEFORE opening the decoder; render() rejects it before analyse).
     up = 1.0 + (options.upsample or 0.0) / 100.0
     if up != 1.0 and traj.kind != "similarity":
         raise ValueError(
@@ -1142,6 +1145,7 @@ def encode_2d(
             "translation-only warp cannot scale); use the similarity or "
             "rotation family"
         )
+    reader, meta, first, last = open_trimmed(source, options)
     out_w = int(meta.width * up) // 2 * 2
     out_h = int(meta.height * up) // 2 * 2
     if traj.kind == "similarity":
@@ -1183,8 +1187,6 @@ def encode_2d(
     writer = open_writer(None if options.no_output else dest, write_meta,
                          encoder=options.encoder,
                          **_passthrough_kwargs(source, meta, options))
-    if crop_r:
-        writer = CropSink(writer, crop_r)
     if options.debug:
         from video_annotator_tpu.pipeline.debug import DebugOverlayWriter
 
@@ -1204,6 +1206,10 @@ def encode_2d(
                f"{np.linalg.norm(corr_np[k, :2]):.1f} {unit}"
             for k in range(len(corr_np))
         }
+    if crop_r:
+        # Crop before the overlay draws (see encode): the HUD stays on
+        # the cropped output.
+        writer = CropSink(writer, crop_r)
     if traj.kind == "similarity" and jax.default_backend() not in ("cpu",):
         # TPU: the similarity corrections become 3x3 homogeneous pixel
         # matrices and ride the fused Pallas kernel over identity
@@ -1273,6 +1279,14 @@ def render(
         raise ValueError(
             f"unknown --filter {options.filter!r}; choose from "
             f"{sorted(FILTER_ALIASES)}"
+        )
+    if options.upsample and family == "deshake":
+        # Checked again in encode_2d; rejecting here avoids running a
+        # whole analyse phase before the error surfaces.
+        raise ValueError(
+            "--upsample with --filter deshake is not supported (a "
+            "translation-only warp cannot scale); use the similarity or "
+            "rotation family"
         )
     if options.horizon_lock and family != "rotation":
         raise ValueError(

@@ -119,8 +119,6 @@ def render_streaming(
     sink = open_writer(None if options.no_output else dest, write_meta,
                        encoder=options.encoder,
                        **_passthrough_kwargs(source, meta, options))
-    if crop_r:
-        sink = CropSink(sink, crop_r)
     overlay = None
     if options.debug:
         # Single-pass mode discovers corrections per batch, so the HUD is
@@ -129,6 +127,10 @@ def render_streaming(
 
         overlay = DebugOverlayWriter(sink)
         sink = overlay
+    if crop_r:
+        # Crop before the overlay draws (outermost wrapper) so the HUD
+        # stays on the cropped output (see pipeline/render.py:encode).
+        sink = CropSink(sink, crop_r)
     writer = AsyncFrameWriter(sink)
 
     batch = options.warp_batch or max(
