@@ -192,6 +192,7 @@ _PANO_MODELS = [
     CameraModel.HAMMER,
     CameraModel.SINUSOIDAL,
     CameraModel.CYLINDRICAL,
+    CameraModel.PANNINI,
 ]
 
 

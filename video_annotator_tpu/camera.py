@@ -45,6 +45,7 @@ class CameraModel(enum.Enum):
     HAMMER = "hammer"  # Hammer-Aitoff equal-area ellipse
     SINUSOIDAL = "sinusoidal"  # equal-area pseudocylindrical
     CYLINDRICAL = "cylindrical"  # angular horizontal, tan vertical
+    PANNINI = "pannini"  # cylindrical stereographic, d = 1 (v360 pannini)
 
 
 # Panoramic models whose image plane is a (possibly warped) lon/lat chart.
@@ -55,8 +56,15 @@ _LONLAT_MODELS = frozenset(
         CameraModel.SINUSOIDAL,
         CameraModel.CYLINDRICAL,
         CameraModel.HAMMER,
+        CameraModel.PANNINI,
     }
 )
+
+# Pannini distance parameter (projection center d behind the cylinder
+# center, in cylinder radii). d=1 is the classic painterly Pannini and
+# v360's default-ish setting; the chart is r = 2 tan(theta/2) on the
+# equator (stereographic horizontally, straight verticals).
+_PANNINI_D = 1.0
 
 
 class CameraPreset(enum.Enum):
@@ -160,6 +168,11 @@ class Camera:
                 mx, my = lon * jnp.cos(lat), lat
             elif self.model == CameraModel.CYLINDRICAL:
                 mx, my = lon, jnp.tan(jnp.clip(lat, -1.55, 1.55))
+            elif self.model == CameraModel.PANNINI:
+                d = _PANNINI_D
+                S = (d + 1.0) / (d + jnp.maximum(jnp.cos(lon), -0.999))
+                mx = S * jnp.sin(lon)
+                my = S * jnp.tan(jnp.clip(lat, -1.55, 1.55))
             else:  # HAMMER
                 d = jnp.sqrt(1.0 + jnp.cos(lat) * jnp.cos(lon / 2.0))
                 mx = 2.0 * math.sqrt(2.0) * jnp.cos(lat) * jnp.sin(lon / 2.0) / d
@@ -227,6 +240,21 @@ class Camera:
             elif self.model == CameraModel.CYLINDRICAL:
                 lon = xd
                 lat = jnp.arctan(yd)
+                bad = jnp.zeros_like(xd, bool)
+            elif self.model == CameraModel.PANNINI:
+                # Invert x = (d+1) sin(lon) / (d + cos(lon)): quadratic
+                # in cos(lon); for d = 1 the discriminant is exactly 1.
+                d = _PANNINI_D
+                k = xd * xd / ((d + 1.0) * (d + 1.0))
+                disc = jnp.sqrt(
+                    jnp.maximum(
+                        k * k * d * d - (k + 1.0) * (k * d * d - 1.0), 0.0
+                    )
+                )
+                cl_ = (-k * d + disc) / (k + 1.0)
+                sl_ = xd * (d + cl_) / (d + 1.0)
+                lon = jnp.arctan2(sl_, cl_)
+                lat = jnp.arctan(yd * (d + cl_) / (d + 1.0))
                 bad = jnp.zeros_like(xd, bool)
             else:  # HAMMER (inverse Hammer-Aitoff)
                 z2 = 1.0 - 0.0625 * xd * xd - 0.25 * yd * yd
@@ -314,6 +342,17 @@ def unproject_np(camera: "Camera", ys, xs):
         elif model == CameraModel.CYLINDRICAL:
             lon = xd
             lat = np.arctan(yd)
+            bad = np.zeros(xd.shape, bool)
+        elif model == CameraModel.PANNINI:
+            d = _PANNINI_D
+            k = xd * xd / ((d + 1.0) * (d + 1.0))
+            disc = np.sqrt(
+                np.maximum(k * k * d * d - (k + 1.0) * (k * d * d - 1.0), 0.0)
+            )
+            cl_ = (-k * d + disc) / (k + 1.0)
+            sl_ = xd * (d + cl_) / (d + 1.0)
+            lon = np.arctan2(sl_, cl_)
+            lat = np.arctan(yd * (d + cl_) / (d + 1.0))
             bad = np.zeros(xd.shape, bool)
         else:  # HAMMER
             z2 = 1.0 - 0.0625 * xd * xd - 0.25 * yd * yd
@@ -419,7 +458,12 @@ def camera_from_dfov(
     w, h = size
     half_diag = math.hypot(w - 1.0, h - 1.0) / 2.0
     half_fov = math.radians(dfov_degrees) / 2.0
-    if model == CameraModel.STEREOGRAPHIC:
+    if model == CameraModel.PANNINI:
+        # On-equator radial r(theta) = 2 tan(theta/2) for d = 1 — same
+        # as stereographic.
+        hf = min(half_fov, math.radians(330.0) / 2.0)
+        f = half_diag / (2.0 * math.tan(hf / 2.0))
+    elif model == CameraModel.STEREOGRAPHIC:
         # r(theta) = 2 tan(theta/2); the chart is unbounded toward the
         # antipode, so clamp at a 330-degree diagonal — dfov >= 360
         # degrades gracefully instead of producing a ~0 or negative

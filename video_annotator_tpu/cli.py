@@ -117,7 +117,7 @@ def build_parser() -> argparse.ArgumentParser:
             "rect", "flat", "gnomonic", "fisheye", "fish",
             "equirect", "equirectangular", "e",
             "stereographic", "sg", "mercator", "ball", "hammer",
-            "sinusoidal", "sinusoid", "cylindrical",
+            "sinusoidal", "sinusoid", "cylindrical", "pannini",
         ],
         help="Output lens projection — the v360 single-image family "
         "(the reference forwards this option to v360, src/cli.ts:117-121)",

@@ -83,6 +83,7 @@ PROJECTION_MODELS = {
     "sinusoidal": CameraModel.SINUSOIDAL,
     "sinusoid": CameraModel.SINUSOIDAL,
     "cylindrical": CameraModel.CYLINDRICAL,
+    "pannini": CameraModel.PANNINI,
 }
 
 
