@@ -722,3 +722,48 @@ def test_similarity_rides_fused_kernel():
             assert (d > 1).mean() < 0.03, (d > 1).mean()
             interior = d[4:-4, 4:-4]
             assert interior.max() <= 1.0, interior.max()
+
+
+@pytest.mark.parametrize("interp", ["bicubic"])
+def test_band_and_rolling_shutter_compose_with_four_tap(interp):
+    """The TP band path and the rolling-shutter per-tile-row rotations
+    must honor the plan's 4-tap mode like the plain path does."""
+    from video_annotator_tpu.ops.warp_pallas import warp_frame_band_pallas
+
+    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (320, 240))
+    out_cam = get_output_camera(in_cam, scale=1.0, crop_borders=True)
+    plan = plan_warp(out_cam, in_cam, max_correction_deg=6.0, interp=interp)
+    rng = np.random.default_rng(9)
+    img = np.round(rng.uniform(0, 255, size=(240, 320))).astype(np.float32)
+
+    # Band (TP) path: both shards concatenated == the plain warp.
+    rot = so3.exp(jnp.array([0.02, -0.01, 0.03]))
+    whole = np.asarray(
+        warp_frame_pallas(jnp.asarray(img), rot, plan, out_cam, in_cam,
+                          interpret=True)
+    )
+    ny = plan.out_h // 8
+    band_rows = -(-ny // 2)
+    bands = [
+        np.asarray(
+            warp_frame_band_pallas(jnp.asarray(img), rot, plan, out_cam,
+                                   in_cam, 2, jnp.int32(s * band_rows),
+                                   interpret=True)
+        )
+        for s in range(2)
+    ]
+    got = np.concatenate(bands, axis=0)[: whole.shape[0], : whole.shape[1]]
+    np.testing.assert_allclose(got, whole, atol=1e-4)
+
+    # Rolling shutter: per-tile-row rotation stack through the 4-tap
+    # kernel matches the XLA oracle's per-row-rotation map.
+    rots = so3.exp(jnp.asarray(rng.normal(size=(ny, 3)) * 0.01, jnp.float32))
+    ours = np.asarray(
+        warp_frame_pallas(jnp.asarray(img), rots, plan, out_cam, in_cam,
+                          interpret=True)
+    )
+    ref = np.asarray(
+        warp_image_xla(jnp.asarray(img), out_cam, in_cam, rots,
+                       interp=interp)
+    )
+    np.testing.assert_allclose(ours, ref, atol=0.08)
