@@ -5,7 +5,7 @@ fake-cluster trick. NOTE: this environment's axon ``sitecustomize`` imports
 jax at interpreter start and registers the remote TPU, so env vars set here
 are too late — the platform must be forced through ``jax.config``. Even
 then the registration itself has already contacted the device tunnel;
-prefer launching pytest with ``env -u PALLAS_AXON_POOL_IPS`` so a busy or
+prefer launching pytest with ``env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu`` so a busy or
 wedged tunnel cannot slow or hang CPU-only test runs.
 """
 
