@@ -4,8 +4,12 @@ Replaces the reference's per-frame hot path — the ``createMap`` OpenCL kernel
 (``opencv/createMap.cl:1-51``, re-run every frame because the rotation changes,
 ``opencv/FrameSourceWarp.cpp:272-314``) followed by ``cv::remap`` — with ONE
 kernel that never materializes the map in HBM: map coordinates are computed
-in-register per output tile and immediately consumed by an exact bilinear
-gather.
+in-register per output tile and immediately consumed by the sampling
+gather — exact 2x2 bilinear by default, or a 4-tap mode (Keys bicubic /
+Lanczos2 via per-tap weight polynomials) when the plan's ``interp`` asks
+for it. The same kernel also serves the similarity (vidstab) family:
+a 2D similarity is a 3x3 homogeneous pixel matrix over identity
+cameras (``models/similarity.py``).
 
 TPU-native design
 -----------------
