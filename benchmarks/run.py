@@ -455,9 +455,18 @@ def main(argv=None) -> int:
     results = []
     for name in CONFIGS:
         print(f"=== {name}", file=sys.stderr)
+        env = dict(os.environ)
+        if name.endswith("_cpu"):
+            # CPU-only configs must not register the remote TPU tunnel:
+            # the axon sitecustomize contacts it in every interpreter
+            # and a busy tunnel slowed this config ~30% (measured 350
+            # vs 523 fps at HEAD). Unsetting the gate variable skips
+            # registration entirely.
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            env["JAX_PLATFORMS"] = "cpu"
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", name],
-            capture_output=True, text=True, timeout=3600,
+            capture_output=True, text=True, timeout=3600, env=env,
         )
         line = next(
             (ln for ln in reversed(proc.stdout.splitlines())
