@@ -111,3 +111,17 @@ def test_render_compare_honors_trim(tmp_path):
     render_compare(src, dest, ["none", "smooth"], options)
     frames = [p for p in Y4MReader(dest)]
     assert len(frames) == 6, len(frames)
+
+
+def test_compare_chroma_padding_neutral(tmp_path):
+    """Cells smaller than the grid cell (deshake warps at INPUT size while
+    the rotation cell auto-fits larger) pad with NEUTRAL chroma (128), not
+    0 — zero-chroma padding renders saturated green bands."""
+    src = "synthetic://shaky?w=192&h=144&n=4&fps=30&seed=4&shake=0.004"
+    dest = str(tmp_path / "cmp.y4m")
+    options = RenderOptions(stabilise_radius=2, preset=None, input_dfov=120.0)
+    render_compare(src, dest, ["smooth", "deshake"], options)
+    y, u, v = next(iter(Y4MReader(dest)))
+    # Padding pixels exist (cell sizes differ) and are neutral: no pixel
+    # of the chroma planes may sit at hard zero.
+    assert u.min() > 0 and v.min() > 0

@@ -271,3 +271,52 @@ def test_deshake_upsample_rejected():
         render("synthetic://shaky?w=96&h=64&n=4", None,
                RenderOptions(filter="deshake", upsample=25.0,
                              stabilise="smooth", stabilise_radius=2))
+
+
+def test_corrections_empty_trajectory():
+    """A trim window selecting no frames must yield empty corrections, not
+    a broadcast shape error (reviewed regression; the rotation family has
+    always guarded t == 0)."""
+    from video_annotator_tpu.models.deshake import deshake_corrections
+    from video_annotator_tpu.models.similarity import similarity_corrections
+    from video_annotator_tpu.pipeline.trajectory import Trajectory
+
+    opts = RenderOptions(stabilise="smooth", stabilise_radius=30)
+    sim = Trajectory(params=np.zeros((0, 4)), kind="similarity", fps=30.0,
+                     width=96, height=64, source="x")
+    assert similarity_corrections(sim, opts).shape == (0, 4)
+    tr = Trajectory(params=np.zeros((0, 2)), kind="translation", fps=30.0,
+                    width=96, height=64, source="x")
+    assert deshake_corrections(tr, opts).shape == (0, 2)
+
+
+def test_tracking_gates_inlier_cap():
+    """The inlier gate scales DOWN for small inputs but is capped at the
+    reference's 40 (FrameSourceWarp.cpp:432) for large ones — 4K footage
+    must not demand 80 inliers. Shared helper used by both families."""
+    from video_annotator_tpu.pipeline.render import tracking_gates
+
+    _, inliers_4k, _ = tracking_gates(3840)
+    _, inliers_hd, _ = tracking_gates(1920)
+    _, inliers_sm, _ = tracking_gates(640)
+    assert inliers_4k == 40
+    assert inliers_hd == 40
+    assert 10 <= inliers_sm < 40
+
+
+def test_warp_frame_deshake_blur_edges_flag():
+    """blur_edges is a static jit arg: passing it explicitly must not
+    raise TracerBoolConversionError, and False disables the edge fill
+    (borders come out empty instead of blurred)."""
+    from video_annotator_tpu.models.deshake import warp_frame_deshake
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.integers(64, 192, (32, 64)).astype(np.float32))
+    u = jnp.asarray(rng.integers(64, 192, (16, 32)).astype(np.float32))
+    off = jnp.asarray([8.0, 0.0])
+    y_fill, _, _ = warp_frame_deshake(y, u, u, off, blur_edges=True)
+    y_none, _, _ = warp_frame_deshake(y, u, u, off, blur_edges=False)
+    # Shifted-in region identical; revealed band differs (blur vs empty).
+    assert np.allclose(np.asarray(y_fill[:, :-9]), np.asarray(y_none[:, :-9]))
+    assert np.asarray(y_none[:, -8:]).max() == 0.0
+    assert np.asarray(y_fill[:, -8:]).max() > 0.0

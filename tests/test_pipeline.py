@@ -208,3 +208,21 @@ def test_progress_reporting():
     p2.tick(5)
     p2.close()
     assert quiet.getvalue() == ""
+
+
+def test_output_dfov_rect_without_size():
+    """--output-dfov alone (rectilinear, no -w/-h) must set the output
+    camera's field of view, not be silently dropped (reviewed regression:
+    only the W+H+dfov and non-rect branches honored it)."""
+    import math
+
+    from video_annotator_tpu.io.video import VideoMeta
+    from video_annotator_tpu.pipeline.render import build_cameras
+
+    meta = VideoMeta(width=640, height=480, fps=30.0, num_frames=8)
+    _, cam = build_cameras(meta, RenderOptions(output_dfov=90.0))
+    _, auto = build_cameras(meta, RenderOptions())
+    assert abs(cam.fx - auto.fx) > 1e-3  # not the auto-fit intrinsics
+    diag = math.hypot(cam.width, cam.height)
+    dfov = 2.0 * math.degrees(math.atan(diag / 2.0 / cam.fx))
+    assert abs(dfov - 90.0) < 1.0

@@ -99,7 +99,7 @@ def deshake_corrections(traj: Trajectory, options) -> np.ndarray:
     """Per-frame sampling offsets (output px -> source px), (T, 2)."""
     t = traj.num_frames
     acc = jnp.asarray(traj.params, jnp.float32)
-    if options.stabilise == "none":
+    if t == 0 or options.stabilise == "none":
         return np.zeros((t, 2), np.float32)
     if options.stabilise == "fixed":
         smooth = jnp.zeros_like(acc)
@@ -152,7 +152,7 @@ def _gauss_blur(img: jax.Array, sigma: float = 8.0) -> jax.Array:
     return jnp.matmul(v, bh.T, precision=jax.lax.Precision.HIGHEST)
 
 
-@jax.jit
+@_ft.partial(jax.jit, static_argnames=("blur_edges",))
 def warp_frame_deshake(y, u, v, offset, blur_edges: bool = True):
     """Translate YUV planes by ``offset`` (x, y), blurred-edge fill."""
 

@@ -41,6 +41,7 @@ def analyse_similarity(
         KEY_FRAME_MAX_AGE,
         MAX_CORNERS,
         open_trimmed,
+        tracking_gates,
     )
 
     prof = profiler or StageProfiler()
@@ -52,10 +53,7 @@ def analyse_similarity(
 
     level = analysis_level(options)
     track_w = meta.width >> level
-    res_scale = max(track_w / 1920.0, 0.15)
-    min_distance = max(6, int(round(30 * res_scale)))
-    min_refresh = max(20, int(round(150 * res_scale)))
-    min_inliers = max(10, int(round(40 * res_scale)))
+    min_distance, min_inliers, min_refresh = tracking_gates(track_w)
 
     import functools as _ft
 
@@ -155,7 +153,7 @@ def similarity_corrections(traj: Trajectory, options) -> np.ndarray:
     """Per-frame sampling transforms (output px -> source px), (T, 4)."""
     t = traj.num_frames
     acc = jnp.asarray(traj.params, jnp.float32)  # (T, 4) accumulated
-    if options.stabilise == "none":
+    if t == 0 or options.stabilise == "none":
         return np.zeros((t, 4), np.float32)
     if options.stabilise == "fixed":
         smooth = jnp.zeros_like(acc)
@@ -171,8 +169,9 @@ def similarity_corrections(traj: Trajectory, options) -> np.ndarray:
             axis=0,
         )
         smooth = sg_conv(padded, w)
-    # correction = acc o smooth^-1; the sampler needs its inverse:
-    # sample(src) = (acc o smooth^-1)^-1 = smooth o acc^-1
+    # Display correction = smooth o acc^-1 (take the frame to its smoothed
+    # pose); the sampler needs the inverse map (output px -> source px):
+    # sample = corr^-1 = acc o smooth^-1.
     corr = jax.vmap(lambda a, s: compose_similarity(s, invert_similarity(a)))(
         acc, smooth
     )

@@ -43,16 +43,9 @@ def comparison_grid_size(n: int, cell_aspect: float = 4 / 3) -> tuple[int, int]:
     return best[1]
 
 
-_FAMILY_ALIASES = {
-    # reference comp cells (dewobble_test.sh:47-62): dewobble-none,
-    # dewobble-sg, vidstab, deshake_opencl
-    "dewobble": "rotation",
-    "rotation": "rotation",
-    "vidstab": "similarity",
-    "similarity": "similarity",
-    "deshake": "deshake",
-    "deshake_opencl": "deshake",
-}
+# Reference comp cells (dewobble_test.sh:47-62): dewobble-none,
+# dewobble-sg, vidstab, deshake_opencl — same alias table `--filter` uses.
+from video_annotator_tpu.models import FILTER_ALIASES as _FAMILY_ALIASES
 
 
 def _parse_mode(m: str):
@@ -220,10 +213,12 @@ def render_compare(
     if crop_r:
         writer = CropSink(writer, crop_r)
 
-    def fit(p, h, w):
-        """Center-crop/zero-pad a plane to the cell size (other families
+    def fit(p, h, w, fill):
+        """Center-crop/pad a plane to the cell size (other families
         warp at the INPUT size; the reference instead rescales each
-        sub-graph's dfov — functionally the same comparison surface)."""
+        sub-graph's dfov — functionally the same comparison surface).
+        Padding is black for luma (0) and NEUTRAL for chroma (128) —
+        zero chroma would band the cells in saturated green."""
         p = np.asarray(p)
         ph, pw = p.shape
         top = max((ph - h) // 2, 0)
@@ -232,19 +227,20 @@ def render_compare(
         ph, pw = p.shape
         if ph != h or pw != w:
             oy, ox = (h - ph) // 2, (w - pw) // 2
-            canvas = np.zeros((h, w), p.dtype)
+            canvas = np.full((h, w), fill, p.dtype)
             canvas[oy:oy + ph, ox:ox + pw] = p
             p = canvas
         return p
 
     def tile(planes_list, scale):
         h, w = cell_h // scale, cell_w // scale
-        canvas = np.zeros((h * rows, w * cols), np.uint8)
+        fill = 0 if scale == 1 else 128  # luma vs chroma neutral
+        canvas = np.full((h * rows, w * cols), fill, np.uint8)
         for i, p in enumerate(planes_list):
             r, c = divmod(i, cols)
             canvas[r * h : (r + 1) * h, c * w : (c + 1) * w] = fit(
                 np.clip(np.round(np.asarray(p)), 0, 255).astype(np.uint8),
-                h, w,
+                h, w, fill,
             )
         return canvas
 

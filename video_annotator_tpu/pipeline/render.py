@@ -212,6 +212,24 @@ def _passthrough_kwargs(source: str, meta: VideoMeta, o: RenderOptions):
     }
 
 
+def tracking_gates(track_w: int) -> tuple:
+    """(min_distance, min_inliers, min_refresh) for a tracking width.
+
+    The reference's corner parameters (200 corners, 30 px min distance,
+    inlier gate 40 — ``opencv/FrameSourceWarp.cpp:230,432``) are tuned for
+    1920-wide footage; scale with resolution so smaller inputs keep a
+    comparable corner density, but CAP the inlier gate at the reference's
+    40 — frames with 40+ inliers are trustworthy at any resolution.
+    Shared by the rotation and similarity analysers so the gates can't
+    drift apart.
+    """
+    res_scale = max(track_w / 1920.0, 0.15)
+    min_distance = max(6, int(round(30 * res_scale)))
+    min_inliers = max(10, min(MIN_INLIERS_FULL, int(round(40 * res_scale))))
+    min_refresh = max(20, int(round(KEY_FRAME_MIN_CORNERS * res_scale)))
+    return min_distance, min_inliers, min_refresh
+
+
 def _frame_range(meta: VideoMeta, o: RenderOptions):
     fps = float(meta.fps)
     first = int(round((o.start or 0.0) * fps))
@@ -352,6 +370,16 @@ def build_cameras(meta: VideoMeta, o: RenderOptions):
         )
         size = (o.width or base.width, o.height or base.height)
         out_cam = camera_from_dfov(o.output_dfov or o.input_dfov, size, out_model)
+    elif o.output_dfov:
+        # Rectilinear output with an explicit dfov but no full WxH:
+        # canvas from the auto-fit (or the one given dimension),
+        # intrinsics from the requested field of view — otherwise
+        # `--output-dfov` alone would be silently ignored.
+        base = get_output_camera(
+            in_cam, scale=out_scale, crop_borders=o.crop_borders, zoom=zoom
+        )
+        size = (o.width or base.width, o.height or base.height)
+        out_cam = camera_from_dfov(o.output_dfov, size, out_model)
     else:
         out_cam = get_output_camera(
             in_cam, scale=out_scale, crop_borders=o.crop_borders, zoom=zoom
@@ -387,13 +415,7 @@ def _make_tracker(meta: VideoMeta, options: RenderOptions):
     in_cam_full = mip_camera(in_cam_native, level)
     track_w = in_cam_full.width
     threshold = 8.0 / float(in_cam_native.fx)  # reference's 8 px gate, in rays
-    # The reference's corner parameters (200 corners, 30 px min distance,
-    # inlier gate 40) are tuned for 1920-wide footage; scale with resolution
-    # so smaller inputs keep a comparable corner density.
-    res_scale = max(track_w / 1920.0, 0.15)
-    min_distance = max(6, int(round(30 * res_scale)))
-    min_inliers = max(10, min(MIN_INLIERS_FULL, int(round(40 * res_scale))))
-    min_refresh = max(20, int(round(KEY_FRAME_MIN_CORNERS * res_scale)))
+    min_distance, min_inliers, min_refresh = tracking_gates(track_w)
 
     import functools as _ft
 
@@ -1351,7 +1373,9 @@ def render(
         first, last = _frame_range(meta, options)
         n = (last - first) if meta.num_frames else 0
         if not meta.num_frames:
-            n = sum(1 for _ in reader) - first
+            # Count to EOF, then still honor the trim end (--end/--duration
+            # cap `last` even when the container reports no frame count).
+            n = min(last, sum(1 for _ in reader)) - first
         reader.close()
         kind = {"rotation": "so3", "similarity": "similarity",
                 "deshake": "translation"}[family]
