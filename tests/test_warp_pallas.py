@@ -185,13 +185,13 @@ def test_chroma_border_fill_preserves_sub_neutral_values():
     inside = ref == 60.0
     assert inside.mean() > 0.3
     np.testing.assert_allclose(ours[inside], 60.0, atol=0.05)
-    # Whole frame matches the centered XLA oracle except the <=1 px
-    # top/left edge blend (taps beyond the clamped window fill with 0
-    # instead of neutral).
+    # Whole frame matches the centered XLA oracle, INCLUDING the partial
+    # -tap border band: the kernel's border-weight deficit blends
+    # out-of-window taps toward neutral 128, exactly like the oracle's
+    # centered sampling (regression: they used to blend toward 0,
+    # leaving a green fringe at warp edges).
     diff = np.abs(ours - ref)
-    # (the boundary band is a few pixels wide; at 320x240 that is ~1-2%
-    # of the frame — real configs are 6-12x larger)
-    assert np.mean(diff > 0.6) < 0.02, np.mean(diff > 0.6)
+    assert diff.max() <= 0.6, diff.max()
     assert ours.max() <= 128.0 + 0.05
 
 
@@ -678,9 +678,9 @@ def test_similarity_rides_fused_kernel():
     """The vidstab family's 2D similarity is a 3x3 homogeneous matrix:
     over identity pinhole cameras the rotation kernel computes exactly
     M @ (x, y, 1). Luma must match warp_frame_similarity to rounding;
-    chroma matches except the partial-tap border band (the kernel blends
-    window-edge taps toward 0 — cv::remap BORDER_CONSTANT, like the
-    reference — while the XLA path blends toward neutral 128)."""
+    chroma too, INCLUDING the partial-tap border band (the kernel's
+    border-weight deficit blends window-edge taps toward neutral 128,
+    like the XLA path's centered sampling)."""
     from video_annotator_tpu.models.similarity import (
         SimilarityWarper,
         warp_frame_similarity,
@@ -716,12 +716,7 @@ def test_similarity_rides_fused_kernel():
         for got, ref in ((outs[i][1], ru), (outs[i][2], rv)):
             g = np.asarray(got).astype(np.float64)
             r = np.clip(np.round(np.asarray(ref)), 0, 255)
-            d = np.abs(g - r)
-            # Interior must match; the border band (partial taps) may
-            # differ by the 0-vs-128 blend direction on < 3% of pixels.
-            assert (d > 1).mean() < 0.03, (d > 1).mean()
-            interior = d[4:-4, 4:-4]
-            assert interior.max() <= 1.0, interior.max()
+            np.testing.assert_allclose(g, r, atol=1.0)
 
 
 @pytest.mark.parametrize("interp", ["bicubic"])

@@ -37,7 +37,10 @@ pixel depth:
 4. A per-tile active word-row range [wr_lo, wr_hi) from the origin pass
    keeps the loop proportional to the tile's true source span.
 
-Out-of-image sources produce 0 (cv::remap BORDER_CONSTANT semantics).
+Out-of-image sources produce ``border`` (cv::remap BORDER_CONSTANT
+semantics), and partially-outside pixels blend their missing taps toward
+``border`` too (the border-weight deficit) — 0 for luma, neutral 128 for
+chroma planes.
 """
 
 from __future__ import annotations
@@ -1175,6 +1178,35 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             sh1 = ((ty0 + 1) & 3) << 3
             wy0 = 1.0 - fy
 
+        if border:
+            # Neutral-border blending (chroma planes, border=128): taps
+            # outside the window were masked to ZERO in the gathers, so a
+            # partially-outside pixel blends toward 0 — a green fringe at
+            # warp edges. Add back the missing taps' weight times the
+            # border value, matching the XLA oracle's centered-on-128
+            # sampling (pipeline/render.py chroma path). In-window
+            # out-of-image taps already read the staging pad fill (128
+            # for chroma, ``_pack_rows`` pad_value), so only the window
+            # bound is tested. Luma (border=0) skips this: zero taps ARE
+            # its border.
+            if plan.taps == 4:
+                xtaps = zip((-1, 0, 1, 2), wxs4)
+                ytaps = zip((-1, 0, 1, 2), wys4)
+            else:
+                xtaps = zip((0, 1), (one_m_fx, fx))
+                ytaps = zip((0, 1), (wy0, fy))
+            wx_in = sum(
+                w * ((ix0 + o >= 0) & (ix0 + o < nsec * 128)).astype(
+                    jnp.float32)
+                for o, w in xtaps)
+            wy_in = sum(
+                w * ((ty0 + o >= 0) & (ty0 + o < wh_words * 4)).astype(
+                    jnp.float32)
+                for o, w in ytaps)
+            border_deficit = border * (1.0 - wx_in * wy_in)
+        else:
+            border_deficit = None
+
         for c in copies:
             c.wait()
 
@@ -1373,6 +1405,8 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
                     acc_l = acc_l + accs[stride + 2 * p]
                     acc_r = acc_r + accs[stride + 2 * p + 1]
                 acc = one_m_fx * acc_l + fx * acc_r
+            if border_deficit is not None:
+                acc = acc + border_deficit
             result = jnp.where(valid, acc, border)
             if out_u8:
                 # Emit video bytes directly: quarters the output DMA and
