@@ -226,3 +226,22 @@ def test_output_dfov_rect_without_size():
     diag = math.hypot(cam.width, cam.height)
     dfov = 2.0 * math.degrees(math.atan(diag / 2.0 / cam.fx))
     assert abs(dfov - 90.0) < 1.0
+
+
+def test_frame_rate_override(tmp_path):
+    """--frame-rate retimes the output (same frames, new fps header) —
+    the reference forwards it to the encoder as the output rate
+    (``src/cli.ts:169-174``)."""
+    from fractions import Fraction
+
+    from video_annotator_tpu.io.y4m import Y4MReader
+
+    src = "synthetic://shaky?w=96&h=64&n=6&fps=30&seed=1&shake=0.004"
+    dest = str(tmp_path / "retimed.y4m")
+    render(src, dest, RenderOptions(stabilise="smooth", stabilise_radius=2,
+                                    preset=None, input_dfov=120.0,
+                                    frame_rate=59.94))
+    r = Y4MReader(dest)
+    assert r.header.fps == Fraction(59.94).limit_denominator(1001)
+    assert sum(1 for _ in r) == 6  # retimed, not resampled
+    r.close()
