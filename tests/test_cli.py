@@ -2,6 +2,7 @@
 (``src/cli.ts:34-178``), including the time parser that fixes the
 reference's ``=== NaN`` bug (``src/utils.ts:13-19``)."""
 
+import dataclasses
 import os
 
 import numpy as np
@@ -61,6 +62,25 @@ def test_parser_has_reference_option_surface():
         assert cmd in help_text, cmd
 
 
+def test_reference_hw_flags_accepted_as_inert_shims(capsys):
+    """The reference's VAAPI/OpenCL plumbing flags (src/cli.ts:125-160)
+    parse without error (drop-in script compatibility) and change no
+    render option; --verbosity info implies the profiler report."""
+    p = build_parser()
+    args = p.parse_args([
+        "render", "in.mp4", "out.mp4",
+        "--hw-accel", "vaapi", "--vaapi-vendor", "intel",
+        "--open-cl-platform", "0", "--no-map-open-cl-from-vaapi",
+        "--copy-vaapi-frames", "--verbosity", "info",
+    ])
+    notes = capsys.readouterr().err
+    assert notes.count("reference compatibility") == 5
+    o = _render_options(args)
+    assert o.verbose  # --verbosity info implies the report
+    base = _render_options(p.parse_args(["render", "in.mp4", "out.mp4"]))
+    assert dataclasses.replace(o, verbose=False) == base
+
+
 def test_probe_video_and_telemetry(tmp_path):
     from video_annotator_tpu.cli import probe
 
@@ -111,3 +131,47 @@ def test_crop_rect_and_border_crop(tmp_path):
 
     assert parse_crop_rect("100:80", 192, 144) == (80, 100, 32, 46)
     assert parse_crop_rect("101:81:3:5", 192, 144) == (80, 100, 4, 2)
+
+
+def test_crop_ffmpeg_expressions():
+    """The reference forwards --crop verbatim into ffmpeg's crop filter
+    (src/render.ts:288-292), whose fields are av_expr expressions —
+    in_w/iw, in_h/ih arithmetic, min/max, and x/y seeing out_w/out_h."""
+    from video_annotator_tpu.pipeline.render import (
+        eval_ffmpeg_expr,
+        parse_crop_rect,
+    )
+
+    # plain arithmetic over input dims
+    assert parse_crop_rect("in_w-100:in_h-44", 192, 144) == (100, 92, 22, 50)
+    assert parse_crop_rect("iw/2:ih/2", 192, 144) == (72, 96, 36, 48)
+    # functions; square crop of the short edge
+    assert parse_crop_rect("min(iw,ih):min(iw,ih)", 192, 144) == (144, 144, 0, 24)
+    # x/y expressions referencing out_w/out_h (ffmpeg's documented
+    # centered form) match the implicit centered default
+    assert (parse_crop_rect("100:80:(in_w-out_w)/2:(in_h-out_h)/2", 192, 144)
+            == parse_crop_rect("100:80", 192, 144))
+    # w may reference oh (two-round evaluation like vf_crop.c)
+    assert parse_crop_rect("oh:ih/2", 192, 144) == (72, 72, 36, 60)
+    # evaluator details
+    assert eval_ffmpeg_expr("2+3*4", {}) == 14
+    assert eval_ffmpeg_expr("-(2+1)*4", {}) == -12
+    assert eval_ffmpeg_expr("if(gt(iw,100),10,20)", {"iw": 192}) == 10
+    for bad in ("1+", "foo(2)", "(1", "1)2", "nope", "1;2"):
+        try:
+            eval_ffmpeg_expr(bad, {})
+        except ValueError:
+            pass
+        else:
+            raise AssertionError(f"{bad!r} should not parse")
+
+    # the CLI validator accepts expression crops
+    from video_annotator_tpu.cli import _validated_crop
+
+    assert _validated_crop("in_w-100:in_h-100") == "in_w-100:in_h-100"
+    try:
+        _validated_crop("not:an expr")
+    except SystemExit:
+        pass
+    else:
+        raise AssertionError("invalid crop should SystemExit")

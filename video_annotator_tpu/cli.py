@@ -4,9 +4,10 @@ Commands and options follow ``src/cli.ts:28-178``: ``join <code>`` merges
 GoPro chaptered segments; ``render <source> <dest>`` runs the two-phase
 stabilize/reproject pipeline. Hardware-plumbing options that made sense for
 VAAPI/OpenCL (``--hw-accel``, ``--vaapi-vendor``, ``--open-cl-platform``,
-``--no-map-open-cl-from-vaapi``, ``--copy-vaapi-frames``) have TPU-native
-equivalents instead: ``--warp-batch``, ``--prefetch-depth``,
-``--no-native-io``, ``--analysis-scale``.
+``--no-map-open-cl-from-vaapi``, ``--copy-vaapi-frames``) are accepted as
+inert compatibility shims (existing scripts run unmodified, a note points
+at the TPU-native equivalents: ``--warp-batch``, ``--prefetch-depth``,
+``--no-native-io``, ``--analysis-scale``).
 
 Usage::
 
@@ -35,6 +36,25 @@ def _parse_time(value):
             secs = secs * 60.0 + p
         return secs
     return float(value)
+
+
+class _CompatAction(argparse.Action):
+    """Accept a reference-CLI flag that has no TPU meaning, note the
+    TPU-native equivalent once on stderr, and otherwise do nothing —
+    so reference users' existing scripts (``src/cli.ts:34-178``,
+    ``concat.sh:281``, ``dewobble_test.sh``) run unmodified."""
+
+    def __init__(self, *args, hint="", **kwargs):
+        self._hint = hint
+        super().__init__(*args, **kwargs)
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        hint = f"; {self._hint}" if self._hint else ""
+        print(
+            f"note: {option_string} is accepted for reference "
+            f"compatibility and has no effect on TPU{hint}",
+            file=sys.stderr,
+        )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -169,6 +189,30 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=[1.0, 0.5, 0.25],
                    help="track motion on a downsampled pyramid level "
                         "(the reference demo tracks at 0.5)")
+    # Inert reference-compatibility shims: existing video-annotator
+    # scripts pass these (src/cli.ts:125-160); accept them with a note
+    # instead of an argparse error so migration is drop-in.
+    r.add_argument("--hw-accel", action=_CompatAction, nargs=1,
+                   hint="decode runs on the host CPU feeding the TPU "
+                        "(see --no-native-io / --prefetch-depth)",
+                   help=argparse.SUPPRESS)
+    r.add_argument("--vaapi-vendor", action=_CompatAction, nargs=1,
+                   hint="no VAAPI device here", help=argparse.SUPPRESS)
+    r.add_argument("--open-cl-platform", action=_CompatAction, nargs=1,
+                   hint="kernels run on the TPU via Pallas",
+                   help=argparse.SUPPRESS)
+    r.add_argument("--no-map-open-cl-from-vaapi", action=_CompatAction,
+                   nargs=0, hint="no OpenCL/VAAPI interop here",
+                   help=argparse.SUPPRESS)
+    r.add_argument("--copy-vaapi-frames", action=_CompatAction, nargs=0,
+                   hint="frame-pool pressure is --prefetch-depth",
+                   help=argparse.SUPPRESS)
+    r.add_argument("--verbosity", action="store", default=None,
+                   metavar="LEVEL",
+                   help="ffmpeg-style log level (quiet..trace); levels "
+                        "at info or chattier also print the per-stage "
+                        "profiler report (the reference forwards this "
+                        "to ffmpeg, src/cli.ts:177)")
     r.add_argument("--compare", type=str, default=None,
                    help="Comma-separated stabilise modes to tile side-by-side")
     r.add_argument("--debug", action="store_true",
@@ -244,16 +288,20 @@ def _validated_crop(value):
     nargs="?" means a following positional can be swallowed as the crop
     value (`render --crop in.mp4 out.y4m`); failing fast with the
     expected syntax beats decoding the wrong file or erroring after a
-    whole analyse phase."""
-    import re as _re
-
+    whole analyse phase. Fields are ffmpeg crop-filter expressions
+    (`in_w-200`, `min(iw,ih)`, ...), so validate by evaluating against
+    dummy dimensions rather than a numeric regex."""
     if value is None or value is True:
         return None
-    if not _re.fullmatch(r"\d+:\d+(:\d+(:\d+)?)?", value):
+    from video_annotator_tpu.pipeline.render import parse_crop_rect
+
+    try:
+        parse_crop_rect(value, 1920, 1080)
+    except Exception as e:
         raise SystemExit(
             f"--crop value {value!r} is not W:H[:X:Y] (ffmpeg crop-filter "
-            "syntax); for the bare border-crop flag, put --crop after the "
-            "source/dest paths"
+            f"syntax, expressions allowed): {e}; for the bare border-crop "
+            "flag, put --crop after the source/dest paths"
         )
     return value
 
@@ -306,7 +354,9 @@ def _render_options(args) -> "RenderOptions":
         prefilter=getattr(args, "prefilter", "off"),
         interp=getattr(args, "interp", "bilinear"),
         debug=getattr(args, "debug", False),
-        verbose=getattr(args, "verbose", False),
+        verbose=(getattr(args, "verbose", False)
+                 or str(getattr(args, "verbosity", None) or "").lower()
+                 in ("info", "verbose", "debug", "trace")),
     )
 
 

@@ -270,24 +270,139 @@ def open_trimmed(source: str, o) -> tuple:
     return reader, meta, first, last
 
 
+def eval_ffmpeg_expr(expr: str, env: dict) -> float:
+    """Evaluate an ffmpeg filter expression (the ``av_expr`` subset the
+    crop filter documents): numbers, names from ``env``, ``+ - * /``,
+    unary minus, parentheses, and the functions ``min max abs floor ceil
+    trunc round mod pow if gt gte lt lte eq``. The reference forwards
+    ``--crop`` verbatim into ``crop=${crop}`` (``src/render.ts:288-292``)
+    where ffmpeg evaluates exactly this language, so values like
+    ``in_w-200`` or ``min(iw,ih)`` must work here too. Safe recursive
+    descent — no Python ``eval``.
+    """
+    import math
+
+    funcs = {
+        "min": min, "max": max, "abs": abs, "floor": math.floor,
+        "ceil": math.ceil, "trunc": math.trunc, "round": round,
+        "mod": lambda a, b: math.fmod(a, b), "pow": lambda a, b: a ** b,
+        "if": lambda c, a, b=0.0: a if c != 0 else b,
+        "gt": lambda a, b: 1.0 if a > b else 0.0,
+        "gte": lambda a, b: 1.0 if a >= b else 0.0,
+        "lt": lambda a, b: 1.0 if a < b else 0.0,
+        "lte": lambda a, b: 1.0 if a <= b else 0.0,
+        "eq": lambda a, b: 1.0 if a == b else 0.0,
+    }
+    s = str(expr)
+    pos = [0]
+
+    def peek():
+        while pos[0] < len(s) and s[pos[0]].isspace():
+            pos[0] += 1
+        return s[pos[0]] if pos[0] < len(s) else ""
+
+    def parse_sum():
+        v = parse_prod()
+        while peek() in ("+", "-"):
+            op = s[pos[0]]; pos[0] += 1
+            r = parse_prod()
+            v = v + r if op == "+" else v - r
+        return v
+
+    def parse_prod():
+        v = parse_atom()
+        while peek() in ("*", "/"):
+            op = s[pos[0]]; pos[0] += 1
+            r = parse_atom()
+            v = v * r if op == "*" else v / r
+        return v
+
+    def parse_atom():
+        c = peek()
+        if c == "-":
+            pos[0] += 1
+            return -parse_atom()
+        if c == "+":
+            pos[0] += 1
+            return parse_atom()
+        if c == "(":
+            pos[0] += 1
+            v = parse_sum()
+            if peek() != ")":
+                raise ValueError(f"unbalanced parens in expression {expr!r}")
+            pos[0] += 1
+            return v
+        start = pos[0]
+        if c.isdigit() or c == ".":
+            while pos[0] < len(s) and (s[pos[0]].isdigit() or s[pos[0]] == "."):
+                pos[0] += 1
+            return float(s[start:pos[0]])
+        if c.isalpha() or c == "_":
+            while pos[0] < len(s) and (s[pos[0]].isalnum() or s[pos[0]] == "_"):
+                pos[0] += 1
+            name = s[start:pos[0]]
+            if peek() == "(":
+                if name not in funcs:
+                    raise ValueError(f"unknown function {name!r} in {expr!r}")
+                pos[0] += 1
+                a = [parse_sum()]
+                while peek() == ",":
+                    pos[0] += 1
+                    a.append(parse_sum())
+                if peek() != ")":
+                    raise ValueError(f"unbalanced parens in expression {expr!r}")
+                pos[0] += 1
+                return float(funcs[name](*a))
+            if name not in env:
+                raise ValueError(f"unknown variable {name!r} in {expr!r}")
+            return float(env[name])
+        raise ValueError(f"cannot parse expression {expr!r} at {s[pos[0]:]!r}")
+
+    v = parse_sum()
+    if peek() != "":
+        raise ValueError(f"trailing garbage in expression {expr!r}: {s[pos[0]:]!r}")
+    return v
+
+
 def parse_crop_rect(spec: str, width: int, height: int):
     """Parse the reference's ``--crop`` value — ffmpeg crop-filter syntax
     ``w:h[:x:y]`` (``src/cli.ts:71-75``; applied as ``crop=${crop}`` in
     its output configuration for every family,
-    ``src/render.ts:288-292``). x/y default to centered like the crop
-    filter; values clamp inside the frame and round to even for 4:2:0.
+    ``src/render.ts:288-292``). Each field is an ffmpeg expression over
+    ``in_w``/``iw``/``in_h``/``ih`` (and ``out_w``/``ow``/``out_h``/``oh``
+    — cross-references resolved with the crop filter's two-round
+    evaluation; ``x`` is visible to the ``y`` expression). x/y default to
+    centered like the crop filter; values clamp inside the frame and
+    round to even for 4:2:0.
     """
     parts = [p for p in str(spec).split(":") if p != ""]
     if not parts:
         raise ValueError(f"empty --crop value {spec!r}")
-    cw = int(parts[0])
-    ch = int(parts[1]) if len(parts) > 1 else height
+    base = {
+        "in_w": width, "iw": width, "in_h": height, "ih": height,
+        "a": width / height, "sar": 1.0, "dar": width / height,
+        "hsub": 2, "vsub": 2, "n": 0, "t": 0.0,
+    }
+    # ffmpeg evaluates w and h twice so each may reference the other
+    # (libavfilter/vf_crop.c's config_input): seed out_* with in_*.
+    env = dict(base, out_w=width, ow=width, out_h=height, oh=height)
+    for _ in range(2):
+        cw = eval_ffmpeg_expr(parts[0], env) if len(parts) > 0 else width
+        env.update(out_w=cw, ow=cw)
+        ch = eval_ffmpeg_expr(parts[1], env) if len(parts) > 1 else height
+        env.update(out_h=ch, oh=ch)
+    cw, ch = int(cw), int(ch)
     cw = max(2, min(cw, width))
     ch = max(2, min(ch, height))
     cw -= cw % 2
     ch -= ch % 2
-    cx = int(parts[2]) if len(parts) > 2 else (width - cw) // 2
-    cy = int(parts[3]) if len(parts) > 3 else (height - ch) // 2
+    env.update(out_w=cw, ow=cw, out_h=ch, oh=ch)
+    cx = (eval_ffmpeg_expr(parts[2], env) if len(parts) > 2
+          else (width - cw) / 2)
+    env["x"] = cx
+    cy = (eval_ffmpeg_expr(parts[3], env) if len(parts) > 3
+          else (height - ch) / 2)
+    cx, cy = int(cx), int(cy)
     cx = max(0, min(cx, width - cw))
     cy = max(0, min(cy, height - ch))
     cx -= cx % 2
