@@ -125,3 +125,32 @@ def test_compare_chroma_padding_neutral(tmp_path):
     # Padding pixels exist (cell sizes differ) and are neutral: no pixel
     # of the chroma planes may sit at hard zero.
     assert u.min() > 0 and v.min() > 0
+
+
+def test_compare_cell_labels(tmp_path):
+    """Cells carry their mode name by default (white-on-outline text in
+    the top-left); --no-cell-labels restores the reference's unlabeled
+    grid exactly."""
+    src = "synthetic://shaky?w=192&h=144&n=2&fps=30&seed=4&shake=0.004"
+    options = RenderOptions(stabilise_radius=2, preset=None, input_dfov=120.0)
+    modes = ["none", "smooth"]
+    labeled = str(tmp_path / "lab.y4m")
+    plain = str(tmp_path / "plain.y4m")
+    render_compare(src, labeled, modes, options)
+    render_compare(src, plain, modes,
+                   __import__("dataclasses").replace(options,
+                                                     cell_labels=False))
+    (ly, lu, lv), (py, pu, pv) = (next(iter(Y4MReader(labeled))),
+                                  next(iter(Y4MReader(plain))))
+    rows, cols = comparison_grid_size(len(modes))
+    ch, cw = ly.shape[0] // rows, ly.shape[1] // cols
+    # Chroma untouched (labels are luma-only = colorless text).
+    assert np.array_equal(lu, pu) and np.array_equal(lv, pv)
+    diff = ly.astype(np.int16) - py.astype(np.int16)
+    for i in range(len(modes)):
+        r, c = divmod(i, cols)
+        cell = diff[r * ch : (r + 1) * ch, c * cw : (c + 1) * cw]
+        # the label lives in the cell's top-left quadrant only
+        assert np.abs(cell[: ch // 2, : cw // 2]).max() > 60, f"cell {i}"
+        assert np.abs(cell[ch // 2 :, :]).max() == 0, f"cell {i} bottom"
+        assert np.abs(cell[:, cw // 2 :]).max() == 0, f"cell {i} right"

@@ -215,6 +215,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "to ffmpeg, src/cli.ts:177)")
     r.add_argument("--compare", type=str, default=None,
                    help="Comma-separated stabilise modes to tile side-by-side")
+    r.add_argument("--no-cell-labels", dest="cell_labels",
+                   action="store_false",
+                   help="Don't burn each --compare cell's mode name into "
+                        "its corner (the reference's grids are unlabeled)")
     r.add_argument("--debug", action="store_true",
                    help="Draw stabilization diagnostics into the output "
                         "(correction HUD + trajectory curves; the "
@@ -234,6 +238,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Comma-separated stabilise modes")
     c.add_argument("--preset", default=None)
     c.add_argument("--stabilise-radius", type=int, default=90)
+    c.add_argument("--no-cell-labels", dest="cell_labels",
+                   action="store_false",
+                   help="Don't burn each cell's mode name into its corner")
     c.add_argument("-v", "--verbose", action="store_true")
 
     wf = sub.add_parser(
@@ -354,6 +361,7 @@ def _render_options(args) -> "RenderOptions":
         prefilter=getattr(args, "prefilter", "off"),
         interp=getattr(args, "interp", "bilinear"),
         debug=getattr(args, "debug", False),
+        cell_labels=getattr(args, "cell_labels", True),
         verbose=(getattr(args, "verbose", False)
                  or str(getattr(args, "verbosity", None) or "").lower()
                  in ("info", "verbose", "debug", "trace")),

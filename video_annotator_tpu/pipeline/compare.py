@@ -72,6 +72,34 @@ def _parse_mode(m: str):
     return (family, sub or "smooth", lock)
 
 
+def _label_stamps(labels: Sequence[str], cell_w: int, cell_h: int):
+    """Pre-render each cell label once as (text_mask, outline_mask) uint8
+    stamps sized to the cell — blitting two boolean masks per frame is
+    ~free, unlike running the font rasterizer per frame per cell."""
+    try:
+        import cv2
+    except Exception:  # pragma: no cover - cv2 is baked into this env
+        return None
+    fs = max(0.45, min(cell_w, cell_h * 4 / 3) / 820.0)
+    th = max(1, int(round(fs * 2)))
+    stamps = []
+    for text in labels:
+        (tw, tht), base = cv2.getTextSize(text, cv2.FONT_HERSHEY_SIMPLEX,
+                                          fs, th)
+        pad = 3 * th
+        h = min(tht + base + 2 * pad, cell_h)
+        w = min(tw + 2 * pad, cell_w)
+        org = (pad, pad + tht)
+        outline = np.zeros((h, w), np.uint8)
+        cv2.putText(outline, text, org, cv2.FONT_HERSHEY_SIMPLEX, fs, 255,
+                    th + 2, cv2.LINE_AA)
+        glyph = np.zeros((h, w), np.uint8)
+        cv2.putText(glyph, text, org, cv2.FONT_HERSHEY_SIMPLEX, fs, 255,
+                    th, cv2.LINE_AA)
+        stamps.append((glyph, outline))
+    return stamps
+
+
 def render_compare(
     source: str,
     dest: str,
@@ -204,6 +232,25 @@ def render_compare(
     rows, cols = comparison_grid_size(len(modes))
     cell_h = warper.out_h - warper.out_h % 2
     cell_w = warper.out_w - warper.out_w % 2
+    stamps = (_label_stamps(list(modes), cell_w, cell_h)
+              if getattr(options, "cell_labels", True) else None)
+
+    def label_cells(luma: np.ndarray) -> np.ndarray:
+        """Alpha-blend each mode's name (white, black outline) into the
+        top-left of its cell — luma only, so the text is colorless."""
+        if not stamps:
+            return luma
+        for i, (glyph, outline) in enumerate(stamps):
+            r, c = divmod(i, cols)
+            sh, sw = glyph.shape
+            region = luma[r * cell_h : r * cell_h + sh,
+                          c * cell_w : c * cell_w + sw]
+            o16 = outline.astype(np.uint16)
+            g16 = glyph.astype(np.uint16)
+            blended = region.astype(np.uint16) * (255 - o16) // 255
+            blended = (blended * (255 - g16) + 255 * g16) // 255
+            region[:] = blended.astype(np.uint8)
+        return luma
     out_meta = VideoMeta(cell_w * cols, cell_h * rows, meta.fps, num_frames)
     from video_annotator_tpu.pipeline.render import CropSink, apply_crop_rect
 
@@ -291,7 +338,8 @@ def render_compare(
                     us.append(wu)
                     vs.append(wv)
             with prof.stage("encode"):
-                writer.write((tile(ys, 1), tile(us, 2), tile(vs, 2)))
+                writer.write((label_cells(tile(ys, 1)),
+                              tile(us, 2), tile(vs, 2)))
             t += 1
             prog.tick()
     except BaseException:

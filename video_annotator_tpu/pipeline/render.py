@@ -173,6 +173,10 @@ class RenderOptions:
     # Draw stabilization diagnostics into the output (the reference's
     # --debug reaches its filters' debug overlays, src/render.ts:677,891).
     debug: bool = False
+    # Burn each --compare cell's mode name into its corner (the
+    # reference's grids are unlabeled and rely on remembering cell
+    # order, dewobble_test.sh:47-62); --no-cell-labels restores that.
+    cell_labels: bool = True
     verbose: bool = False
 
 
