@@ -175,3 +175,66 @@ def test_crop_ffmpeg_expressions():
         pass
     else:
         raise AssertionError("invalid crop should SystemExit")
+
+
+def test_crop_expression_edge_semantics():
+    """Review-hardened av_expr behaviors: C-double arithmetic (no
+    exceptions), '^' and scientific notation, x<->y cross-references,
+    strict empty fields, keep_aspect/exact fields, and a syntax-only
+    CLI validator that can't spuriously reject dimension-dependent
+    expressions."""
+    import pytest
+
+    from video_annotator_tpu.cli import _validated_crop
+    from video_annotator_tpu.pipeline.render import (
+        eval_ffmpeg_expr,
+        parse_crop_rect,
+        validate_crop_spec,
+    )
+
+    # division by zero / overflow follow C doubles (ffmpeg av_expr):
+    # non-finite, not a traceback — and a clean ValueError at parse.
+    import math
+
+    assert math.isinf(eval_ffmpeg_expr("1/0", {}))
+    assert math.isnan(eval_ffmpeg_expr("0/0", {}))
+    assert math.isinf(eval_ffmpeg_expr("100*pow(10,400)", {}))
+    with pytest.raises(ValueError, match="non-finite"):
+        parse_crop_rect("100/(ih-144)+100:80", 192, 144)
+    # ^ operator (right-assoc, binds tighter than *) + sci notation
+    assert eval_ffmpeg_expr("2^3", {}) == 8
+    assert eval_ffmpeg_expr("2^3^2", {}) == 512
+    assert eval_ffmpeg_expr("2*3^2", {}) == 18
+    assert eval_ffmpeg_expr("1e3+2.5E-1", {}) == 1000.25
+    # x may reference y (vf_crop re-evaluates x after y)
+    assert parse_crop_rect("100:80:y:10", 192, 144) == (80, 100, 10, 10)
+    # empty fields error instead of silently shifting left
+    with pytest.raises(ValueError, match="empty field"):
+        parse_crop_rect("100:80::10", 192, 144)
+    parse_crop_rect("100:80:", 192, 144)  # one trailing ':' tolerated
+    # keep_aspect/exact fields parse; keep_aspect=1 notes, never shifts
+    assert parse_crop_rect("100:80:0:0:0:0", 192, 144) == (80, 100, 0, 0)
+    assert parse_crop_rect("100:80:0:0:1", 192, 144) == (80, 100, 0, 0)
+    with pytest.raises(ValueError, match="at most"):
+        parse_crop_rect("1:2:3:4:5:6:7", 192, 144)
+    # syntax-only validation: dimension-dependent blowups at the dummy
+    # probe dims must NOT reject the spec (the real video may differ)...
+    assert _validated_crop("iw/(ih-1080)+100:100") == "iw/(ih-1080)+100:100"
+    validate_crop_spec("iw/(ih-1080)+100:100")
+    # ...while true syntax errors still do.
+    for bad in ("100:80::10", "foo(1):2", "1:2:3:4:5:6:7"):
+        with pytest.raises(SystemExit):
+            _validated_crop(bad)
+
+
+def test_numeric_verbosity_levels():
+    """ffmpeg -loglevel takes numeric levels too (32=info, 40=verbose);
+    both forms imply the profiler report at info or chattier."""
+    from video_annotator_tpu.cli import build_parser, _render_options
+
+    p = build_parser()
+    for level, expect in (("32", True), ("40", True), ("24", False),
+                          ("error", False), ("debug", True)):
+        o = _render_options(p.parse_args(
+            ["render", "a.mp4", "b.mp4", "--verbosity", level]))
+        assert o.verbose is expect, (level, expect)

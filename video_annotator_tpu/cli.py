@@ -300,17 +300,33 @@ def _validated_crop(value):
     dummy dimensions rather than a numeric regex."""
     if value is None or value is True:
         return None
-    from video_annotator_tpu.pipeline.render import parse_crop_rect
+    from video_annotator_tpu.pipeline.render import validate_crop_spec
 
     try:
-        parse_crop_rect(value, 1920, 1080)
-    except Exception as e:
+        validate_crop_spec(value)
+    except ValueError as e:
         raise SystemExit(
             f"--crop value {value!r} is not W:H[:X:Y] (ffmpeg crop-filter "
             f"syntax, expressions allowed): {e}; for the bare border-crop "
             "flag, put --crop after the source/dest paths"
         )
     return value
+
+
+def _verbosity_implies_report(args) -> bool:
+    """-v, or an ffmpeg-style --verbosity at info (32) or chattier —
+    named ('info', 'verbose', 'debug', 'trace') or numeric, the two
+    forms ffmpeg's -loglevel takes (the reference forwards the value
+    verbatim, src/cli.ts:177)."""
+    if getattr(args, "verbose", False):
+        return True
+    level = str(getattr(args, "verbosity", None) or "").lower()
+    if level in ("info", "verbose", "debug", "trace"):
+        return True
+    try:
+        return int(level) >= 32
+    except ValueError:
+        return False
 
 
 def _render_options(args) -> "RenderOptions":
@@ -362,9 +378,7 @@ def _render_options(args) -> "RenderOptions":
         interp=getattr(args, "interp", "bilinear"),
         debug=getattr(args, "debug", False),
         cell_labels=getattr(args, "cell_labels", True),
-        verbose=(getattr(args, "verbose", False)
-                 or str(getattr(args, "verbosity", None) or "").lower()
-                 in ("info", "verbose", "debug", "trace")),
+        verbose=_verbosity_implies_report(args),
     )
 
 

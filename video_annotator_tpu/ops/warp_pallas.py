@@ -1123,12 +1123,15 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
             sy = ify * b + icy
 
         # cv::remap BORDER_CONSTANT semantics: pixels whose tap
-        # neighborhood partially overlaps the image blend the inside taps
-        # with zeros. The window is clamped inside the (zero-padded)
-        # image, so taps outside it vanish from the section gather
-        # automatically; only fully-outside pixels (and behind-camera
-        # rays) need masking. 4-tap modes reach one pixel further, so a
-        # one-pixel-wider band of sources still touches the image.
+        # neighborhood partially overlaps the image blend the inside
+        # taps toward the plane's border value — outside taps vanish
+        # from the section gather (the window is clamped inside the
+        # zero-padded image) and the border-weight deficit term below
+        # adds border*missing_weight back, so non-zero borders (chroma's
+        # neutral 128) don't fringe. Fully-outside pixels (and
+        # behind-camera rays) are masked to the border outright. 4-tap
+        # modes reach one pixel further, so a one-pixel-wider band of
+        # sources still touches the image.
         tpad = 1.0 if plan.taps == 4 else 0.0
         valid = (
             (sx > -1.0 - tpad) & (sx < in_w + tpad)

@@ -276,20 +276,42 @@ def open_trimmed(source: str, o) -> tuple:
 
 def eval_ffmpeg_expr(expr: str, env: dict) -> float:
     """Evaluate an ffmpeg filter expression (the ``av_expr`` subset the
-    crop filter documents): numbers, names from ``env``, ``+ - * /``,
-    unary minus, parentheses, and the functions ``min max abs floor ceil
-    trunc round mod pow if gt gte lt lte eq``. The reference forwards
-    ``--crop`` verbatim into ``crop=${crop}`` (``src/render.ts:288-292``)
-    where ffmpeg evaluates exactly this language, so values like
-    ``in_w-200`` or ``min(iw,ih)`` must work here too. Safe recursive
-    descent — no Python ``eval``.
+    crop filter documents): numbers (incl. scientific notation), names
+    from ``env``, ``+ - * / ^``, unary minus, parentheses, and the
+    functions ``min max abs floor ceil trunc round mod pow if gt gte lt
+    lte eq``. The reference forwards ``--crop`` verbatim into
+    ``crop=${crop}`` (``src/render.ts:288-292``) where ffmpeg evaluates
+    exactly this language, so values like ``in_w-200`` or ``min(iw,ih)``
+    must work here too. Safe recursive descent — no Python ``eval``.
+
+    Syntax errors (unknown names, unbalanced parens, trailing garbage)
+    raise ``ValueError``. Arithmetic follows C doubles like av_expr —
+    division by zero and overflow yield ±inf/NaN rather than raising —
+    so callers can distinguish "bad expression" from "bad value at
+    these dimensions".
     """
     import math
+
+    def _div(a, b):
+        try:
+            return a / b
+        except ZeroDivisionError:
+            return math.nan if a == 0 else math.copysign(math.inf, a) * (
+                math.copysign(1.0, b)
+            )
+
+    def _pow(a, b):
+        try:
+            return float(a) ** float(b)
+        except OverflowError:
+            return math.inf
+        except (ValueError, ZeroDivisionError):  # (-x)**frac, 0**-1
+            return math.nan
 
     funcs = {
         "min": min, "max": max, "abs": abs, "floor": math.floor,
         "ceil": math.ceil, "trunc": math.trunc, "round": round,
-        "mod": lambda a, b: math.fmod(a, b), "pow": lambda a, b: a ** b,
+        "mod": lambda a, b: math.fmod(a, b) if b else math.nan, "pow": _pow,
         "if": lambda c, a, b=0.0: a if c != 0 else b,
         "gt": lambda a, b: 1.0 if a > b else 0.0,
         "gte": lambda a, b: 1.0 if a >= b else 0.0,
@@ -314,12 +336,35 @@ def eval_ffmpeg_expr(expr: str, env: dict) -> float:
         return v
 
     def parse_prod():
-        v = parse_atom()
+        v = parse_pow()
         while peek() in ("*", "/"):
             op = s[pos[0]]; pos[0] += 1
-            r = parse_atom()
-            v = v * r if op == "*" else v / r
+            r = parse_pow()
+            v = v * r if op == "*" else _div(v, r)
         return v
+
+    def parse_pow():
+        # av_expr's '^': binds tighter than * /, right-associative.
+        v = parse_atom()
+        if peek() == "^":
+            pos[0] += 1
+            return _pow(v, parse_pow())
+        return v
+
+    def parse_number(start):
+        while pos[0] < len(s) and (s[pos[0]].isdigit() or s[pos[0]] == "."):
+            pos[0] += 1
+        # scientific notation: 1e3, 2.5E-2 (only when 'e' is followed by
+        # a digit or a signed digit — otherwise it's a name boundary)
+        if pos[0] < len(s) and s[pos[0]] in "eE":
+            j = pos[0] + 1
+            if j < len(s) and s[j] in "+-":
+                j += 1
+            if j < len(s) and s[j].isdigit():
+                pos[0] = j
+                while pos[0] < len(s) and s[pos[0]].isdigit():
+                    pos[0] += 1
+        return float(s[start:pos[0]])
 
     def parse_atom():
         c = peek()
@@ -338,9 +383,7 @@ def eval_ffmpeg_expr(expr: str, env: dict) -> float:
             return v
         start = pos[0]
         if c.isdigit() or c == ".":
-            while pos[0] < len(s) and (s[pos[0]].isdigit() or s[pos[0]] == "."):
-                pos[0] += 1
-            return float(s[start:pos[0]])
+            return parse_number(start)
         if c.isalpha() or c == "_":
             while pos[0] < len(s) and (s[pos[0]].isalnum() or s[pos[0]] == "_"):
                 pos[0] += 1
@@ -368,6 +411,38 @@ def eval_ffmpeg_expr(expr: str, env: dict) -> float:
     return v
 
 
+def _crop_fields(spec: str) -> list:
+    parts = str(spec).split(":")
+    if parts and parts[-1] == "":  # tolerate one trailing ':'
+        parts.pop()
+    if not parts or any(p == "" for p in parts):
+        # ffmpeg's av_expr errors on an empty field; silently shifting
+        # the remaining fields left would crop the wrong region.
+        raise ValueError(f"empty field in --crop value {spec!r}")
+    if len(parts) > 6:
+        raise ValueError(f"--crop takes at most w:h:x:y:keep_aspect:exact "
+                         f"(got {spec!r})")
+    return parts
+
+
+def validate_crop_spec(spec: str) -> None:
+    """Syntax-only validation of a ``--crop`` value: field structure and
+    expression parseability. Evaluated VALUES are not judged — whether
+    an expression lands finite/inside the frame depends on the actual
+    video's dimensions, which the CLI doesn't know yet; those are
+    checked by :func:`parse_crop_rect` at render time. Raises
+    ``ValueError`` on malformed specs."""
+    parts = _crop_fields(spec)
+    env = {
+        "in_w": 1920.0, "iw": 1920.0, "in_h": 1080.0, "ih": 1080.0,
+        "out_w": 1920.0, "ow": 1920.0, "out_h": 1080.0, "oh": 1080.0,
+        "a": 16 / 9, "sar": 1.0, "dar": 16 / 9, "hsub": 2, "vsub": 2,
+        "n": 0, "t": 0.0, "x": 0.0, "y": 0.0,
+    }
+    for p in parts:
+        eval_ffmpeg_expr(p, env)
+
+
 def parse_crop_rect(spec: str, width: int, height: int):
     """Parse the reference's ``--crop`` value — ffmpeg crop-filter syntax
     ``w:h[:x:y]`` (``src/cli.ts:71-75``; applied as ``crop=${crop}`` in
@@ -379,13 +454,26 @@ def parse_crop_rect(spec: str, width: int, height: int):
     centered like the crop filter; values clamp inside the frame and
     round to even for 4:2:0.
     """
-    parts = [p for p in str(spec).split(":") if p != ""]
-    if not parts:
-        raise ValueError(f"empty --crop value {spec!r}")
+    import math
+
+    parts = _crop_fields(spec)
+    # Fields 5/6 are vf_crop's keep_aspect/exact. exact=0 (round to the
+    # subsampling grid) is already this parser's only behavior;
+    # keep_aspect only rewrites the output SAR metadata, which the YUV
+    # writers here don't carry — note it instead of silently dropping.
+    if len(parts) >= 5 and eval_ffmpeg_expr(parts[4], {}) != 0:
+        import sys
+
+        print("note: --crop keep_aspect adjusts SAR metadata only; "
+              "this pipeline writes square pixels — ignored",
+              file=sys.stderr)
     base = {
         "in_w": width, "iw": width, "in_h": height, "ih": height,
         "a": width / height, "sar": 1.0, "dar": width / height,
         "hsub": 2, "vsub": 2, "n": 0, "t": 0.0,
+        # x/y are NaN while sizing, like vf_crop's config_input — a w/h
+        # expression using them fails the finite check below.
+        "x": math.nan, "y": math.nan,
     }
     # ffmpeg evaluates w and h twice so each may reference the other
     # (libavfilter/vf_crop.c's config_input): seed out_* with in_*.
@@ -395,17 +483,30 @@ def parse_crop_rect(spec: str, width: int, height: int):
         env.update(out_w=cw, ow=cw)
         ch = eval_ffmpeg_expr(parts[1], env) if len(parts) > 1 else height
         env.update(out_h=ch, oh=ch)
+    if not (math.isfinite(cw) and math.isfinite(ch)):
+        raise ValueError(
+            f"--crop {spec!r} evaluates to a non-finite size "
+            f"({cw}x{ch}) at {width}x{height}")
     cw, ch = int(cw), int(ch)
     cw = max(2, min(cw, width))
     ch = max(2, min(ch, height))
     cw -= cw % 2
     ch -= ch % 2
-    env.update(out_w=cw, ow=cw, out_h=ch, oh=ch)
-    cx = (eval_ffmpeg_expr(parts[2], env) if len(parts) > 2
-          else (width - cw) / 2)
-    env["x"] = cx
-    cy = (eval_ffmpeg_expr(parts[3], env) if len(parts) > 3
-          else (height - ch) / 2)
+    # vf_crop evaluates x, then y, then x again, so each may reference
+    # the other; seed both with the centered defaults.
+    env.update(out_w=cw, ow=cw, out_h=ch, oh=ch,
+               x=(width - cw) / 2, y=(height - ch) / 2)
+    for _ in range(2):
+        cx = (eval_ffmpeg_expr(parts[2], env) if len(parts) > 2
+              else (width - cw) / 2)
+        env["x"] = cx
+        cy = (eval_ffmpeg_expr(parts[3], env) if len(parts) > 3
+              else (height - ch) / 2)
+        env["y"] = cy
+    if not (math.isfinite(cx) and math.isfinite(cy)):
+        raise ValueError(
+            f"--crop {spec!r} evaluates to a non-finite offset at "
+            f"{width}x{height}")
     cx, cy = int(cx), int(cy)
     cx = max(0, min(cx, width - cw))
     cy = max(0, min(cy, height - ch))
