@@ -242,7 +242,7 @@ def test_similarity_upsample_folds_scale():
     r = subprocess.run(
         [sys.executable, "-m", "video_annotator_tpu", "render",
          "synthetic://shaky?w=192&h=144&n=4", dest,
-         "--filter", "vidstab", "--stabilise", "none", "--upsample", "50"],
+         "--filter", "vidstab", "--stabilise", "none", "--upsample", "150"],
         env=env, capture_output=True, text=True,
     )
     assert r.returncode == 0, r.stderr[-1500:]

@@ -138,7 +138,9 @@ def test_upsample_scales_output_canvas(tmp_path):
     small = str(tmp_path / "s.y4m")
     big = str(tmp_path / "b.y4m")
     render(src, small, RenderOptions(stabilise="none", **OPTS))
-    render(src, big, RenderOptions(stabilise="none", upsample=50.0, **OPTS))
+    # 150 -> 1.5x: the value is an absolute percent (scale w=iw*u/100,
+    # src/render.ts:227-231).
+    render(src, big, RenderOptions(stabilise="none", upsample=150.0, **OPTS))
     rs, rb = open_reader(small), open_reader(big)
     try:
         assert rb.meta.width == pytest.approx(rs.meta.width * 1.5, abs=2)

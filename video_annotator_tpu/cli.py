@@ -85,7 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("-y", "--yaw", type=float, default=0.0,
                    help="Turn camera left by degrees")
     r.add_argument("-u", "--upsample", type=float, default=0.0,
-                   help="Scale video before processing (percent)")
+                   help="Scale video before processing (absolute percent "
+                        "as in the reference's scale w=iw*u/100: 150 = "
+                        "1.5x, 0 = off)")
     r.add_argument("--scale", type=float, default=1.0,
                    help="Output camera scale relative to auto-fit")
     r.add_argument("--interp", default="bilinear",

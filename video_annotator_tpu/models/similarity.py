@@ -202,7 +202,7 @@ def warp_frame_similarity(y, u, v, sample_params, interp="bilinear",
     ``--filter vidstab --interp bicubic``) for that exact behavior.
     ``out_size`` (h, w) grows the canvas (the --upsample fold:
     ``pipeline/render.py:encode_2d`` shrinks the sampling log-scale by
-    log(1 + upsample/100) to match).
+    log(upsample/100) to match).
     """
     half = sample_params * jnp.asarray([0.5, 0.5, 1.0, 1.0])
     half_size = (

@@ -549,6 +549,13 @@ def apply_crop_rect(out_meta: VideoMeta, options):
     )
 
 
+def upsample_factor(upsample: float | None) -> float:
+    """--upsample's scale factor. The reference inserts ``scale
+    w=iw*upsample/100`` (``src/render.ts:227-231``), so the value is an
+    ABSOLUTE percent: 150 -> 1.5x, 50 -> 0.5x, 0/unset -> off."""
+    return (upsample / 100.0) if upsample else 1.0
+
+
 def build_cameras(meta: VideoMeta, o: RenderOptions):
     """Input camera from preset/dfov; output camera auto-fit or explicit.
 
@@ -570,7 +577,7 @@ def build_cameras(meta: VideoMeta, o: RenderOptions):
     else:
         in_cam = camera_from_dfov(o.input_dfov, size, CameraModel.FISHEYE)
 
-    out_scale = o.scale * (1.0 + o.upsample / 100.0) if o.upsample else o.scale
+    out_scale = o.scale * upsample_factor(o.upsample)
 
     zoom = 1.0
     if o.stabilise != "none" and o.stabilise_buffer:
@@ -1381,7 +1388,7 @@ def encode_2d(
     # upscales in the same single resample. Translation-only deshake
     # cannot express scale; reject rather than silently ignore (checked
     # BEFORE opening the decoder; render() rejects it before analyse).
-    up = 1.0 + (options.upsample or 0.0) / 100.0
+    up = upsample_factor(options.upsample)
     if up != 1.0 and traj.kind != "similarity":
         raise ValueError(
             "--upsample with --filter deshake is not supported (a "
@@ -1523,7 +1530,7 @@ def render(
             f"unknown --filter {options.filter!r}; choose from "
             f"{sorted(FILTER_ALIASES)}"
         )
-    if options.upsample and family == "deshake":
+    if upsample_factor(options.upsample) != 1.0 and family == "deshake":
         # Checked again in encode_2d; rejecting here avoids running a
         # whole analyse phase before the error surfaces.
         raise ValueError(
