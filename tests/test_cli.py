@@ -201,9 +201,10 @@ def test_crop_expression_edge_semantics():
     assert math.isinf(eval_ffmpeg_expr("100*pow(10,400)", {}))
     with pytest.raises(ValueError, match="non-finite"):
         parse_crop_rect("100/(ih-144)+100:80", 192, 144)
-    # ^ operator (right-assoc, binds tighter than *) + sci notation
+    # ^ operator (LEFT-assoc like eval.c parse_factor, binds tighter
+    # than *) + sci notation
     assert eval_ffmpeg_expr("2^3", {}) == 8
-    assert eval_ffmpeg_expr("2^3^2", {}) == 512
+    assert eval_ffmpeg_expr("2^3^2", {}) == 64
     assert eval_ffmpeg_expr("2*3^2", {}) == 18
     assert eval_ffmpeg_expr("1e3+2.5E-1", {}) == 1000.25
     # x may reference y (vf_crop re-evaluates x after y)
@@ -238,3 +239,34 @@ def test_numeric_verbosity_levels():
         o = _render_options(p.parse_args(
             ["render", "a.mp4", "b.mp4", "--verbosity", level]))
         assert o.verbose is expect, (level, expect)
+
+
+def test_crop_expr_av_expr_semantics():
+    """Corner semantics pinned to ffmpeg's eval.c: floored mod, round
+    half-away-from-zero, '^' left-associative with the leading sign
+    applied AFTER the pow chain and exponent signs negating the
+    exponent."""
+    from video_annotator_tpu.pipeline.render import eval_ffmpeg_expr as E
+
+    assert E("mod(-5,3)", {}) == 1          # floored, not C fmod (-2)
+    assert E("mod(5,-3)", {}) == -1         # sign follows the divisor
+    assert E("round(2.5)", {}) == 3         # not banker's (2)
+    assert E("round(-2.5)", {}) == -3       # away from zero
+    assert E("-3^2", {}) == -9              # sign after pow
+    assert E("2^3^2", {}) == 64             # (2^3)^2, left-assoc
+    assert E("2^-3", {}) == 0.125           # exponent sign negates exponent
+    assert E("3^-2^2", {}) == (3 ** -2) ** 2
+    import math
+
+    assert math.isnan(E("mod(1,0)", {}))
+    assert E("floor(1/0)", {}) == math.inf  # C doubles: floor(inf)=inf
+
+
+def test_crop_keep_aspect_field_sees_variables():
+    """vf_crop evaluates keep_aspect with the same variable env as the
+    other fields; a spec the CLI validator accepted must not fail at
+    render time."""
+    from video_annotator_tpu.pipeline.render import parse_crop_rect
+
+    assert (parse_crop_rect("100:80:0:0:gt(iw,0)", 192, 144)
+            == parse_crop_rect("100:80:0:0:1", 192, 144))

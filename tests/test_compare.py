@@ -154,3 +154,55 @@ def test_compare_cell_labels(tmp_path):
         assert np.abs(cell[: ch // 2, : cw // 2]).max() > 60, f"cell {i}"
         assert np.abs(cell[ch // 2 :, :]).max() == 0, f"cell {i} bottom"
         assert np.abs(cell[:, cw // 2 :]).max() == 0, f"cell {i} right"
+
+
+def test_render_compare_all_none_honors_trim(tmp_path):
+    """All-'none' grids take the placeholder-trajectory path (no motion
+    analysis runs); the placeholder must cover only the TRIM WINDOW —
+    sizing it to the whole clip rendered --start..EOF and wrote a wrong
+    frame count into the header."""
+    import pytest
+
+    src = "synthetic://shaky?w=192&h=144&n=12&fps=30&seed=7&shake=0.004"
+    dest = str(tmp_path / "trimnone.y4m")
+    options = RenderOptions(stabilise_radius=2, preset=None,
+                            input_dfov=120.0, start=0.2, duration=0.2)
+    render_compare(src, dest, ["none"], options)
+    assert len(list(Y4MReader(dest))) == 6
+
+
+def test_render_compare_frame_rate(tmp_path):
+    """--frame-rate retimes compare grids like every other render path
+    (same frames, new fps header)."""
+    from fractions import Fraction
+
+    src = "synthetic://shaky?w=192&h=144&n=4&fps=30&seed=7&shake=0.004"
+    dest = str(tmp_path / "fr.y4m")
+    options = RenderOptions(stabilise_radius=2, preset=None,
+                            input_dfov=120.0, frame_rate=15.0)
+    render_compare(src, dest, ["none", "smooth"], options)
+    r = Y4MReader(dest)
+    assert r.header.fps == Fraction(15, 1)
+    assert sum(1 for _ in r) == 4
+
+
+def test_parse_mode_rejects_bad_stabilise():
+    """A typo'd ':stabilise' suffix must raise for 2D families too (they
+    have no later validation layer, unlike rotation cells)."""
+    import pytest
+
+    from video_annotator_tpu.pipeline.compare import _parse_mode
+
+    assert _parse_mode("vidstab:fixed") == ("similarity", "fixed", False)
+    with pytest.raises(ValueError, match="fixd"):
+        _parse_mode("vidstab:fixd")
+
+
+def test_render_compare_rejects_rolling_shutter(tmp_path):
+    import pytest
+
+    options = RenderOptions(stabilise_radius=2, preset=None,
+                            input_dfov=120.0, rolling_shutter=1.0)
+    with pytest.raises(ValueError, match="rolling-shutter"):
+        render_compare("synthetic://shaky?w=96&h=64&n=2", str(tmp_path / "x.y4m"),
+                       ["none"], options)

@@ -320,3 +320,13 @@ def test_warp_frame_deshake_blur_edges_flag():
     assert np.allclose(np.asarray(y_fill[:, :-9]), np.asarray(y_none[:, :-9]))
     assert np.asarray(y_none[:, -8:]).max() == 0.0
     assert np.asarray(y_fill[:, -8:]).max() > 0.0
+
+
+def test_similarity_warper_empty_corrections():
+    """An empty trim window constructs the warper before the loop finds
+    nothing to warp; it must plan for identity, not crash on an empty
+    reduction."""
+    from video_annotator_tpu.models.similarity import SimilarityWarper
+
+    w = SimilarityWarper(64, 48, np.zeros((0, 4), np.float32))
+    assert w.out_w == 64 and w.out_h == 48

@@ -247,3 +247,28 @@ def test_frame_rate_override(tmp_path):
     assert r.header.fps == Fraction(59.94).limit_denominator(1001)
     assert sum(1 for _ in r) == 6  # retimed, not resampled
     r.close()
+
+
+def test_width_height_rescale_centers_vertically():
+    """--width/--height without --output-dfov rescales the auto-fit
+    camera; an aspect-changing height must CENTER the crop (cy shifts by
+    half the cut), not anchor it at the top. The reference centers the
+    output principal point too (out_fx/out_fy default to half the
+    canvas, src/render.ts:680-681)."""
+    from video_annotator_tpu.io.video import VideoMeta
+    from video_annotator_tpu.pipeline.render import (
+        RenderOptions,
+        build_cameras,
+    )
+
+    meta = VideoMeta(192, 144, 30, 10)
+    o_auto = RenderOptions(preset=None, input_dfov=120.0)
+    _, auto = build_cameras(meta, o_auto)
+    # Same width (sx == 1), 2:1 height -> pure vertical center-crop.
+    h = (auto.height // 2) - (auto.height // 2) % 2
+    o = RenderOptions(preset=None, input_dfov=120.0,
+                      width=auto.width, height=h)
+    _, cam = build_cameras(meta, o)
+    assert cam.width == auto.width and cam.height == h
+    assert cam.cx == pytest.approx(auto.cx)
+    assert cam.cy == pytest.approx(auto.cy - (auto.height - h) / 2.0)

@@ -64,21 +64,25 @@ def analyse_deshake(
 
     pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)),
                            depth=getattr(options, "prefetch_depth", 3))
-    for y, _, _ in pre:
-        idx += 1
-        if idx < first:
-            continue
-        if idx >= last:
-            break
-        if prev_gray is None:
-            prev_gray = first_step(y)
-            out.append(acc)
-        else:
-            with prof.stage("track"):
-                acc, prev_gray = track_step(prev_gray, y, acc)
+    try:
+        for y, _, _ in pre:
+            idx += 1
+            if idx < first:
+                continue
+            if idx >= last:
+                break
+            if prev_gray is None:
+                prev_gray = first_step(y)
                 out.append(acc)
-    pre.close()
-    reader.close()
+            else:
+                with prof.stage("track"):
+                    acc, prev_gray = track_step(prev_gray, y, acc)
+                    out.append(acc)
+    finally:
+        # Like analyse() (pipeline/render.py): an exception mid-loop must
+        # still join the prefetch thread and close the native reader.
+        pre.close()
+        reader.close()
     with prof.stage("collect"):
         params_np = (
             np.asarray(jnp.stack(out), np.float64)

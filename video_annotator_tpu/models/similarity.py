@@ -111,26 +111,30 @@ def analyse_similarity(
 
     pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)),
                            depth=getattr(options, "prefetch_depth", 3))
-    for y, _, _ in pre:
-        idx += 1
-        if idx < first:
-            continue
-        if idx >= last:
-            break
-        if prev_gray is None:
-            with prof.stage("detect"):
-                pts, valid, prev_gray = detect_step(y)
-            out.append(acc)
-        else:
-            with prof.stage("track"):
-                pts, valid, prev_params, acc, prev_gray = track_step(
-                    prev_gray, y, pts, valid, prev_params, acc,
-                    refresh_age=age >= KEY_FRAME_MAX_AGE,
-                )
+    try:
+        for y, _, _ in pre:
+            idx += 1
+            if idx < first:
+                continue
+            if idx >= last:
+                break
+            if prev_gray is None:
+                with prof.stage("detect"):
+                    pts, valid, prev_gray = detect_step(y)
                 out.append(acc)
-            age = 0 if age >= KEY_FRAME_MAX_AGE else age + 1
-    pre.close()
-    reader.close()
+            else:
+                with prof.stage("track"):
+                    pts, valid, prev_params, acc, prev_gray = track_step(
+                        prev_gray, y, pts, valid, prev_params, acc,
+                        refresh_age=age >= KEY_FRAME_MAX_AGE,
+                    )
+                    out.append(acc)
+                age = 0 if age >= KEY_FRAME_MAX_AGE else age + 1
+    finally:
+        # Like analyse() (pipeline/render.py): an exception mid-loop must
+        # still join the prefetch thread and close the native reader.
+        pre.close()
+        reader.close()
     # One device->host sync for the whole trajectory; translations
     # scale back to full-resolution pixels.
     with prof.stage("collect"):
@@ -258,6 +262,11 @@ class SimilarityWarper:
                                  height // 2, CameraModel.RECTILINEAR)
 
         corr = np.asarray(corrections, np.float64).reshape(-1, 4)
+        if corr.shape[0] == 0:
+            # An empty trim window still constructs the warper before
+            # the frame loop decides there is nothing to warp; plan for
+            # the identity instead of crashing on an empty reduction.
+            corr = np.zeros((1, 4))
         lo, hi = corr.min(axis=0), corr.max(axis=0)
         pad = np.array([2.0, 2.0, 0.005, 0.01]) + 0.05 * (hi - lo)
         lo, hi = lo - pad, hi + pad

@@ -69,7 +69,12 @@ def _parse_mode(m: str):
     family = _FAMILY_ALIASES[fam]
     if lock and family != "rotation":
         raise ValueError(f"'+lock' needs the rotation family (got {m!r})")
-    return (family, sub or "smooth", lock)
+    sub = sub or "smooth"
+    if sub not in ("none", "fixed", "smooth"):
+        # Without this, 2D families would silently smooth on a typo
+        # ('vidstab:fixd') while rotation cells raise much later.
+        raise ValueError(f"unknown stabilise mode {sub!r} in {m!r}")
+    return (family, sub, lock)
 
 
 def _label_stamps(labels: Sequence[str], cell_w: int, cell_h: int):
@@ -115,23 +120,31 @@ def render_compare(
     ``--compare none,smooth,vidstab,deshake``. Analysis runs once PER
     FAMILY; all rotation-family cells share one trajectory."""
     prof = profiler or StageProfiler()
+    if options.rolling_shutter:
+        raise ValueError(
+            "--rolling-shutter is not supported with --compare (cells "
+            "warp with whole-frame poses); render modes separately"
+        )
     parsed = [_parse_mode(m) for m in modes]
     fams = {f for f, _, _ in parsed}
 
     from video_annotator_tpu.pipeline.render import open_trimmed
 
-    reader, meta, first, _last = open_trimmed(source, options)
+    reader, meta, first, last = open_trimmed(source, options)
 
     def _count_frames():
-        # Containers without a frame count (cv2 CAP_PROP_FRAME_COUNT 0)
-        # would size the all-'none' placeholder trajectory at 0 frames
-        # and silently produce an empty grid; count by decoding once.
-        if meta.num_frames:
-            return meta.num_frames
+        # Placeholder trajectories must cover the same TRIM WINDOW the
+        # analysers honor (`last` is exclusive, render.py:_frame_range) —
+        # sizing to the full clip would render from --start to EOF when
+        # every cell is stabilise='none'. Containers without a frame
+        # count (cv2 CAP_PROP_FRAME_COUNT 0) leave `last` unbounded
+        # unless --end/--duration was given; count by decoding once.
+        if last < (1 << 30):
+            return max(0, last - first)
         r = open_reader(source, prefer_native=options.native_io)
         n = sum(1 for _ in r)
         r.close()
-        return n
+        return max(0, n - first)
 
     def _empty_traj(kind, dim):
         from video_annotator_tpu.pipeline.trajectory import Trajectory
@@ -251,7 +264,16 @@ def render_compare(
             blended = (blended * (255 - g16) + 255 * g16) // 255
             region[:] = blended.astype(np.uint8)
         return luma
-    out_meta = VideoMeta(cell_w * cols, cell_h * rows, meta.fps, num_frames)
+    from fractions import Fraction
+
+    out_meta = VideoMeta(
+        cell_w * cols, cell_h * rows,
+        # --frame-rate retimes the output like every other render path
+        # (render.py:encode / encode_2d / streaming).
+        Fraction(options.frame_rate).limit_denominator(1001)
+        if options.frame_rate else meta.fps,
+        num_frames,
+    )
     from video_annotator_tpu.pipeline.render import CropSink, apply_crop_rect
 
     write_meta, crop_r = apply_crop_rect(out_meta, options)

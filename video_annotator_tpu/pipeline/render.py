@@ -55,7 +55,6 @@ from video_annotator_tpu.ops.warp_xla import _scaled_camera, warp_image_xla
 from video_annotator_tpu.pipeline.profiler import Progress, StageProfiler
 from video_annotator_tpu.pipeline.trajectory import Trajectory, trajectory_path
 from video_annotator_tpu.smoothing.kalman import smooth_rotations_kalman
-from video_annotator_tpu.smoothing.savgol import smooth_rotations
 
 # Key-frame refresh policy (opencv/FrameSourceWarp.cpp:415).
 KEY_FRAME_MAX_AGE = 20
@@ -308,10 +307,33 @@ def eval_ffmpeg_expr(expr: str, env: dict) -> float:
         except (ValueError, ZeroDivisionError):  # (-x)**frac, 0**-1
             return math.nan
 
+    def _cdouble(f):
+        # C's floor/ceil/trunc/round pass +-inf/NaN through; Python's
+        # math.floor raises OverflowError on inf.
+        def g(d):
+            return d if (math.isinf(d) or math.isnan(d)) else float(f(d))
+        return g
+
+    def _round(d):
+        # av_expr rounds half AWAY FROM ZERO (eval.c e_round), not
+        # Python's banker's rounding: round(2.5) = 3, round(-2.5) = -3.
+        return math.floor(d + 0.5) if d >= 0 else math.ceil(d - 0.5)
+
+    def _mod(a, b):
+        # av_expr's mod is FLOORED (eval.c e_mod: d - floor(d/d2)*d2),
+        # not C fmod: mod(-5, 3) = 1, and the result's sign follows b.
+        if not b:
+            return math.nan
+        try:
+            return a - math.floor(a / b) * b
+        except (OverflowError, ValueError):
+            return math.nan
+
     funcs = {
-        "min": min, "max": max, "abs": abs, "floor": math.floor,
-        "ceil": math.ceil, "trunc": math.trunc, "round": round,
-        "mod": lambda a, b: math.fmod(a, b) if b else math.nan, "pow": _pow,
+        "min": min, "max": max, "abs": abs, "floor": _cdouble(math.floor),
+        "ceil": _cdouble(math.ceil), "trunc": _cdouble(math.trunc),
+        "round": _cdouble(_round),
+        "mod": _mod, "pow": _pow,
         "if": lambda c, a, b=0.0: a if c != 0 else b,
         "gt": lambda a, b: 1.0 if a > b else 0.0,
         "gte": lambda a, b: 1.0 if a >= b else 0.0,
@@ -343,13 +365,25 @@ def eval_ffmpeg_expr(expr: str, env: dict) -> float:
             v = v * r if op == "*" else _div(v, r)
         return v
 
-    def parse_pow():
-        # av_expr's '^': binds tighter than * /, right-associative.
-        v = parse_atom()
-        if peek() == "^":
+    def parse_sign():
+        sign = 1.0
+        while peek() in ("+", "-"):
+            if s[pos[0]] == "-":
+                sign = -sign
             pos[0] += 1
-            return _pow(v, parse_pow())
-        return v
+        return sign
+
+    def parse_pow():
+        # av_expr's '^' (eval.c parse_factor): binds tighter than * /,
+        # LEFT-associative (2^3^2 = (2^3)^2 = 64); a leading sign
+        # multiplies the result of the whole chain (-3^2 = -9); an
+        # exponent's own sign negates the exponent (2^-3 = 0.125).
+        sign = parse_sign()
+        v = parse_atom()
+        while peek() == "^":
+            pos[0] += 1
+            v = _pow(v, parse_sign() * parse_atom())
+        return sign * v
 
     def parse_number(start):
         while pos[0] < len(s) and (s[pos[0]].isdigit() or s[pos[0]] == "."):
@@ -368,12 +402,12 @@ def eval_ffmpeg_expr(expr: str, env: dict) -> float:
 
     def parse_atom():
         c = peek()
-        if c == "-":
+        if c in ("-", "+"):
+            # Signs are normally consumed by parse_pow (av_expr
+            # semantics); this handles doubled signs like '- -3'.
             pos[0] += 1
-            return -parse_atom()
-        if c == "+":
-            pos[0] += 1
-            return parse_atom()
+            v = parse_atom()
+            return -v if c == "-" else v
         if c == "(":
             pos[0] += 1
             v = parse_sum()
@@ -461,7 +495,16 @@ def parse_crop_rect(spec: str, width: int, height: int):
     # subsampling grid) is already this parser's only behavior;
     # keep_aspect only rewrites the output SAR metadata, which the YUV
     # writers here don't carry — note it instead of silently dropping.
-    if len(parts) >= 5 and eval_ffmpeg_expr(parts[4], {}) != 0:
+    # keep_aspect gets the full variable set like any other field —
+    # vf_crop evaluates it with the same env, and validate_crop_spec
+    # already accepted variable-bearing expressions here.
+    _ka_env = {
+        "in_w": width, "iw": width, "in_h": height, "ih": height,
+        "out_w": width, "ow": width, "out_h": height, "oh": height,
+        "a": width / height, "sar": 1.0, "dar": width / height,
+        "hsub": 2, "vsub": 2, "n": 0, "t": 0.0, "x": 0.0, "y": 0.0,
+    }
+    if len(parts) >= 5 and eval_ffmpeg_expr(parts[4], _ka_env) != 0:
         import sys
 
         print("note: --crop keep_aspect adjusts SAR metadata only; "
@@ -612,10 +655,17 @@ def build_cameras(meta: VideoMeta, o: RenderOptions):
             in_cam, scale=out_scale, crop_borders=o.crop_borders, zoom=zoom
         )
         if o.width and o.height:
-            # Rescale the auto-fit camera onto the requested canvas.
+            # Rescale the auto-fit camera onto the requested canvas:
+            # match the horizontal field, and CENTER any vertical
+            # aspect-change crop/pad — cy*sx alone would anchor the
+            # crop at the top (scene center 180 px low for 4:3 -> 16:9).
+            # The reference centers the output principal point too
+            # (out_fx/out_fy default to half the canvas,
+            # src/render.ts:680-681).
             sx = o.width / out_cam.width
             out_cam = Camera.make(
-                out_cam.fx * sx, out_cam.fy * sx, out_cam.cx * sx, out_cam.cy * sx,
+                out_cam.fx * sx, out_cam.fy * sx, out_cam.cx * sx,
+                out_cam.cy * sx - (out_cam.height * sx - o.height) / 2.0,
                 o.width, o.height, out_cam.model,
             )
     return in_cam, out_cam
@@ -1233,8 +1283,6 @@ def encode(
         else meta.fps,
         num_frames=traj.num_frames,
     )
-    from video_annotator_tpu.io.prefetch import AsyncFrameWriter
-
     write_meta, crop_r = apply_crop_rect(out_meta, options)
     sink = open_writer(None if options.no_output else dest, write_meta,
                        encoder=options.encoder,
