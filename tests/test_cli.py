@@ -41,6 +41,16 @@ def test_render_options_mapping():
     assert o.prefilter == "auto" and o.verbose
 
 
+def test_short_h_means_height():
+    """``render -h <pixels>`` is the reference's height short flag
+    (``src/cli.ts:45``); ``--help`` remains available, and the legacy
+    ``-h2`` alias still parses."""
+    p = build_parser()
+    a = p.parse_args(["render", "in.mp4", "out.mp4", "-h", "1080"])
+    assert a.height == 1080
+    assert p.parse_args(["render", "in.mp4", "out.mp4", "-h2", "720"]).height == 720
+
+
 def test_parser_has_reference_option_surface():
     """Every capability knob of the reference CLI exists here."""
     p = build_parser()

@@ -272,3 +272,28 @@ def test_width_height_rescale_centers_vertically():
     assert cam.width == auto.width and cam.height == h
     assert cam.cx == pytest.approx(auto.cx)
     assert cam.cy == pytest.approx(auto.cy - (auto.height - h) / 2.0)
+
+
+def test_lone_height_fills_width_from_input():
+    """A lone -h/-w sets that dimension, the other defaulting to the
+    input's (x upsample) like the reference's ``out_w: outputWidth ||
+    inputWidth`` (src/render.ts:678-679) and v360's ``w: width ||
+    inputWidth*upsample`` (src/render.ts:526-527)."""
+    from video_annotator_tpu.io.video import VideoMeta
+    from video_annotator_tpu.pipeline.render import (
+        RenderOptions,
+        build_cameras,
+    )
+
+    meta = VideoMeta(192, 144, 30, 10)
+    _, cam = build_cameras(
+        meta, RenderOptions(preset=None, input_dfov=120.0, height=100))
+    assert (cam.width, cam.height) == (192, 100)
+    _, cam = build_cameras(
+        meta, RenderOptions(preset=None, input_dfov=120.0, width=160))
+    assert (cam.width, cam.height) == (160, 144)
+    _, cam = build_cameras(
+        meta,
+        RenderOptions(preset=None, input_dfov=120.0, height=100,
+                      upsample=150.0))
+    assert (cam.width, cam.height) == (288, 100)

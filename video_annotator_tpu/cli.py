@@ -69,7 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
     j.add_argument("-o", "--output", required=True, help="Path of resulting video")
     j.add_argument("--directory", default=".", help="Where to look for segments")
 
-    r = sub.add_parser("render", help="Stabilize/reproject part of a source video")
+    # add_help=False frees ``-h`` to mean height, as in the reference
+    # (``render -h <pixels>``, src/cli.ts:45); ``--help`` still works.
+    r = sub.add_parser("render", add_help=False,
+                       help="Stabilize/reproject part of a source video")
+    r.add_argument("--help", action="help",
+                   help="show this help message and exit")
     r.add_argument("source")
     r.add_argument("dest", nargs="?", default=None)
     r.add_argument("-s", "--start", type=str, default=None,
@@ -77,7 +82,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("-d", "--duration", type=str, default=None)
     r.add_argument("-e", "--end", type=str, default=None)
     r.add_argument("-w", "--width", type=int, default=None)
-    r.add_argument("-h2", "--height", type=int, default=None)
+    r.add_argument("-h", "-h2", "--height", type=int, default=None,
+                   help="Output height (pixels)")
     r.add_argument("-r", "--roll", type=float, default=0.0,
                    help="Turn camera clockwise by degrees")
     r.add_argument("-p", "--pitch", type=float, default=0.0,

@@ -654,7 +654,14 @@ def build_cameras(meta: VideoMeta, o: RenderOptions):
         out_cam = get_output_camera(
             in_cam, scale=out_scale, crop_borders=o.crop_borders, zoom=zoom
         )
-        if o.width and o.height:
+        if o.width or o.height:
+            # A lone -w/-h fills the other dimension from the input
+            # (x upsample), like the reference's `out_w: outputWidth ||
+            # inputWidth` (src/render.ts:678-679) and v360's
+            # `w: width || inputWidth*upsample` (src/render.ts:526-527).
+            up = upsample_factor(o.upsample)
+            tw = o.width or round(meta.width * up)
+            th = o.height or round(meta.height * up)
             # Rescale the auto-fit camera onto the requested canvas:
             # match the horizontal field, and CENTER any vertical
             # aspect-change crop/pad — cy*sx alone would anchor the
@@ -662,11 +669,11 @@ def build_cameras(meta: VideoMeta, o: RenderOptions):
             # The reference centers the output principal point too
             # (out_fx/out_fy default to half the canvas,
             # src/render.ts:680-681).
-            sx = o.width / out_cam.width
+            sx = tw / out_cam.width
             out_cam = Camera.make(
                 out_cam.fx * sx, out_cam.fy * sx, out_cam.cx * sx,
-                out_cam.cy * sx - (out_cam.height * sx - o.height) / 2.0,
-                o.width, o.height, out_cam.model,
+                out_cam.cy * sx - (out_cam.height * sx - th) / 2.0,
+                tw, th, out_cam.model,
             )
     return in_cam, out_cam
 

@@ -181,10 +181,17 @@ def split(
             print(msg)
 
 
-def encode(code: str, directory: str = ".", encoder: str = "mp4v"):
+def encode(code: str, directory: str = ".", encoder: Optional[str] = None):
     """Re-encode the per-set renders to their final form
-    (``concat.sh:285-335``'s NVENC/VAAPI stage, via the cv2 encoder)."""
-    from video_annotator_tpu.io.video import open_reader, open_writer
+    (``concat.sh:285-335``'s NVENC/VAAPI stage; native libx264 at QP 19
+    when built, cv2 otherwise)."""
+    from video_annotator_tpu.io.video import (
+        default_encoder,
+        open_reader,
+        open_writer,
+    )
+
+    encoder = encoder or default_encoder()
 
     meta = MatchMeta.load(code, directory)
     for i in range(len(meta.sets)):
