@@ -6,6 +6,7 @@ import dataclasses
 import os
 
 import numpy as np
+import pytest
 
 from video_annotator_tpu.cli import _parse_time, _render_options, build_parser
 
@@ -271,12 +272,52 @@ def test_crop_expr_av_expr_semantics():
     assert math.isnan(E("mod(1,0)", {}))
     assert E("floor(1/0)", {}) == math.inf  # C doubles: floor(inf)=inf
 
+    # One explicit sign (eval.c parse_dB) + one av_strtod literal sign:
+    assert E("--3", {}) == 3                # -(-3)
+    assert E("- -3", {}) == 3               # ffmpeg strips whitespace
+    assert E("--3^2", {}) == -9             # -(pow(-3,2)): strtod takes
+    assert E("2^--3", {}) == 8              # the INNER sign, parse_dB
+    assert E("4*--3", {}) == 12             # the outer one
+    for bad in ("---3", "--x", "--(1+2)"):
+        with pytest.raises(ValueError):
+            E(bad, {"x": 1.0})
 
-def test_crop_keep_aspect_field_sees_variables():
-    """vf_crop evaluates keep_aspect with the same variable env as the
-    other fields; a spec the CLI validator accepted must not fail at
-    render time."""
-    from video_annotator_tpu.pipeline.render import parse_crop_rect
 
-    assert (parse_crop_rect("100:80:0:0:gt(iw,0)", 192, 144)
+def test_upsample_rejects_negative_percent():
+    """--upsample is an absolute percent; a negative value (legal under
+    the old relative semantics) must error, not build a negative-size
+    output camera."""
+    from video_annotator_tpu.io.video import VideoMeta
+    from video_annotator_tpu.pipeline.render import (
+        RenderOptions,
+        build_cameras,
+        upsample_factor,
+    )
+
+    with pytest.raises(ValueError):
+        upsample_factor(-50.0)
+    with pytest.raises(ValueError):
+        build_cameras(VideoMeta(192, 144, 30, 10),
+                      RenderOptions(preset=None, input_dfov=120.0,
+                                    upsample=-50.0))
+    assert upsample_factor(50.0) == 0.5
+
+
+def test_crop_keep_aspect_field_is_an_option_boolean():
+    """vf_crop's keep_aspect/exact are AVOption booleans set by the
+    shorthand parser, so ffmpeg evaluates them WITHOUT the frame
+    variables — plain numeric expressions work, variable-bearing ones
+    error (in real ffmpeg too), and the CLI validator agrees with the
+    render-time parser."""
+    from video_annotator_tpu.pipeline.render import (
+        parse_crop_rect,
+        validate_crop_spec,
+    )
+
+    assert (parse_crop_rect("100:80:0:0:gt(2,1)", 192, 144)
             == parse_crop_rect("100:80:0:0:1", 192, 144))
+    with pytest.raises(ValueError):
+        parse_crop_rect("100:80:0:0:gt(iw,0)", 192, 144)
+    with pytest.raises(ValueError):
+        validate_crop_spec("100:80:0:0:gt(iw,0)")
+    validate_crop_spec("100:80:0:0:0:1")

@@ -25,6 +25,7 @@ from video_annotator_tpu.pipeline.render import (
     analyse,
     build_cameras,
     compute_corrections,
+    output_fps,
 )
 
 
@@ -136,15 +137,17 @@ def render_compare(
         # Placeholder trajectories must cover the same TRIM WINDOW the
         # analysers honor (`last` is exclusive, render.py:_frame_range) —
         # sizing to the full clip would render from --start to EOF when
-        # every cell is stabilise='none'. Containers without a frame
-        # count (cv2 CAP_PROP_FRAME_COUNT 0) leave `last` unbounded
-        # unless --end/--duration was given; count by decoding once.
-        if last < (1 << 30):
+        # every cell is stabilise='none'. When the container has no
+        # frame count (cv2 CAP_PROP_FRAME_COUNT 0), `last` is NOT
+        # clamped to EOF even if --end/--duration bounded it, so a
+        # bounded `last` can still overrun a short clip — count by
+        # decoding once whenever the count is unknown.
+        if last < (1 << 30) and meta.num_frames:
             return max(0, last - first)
         r = open_reader(source, prefer_native=options.native_io)
         n = sum(1 for _ in r)
         r.close()
-        return max(0, n - first)
+        return max(0, min(last, n) - first)
 
     def _empty_traj(kind, dim):
         from video_annotator_tpu.pipeline.trajectory import Trajectory
@@ -264,14 +267,10 @@ def render_compare(
             blended = (blended * (255 - g16) + 255 * g16) // 255
             region[:] = blended.astype(np.uint8)
         return luma
-    from fractions import Fraction
-
     out_meta = VideoMeta(
         cell_w * cols, cell_h * rows,
-        # --frame-rate retimes the output like every other render path
-        # (render.py:encode / encode_2d / streaming).
-        Fraction(options.frame_rate).limit_denominator(1001)
-        if options.frame_rate else meta.fps,
+        # --frame-rate retimes the output like every other render path.
+        output_fps(options, meta),
         num_frames,
     )
     from video_annotator_tpu.pipeline.render import CropSink, apply_crop_rect

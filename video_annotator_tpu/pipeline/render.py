@@ -366,18 +366,21 @@ def eval_ffmpeg_expr(expr: str, env: dict) -> float:
         return v
 
     def parse_sign():
-        sign = 1.0
-        while peek() in ("+", "-"):
-            if s[pos[0]] == "-":
-                sign = -sign
+        # eval.c's parse_dB consumes at most ONE leading sign; a second
+        # sign is absorbed into a numeric literal by av_strtod (handled
+        # in parse_atom), and a third is a parse error.
+        c = peek()
+        if c in ("+", "-"):
             pos[0] += 1
-        return sign
+            return -1.0 if c == "-" else 1.0
+        return 1.0
 
     def parse_pow():
         # av_expr's '^' (eval.c parse_factor): binds tighter than * /,
         # LEFT-associative (2^3^2 = (2^3)^2 = 64); a leading sign
-        # multiplies the result of the whole chain (-3^2 = -9); an
-        # exponent's own sign negates the exponent (2^-3 = 0.125).
+        # multiplies the result of the whole chain (-3^2 = -9, and
+        # --3^2 = -(pow(-3,2)) = -9); an exponent's own sign negates
+        # the exponent (2^-3 = 0.125).
         sign = parse_sign()
         v = parse_atom()
         while peek() == "^":
@@ -403,11 +406,17 @@ def eval_ffmpeg_expr(expr: str, env: dict) -> float:
     def parse_atom():
         c = peek()
         if c in ("-", "+"):
-            # Signs are normally consumed by parse_pow (av_expr
-            # semantics); this handles doubled signs like '- -3'.
+            # The sign before this one was consumed by parse_sign
+            # (eval.c parse_dB); av_strtod absorbs exactly one further
+            # sign into a NUMERIC literal ('--3' = -(-3)), and anything
+            # else ('--x', '---3') is a parse error in ffmpeg too.
             pos[0] += 1
-            v = parse_atom()
-            return -v if c == "-" else v
+            nxt = peek()
+            if nxt.isdigit() or nxt == ".":
+                v = parse_number(pos[0])
+                return -v if c == "-" else v
+            raise ValueError(
+                f"cannot parse expression {expr!r} at {s[pos[0]:]!r}")
         if c == "(":
             pos[0] += 1
             v = parse_sum()
@@ -473,8 +482,11 @@ def validate_crop_spec(spec: str) -> None:
         "a": 16 / 9, "sar": 1.0, "dar": 16 / 9, "hsub": 2, "vsub": 2,
         "n": 0, "t": 0.0, "x": 0.0, "y": 0.0,
     }
-    for p in parts:
-        eval_ffmpeg_expr(p, env)
+    for i, p in enumerate(parts):
+        # keep_aspect/exact (fields 5/6) are AVOption booleans: ffmpeg
+        # evaluates them without the frame variables (see
+        # parse_crop_rect), so validate them the same way.
+        eval_ffmpeg_expr(p, env if i < 4 else {})
 
 
 def parse_crop_rect(spec: str, width: int, height: int):
@@ -495,16 +507,11 @@ def parse_crop_rect(spec: str, width: int, height: int):
     # subsampling grid) is already this parser's only behavior;
     # keep_aspect only rewrites the output SAR metadata, which the YUV
     # writers here don't carry — note it instead of silently dropping.
-    # keep_aspect gets the full variable set like any other field —
-    # vf_crop evaluates it with the same env, and validate_crop_spec
-    # already accepted variable-bearing expressions here.
-    _ka_env = {
-        "in_w": width, "iw": width, "in_h": height, "ih": height,
-        "out_w": width, "ow": width, "out_h": height, "oh": height,
-        "a": width / height, "sar": 1.0, "dar": width / height,
-        "hsub": 2, "vsub": 2, "n": 0, "t": 0.0, "x": 0.0, "y": 0.0,
-    }
-    if len(parts) >= 5 and eval_ffmpeg_expr(parts[4], _ka_env) != 0:
+    # Unlike w/h/x/y, these are AVOption BOOLEANS set by the shorthand
+    # parser, so ffmpeg evaluates them WITHOUT the frame variables
+    # (libavutil/opt.c's set_string_number env, not vf_crop's) — plain
+    # numeric expressions only; 'crop=...:gt(iw,0)' errors there too.
+    if len(parts) >= 5 and eval_ffmpeg_expr(parts[4], {}) != 0:
         import sys
 
         print("note: --crop keep_aspect adjusts SAR metadata only; "
@@ -595,8 +602,25 @@ def apply_crop_rect(out_meta: VideoMeta, options):
 def upsample_factor(upsample: float | None) -> float:
     """--upsample's scale factor. The reference inserts ``scale
     w=iw*upsample/100`` (``src/render.ts:227-231``), so the value is an
-    ABSOLUTE percent: 150 -> 1.5x, 50 -> 0.5x, 0/unset -> off."""
+    ABSOLUTE percent: 150 -> 1.5x, 50 -> 0.5x, 0/unset -> off. A
+    negative percent would silently build a negative output camera
+    (scripts written against the old relative semantics might pass
+    ``-50``), so reject it with a clear error instead."""
+    if upsample and upsample < 0:
+        raise ValueError(
+            f"--upsample is an absolute percent of the input size "
+            f"(150 = 1.5x, 50 = 0.5x); got {upsample}")
     return (upsample / 100.0) if upsample else 1.0
+
+
+def output_fps(options, meta) -> Fraction:
+    """The output frame rate: ``--frame-rate`` retimes the output (a
+    header override, the reference's ffmpeg ``-r`` output option via
+    ``outputOptions``; frame count unchanged), else the source's rate.
+    Shared by encode/encode_2d/streaming/compare so the retime policy
+    (e.g. the NTSC 1001 denominator) lives in one place."""
+    return (Fraction(options.frame_rate).limit_denominator(1001)
+            if options.frame_rate else meta.fps)
 
 
 def build_cameras(meta: VideoMeta, o: RenderOptions):
@@ -1285,9 +1309,7 @@ def encode(
     out_meta = VideoMeta(
         width=warper.out_w,
         height=warper.out_h,
-        fps=Fraction(options.frame_rate).limit_denominator(1001)
-        if options.frame_rate
-        else meta.fps,
+        fps=output_fps(options, meta),
         num_frames=traj.num_frames,
     )
     write_meta, crop_r = apply_crop_rect(out_meta, options)
@@ -1483,9 +1505,7 @@ def encode_2d(
     out_meta = VideoMeta(
         width=out_w,
         height=out_h,
-        fps=Fraction(options.frame_rate).limit_denominator(1001)
-        if options.frame_rate
-        else meta.fps,
+        fps=output_fps(options, meta),
         num_frames=traj.num_frames,
     )
     write_meta, crop_r = apply_crop_rect(out_meta, options)

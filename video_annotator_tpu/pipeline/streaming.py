@@ -42,6 +42,7 @@ from video_annotator_tpu.pipeline.render import (
     build_cameras,
     make_window_corrections,
     max_rotation_deg,
+    output_fps,
 )
 from video_annotator_tpu.pipeline.trajectory import Trajectory, trajectory_path
 
@@ -106,9 +107,7 @@ def render_streaming(
     out_meta = VideoMeta(
         width=warper.out_w,
         height=warper.out_h,
-        fps=Fraction(options.frame_rate).limit_denominator(1001)
-        if options.frame_rate
-        else meta.fps,
+        fps=output_fps(options, meta),
         num_frames=n_expect,
     )
     from video_annotator_tpu.io.prefetch import AsyncFrameWriter, DevicePrefetcher
