@@ -62,22 +62,32 @@ int va_concat(const char* const* inputs, int n, const char* output) {
             t != AVMEDIA_TYPE_DATA)
             continue;
         AVStream* ost = avformat_new_stream(ofmt, nullptr);
-        if (!ost || avcodec_parameters_copy(ost->codecpar, ist->codecpar) < 0)
-            continue;
+        if (!ost ||
+            avcodec_parameters_copy(ost->codecpar, ist->codecpar) < 0) {
+            // A half-built stream (empty codecpar) would corrupt the
+            // header; this is allocation failure, not a skippable track.
+            avformat_close_input(&first);
+            avformat_free_context(ofmt);
+            return fail("cannot allocate output stream");
+        }
         ost->time_base = ist->time_base;
         ost->avg_frame_rate = ist->avg_frame_rate;
         map[i] = ost->index;
         itb[i] = ist->time_base;
     }
     const unsigned nstreams = first->nb_streams;
-    avformat_close_input(&first);
+    // Keep `first` open: find_stream_info buffers the packets it probed,
+    // so it doubles as segment 0's read handle — re-opening would repeat
+    // megabytes of probe I/O per join.
 
     if (!(ofmt->oformat->flags & AVFMT_NOFILE) &&
         avio_open(&ofmt->pb, output, AVIO_FLAG_WRITE) < 0) {
+        avformat_close_input(&first);
         avformat_free_context(ofmt);
         return fail("cannot open output file");
     }
     if (avformat_write_header(ofmt, nullptr) < 0) {
+        avformat_close_input(&first);
         if (ofmt->pb) avio_closep(&ofmt->pb);
         avformat_free_context(ofmt);
         return fail("write_header failed");
@@ -90,8 +100,11 @@ int va_concat(const char* const* inputs, int n, const char* output) {
 
     for (int f = 0; f < n && status == 0; ++f) {
         AVFormatContext* in = nullptr;
-        if (avformat_open_input(&in, inputs[f], nullptr, nullptr) < 0 ||
-            avformat_find_stream_info(in, nullptr) < 0) {
+        if (f == 0) {
+            in = first;  // already open + probed; reads start at packet 0
+            first = nullptr;
+        } else if (avformat_open_input(&in, inputs[f], nullptr, nullptr) < 0 ||
+                   avformat_find_stream_info(in, nullptr) < 0) {
             if (in) avformat_close_input(&in);
             status = fail(std::string("cannot open ") + inputs[f]);
             break;

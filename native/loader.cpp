@@ -97,10 +97,21 @@ struct Loader {
 };
 
 void push_frame(Loader* L, AVFrame* frame, bool err = false) {
-    std::unique_lock<std::mutex> lock(L->mu);
-    L->cv_push.wait(lock, [&] { return L->count < L->ring.size() || L->stop; });
-    if (L->stop) return;
-    Frame& slot = L->ring[L->head];
+    // Reserve the head slot under the lock, but run sws_scale OUTSIDE
+    // it: the colorspace conversion is the producer's most expensive
+    // per-frame work, and doing it in the critical section serializes
+    // it against the consumer's memcpy — the overlap the ring exists
+    // to provide. The reserved slot is invisible to the consumer until
+    // the count++ commit (single producer, so head is stable).
+    size_t slot_idx;
+    {
+        std::unique_lock<std::mutex> lock(L->mu);
+        L->cv_push.wait(lock,
+                        [&] { return L->count < L->ring.size() || L->stop; });
+        if (L->stop) return;
+        slot_idx = L->head;
+    }
+    Frame& slot = L->ring[slot_idx];
     slot.err = err;
     if (frame == nullptr) {
         slot.eof = true;
@@ -114,8 +125,12 @@ void push_frame(Loader* L, AVFrame* frame, bool err = false) {
         sws_scale(L->sws, frame->data, frame->linesize, 0, frame->height,
                   dst, dst_stride);
     }
-    L->head = (L->head + 1) % L->ring.size();
-    ++L->count;
+    {
+        std::lock_guard<std::mutex> g(L->mu);
+        if (L->stop) return;
+        L->head = (L->head + 1) % L->ring.size();
+        ++L->count;
+    }
     L->cv_pop.notify_one();
 }
 
@@ -185,6 +200,48 @@ done:
     av_frame_free(&frame);
 }
 
+// Decode the first frame synchronously and report whether it carries a
+// best-effort timestamp (*idx set from it; 0 otherwise). Returns false
+// if nothing could be decoded (empty/corrupt stream) — the worker loop
+// will rediscover and report that through the normal error path.
+bool probe_first_pts(Loader* L, bool* have_pts, int64_t* idx) {
+    AVPacket* pkt = av_packet_alloc();
+    AVFrame* frame = av_frame_alloc();
+    *have_pts = false;
+    *idx = 0;
+    bool decoded = false, input_eof = false;
+    while (!decoded) {
+        if (!input_eof) {
+            int r = av_read_frame(L->fmt, pkt);
+            if (r < 0) {
+                input_eof = true;
+                avcodec_send_packet(L->dec, nullptr);
+            } else {
+                if (pkt->stream_index == L->stream_index)
+                    avcodec_send_packet(L->dec, pkt);
+                av_packet_unref(pkt);
+            }
+        }
+        int rr = avcodec_receive_frame(L->dec, frame);
+        if (rr == AVERROR(EAGAIN)) {
+            if (input_eof) break;
+            continue;
+        }
+        if (rr < 0) break;  // EOF or decode error
+        decoded = true;
+        int64_t bet = frame->best_effort_timestamp;
+        if (bet != AV_NOPTS_VALUE) {
+            *have_pts = true;
+            double t = (bet - L->stream_start_ts) * av_q2d(L->time_base);
+            *idx = llround(t * L->fps.num / (double)L->fps.den);
+        }
+        av_frame_unref(frame);
+    }
+    av_packet_free(&pkt);
+    av_frame_free(&frame);
+    return decoded;
+}
+
 void* open_impl(const char* path, int ring_frames, long start_frame) {
     auto* L = new Loader();
     if (avformat_open_input(&L->fmt, path, nullptr, nullptr) < 0) {
@@ -226,19 +283,35 @@ void* open_impl(const char* path, int ring_frames, long start_frame) {
         st->start_time != AV_NOPTS_VALUE ? st->start_time : 0;
 
     if (start_frame > 0) {
-        // Keyframe-backward seek toward the requested frame; exactness
-        // comes from the pts drop window in decode_loop. A failed seek
-        // (unseekable container) just decodes from 0 through the same
-        // drop window — correct, merely slower.
-        double t = start_frame * L->fps.den / (double)L->fps.num;
-        int64_t target =
-            L->stream_start_ts + (int64_t)llround(t / av_q2d(L->time_base));
-        if (av_seek_frame(L->fmt, L->stream_index, target,
-                          AVSEEK_FLAG_BACKWARD) >= 0) {
-            avcodec_flush_buffers(L->dec);
-        }
         L->start_frame = start_frame;
         L->frame_index = start_frame - 1;
+        // The pts drop window can only locate itself after a demuxer
+        // seek if frames carry timestamps, so probe the FIRST frame.
+        // With timestamps: keyframe-backward seek toward the request;
+        // exactness comes from the pts window in decode_loop (a failed
+        // seek on an unseekable container just decodes on from the
+        // probe through the same window — correct, merely slower).
+        // Without timestamps: do NOT seek — the counting fallback
+        // numbers frames from last_idx, and counting from a seek point
+        // would drop start_frame frames from the KEYFRAME instead of
+        // from frame 0 (yielding the wrong section of the video). The
+        // probed frame is index 0, pre-window, so it is droppable.
+        bool have_pts = false;
+        int64_t first_idx = 0;
+        const bool decoded = probe_first_pts(L, &have_pts, &first_idx);
+        if (decoded && have_pts) {
+            double t = start_frame * L->fps.den / (double)L->fps.num;
+            int64_t target = L->stream_start_ts +
+                             (int64_t)llround(t / av_q2d(L->time_base));
+            if (av_seek_frame(L->fmt, L->stream_index, target,
+                              AVSEEK_FLAG_BACKWARD) >= 0) {
+                avcodec_flush_buffers(L->dec);
+            }
+        } else if (decoded) {
+            L->last_idx = first_idx;  // counting resumes at frame 1
+        }
+        // decoded == false: empty/corrupt stream; the worker loop will
+        // surface EOF/error through the normal path.
     }
 
     L->sws = sws_getContext(L->dec->width, L->dec->height, L->dec->pix_fmt,
@@ -291,16 +364,29 @@ int va_meta(void* h, int* w, int* ht, int* fps_num, int* fps_den,
 
 int va_next(void* h, uint8_t* y, uint8_t* u, uint8_t* v) {
     auto* L = static_cast<Loader*>(h);
-    std::unique_lock<std::mutex> lock(L->mu);
-    L->cv_pop.wait(lock, [&] { return L->count > 0 || L->stop; });
-    if (L->stop && L->count == 0) return 0;
-    Frame& slot = L->ring[L->tail];
-    if (slot.eof) return slot.err ? -1 : 0;
+    // Mirror of push_frame: claim the tail slot under the lock, memcpy
+    // outside it (the consumer's expensive step), commit under the
+    // lock. The producer can't touch this slot while count still
+    // includes it (head == tail only at count 0 or full, and full
+    // blocks the producer).
+    size_t t;
+    {
+        std::unique_lock<std::mutex> lock(L->mu);
+        L->cv_pop.wait(lock, [&] { return L->count > 0 || L->stop; });
+        if (L->stop && L->count == 0) return 0;
+        Frame& slot = L->ring[L->tail];
+        if (slot.eof) return slot.err ? -1 : 0;
+        t = L->tail;
+    }
+    Frame& slot = L->ring[t];
     std::memcpy(y, slot.y.data(), slot.y.size());
     std::memcpy(u, slot.u.data(), slot.u.size());
     std::memcpy(v, slot.v.data(), slot.v.size());
-    L->tail = (L->tail + 1) % L->ring.size();
-    --L->count;
+    {
+        std::lock_guard<std::mutex> g(L->mu);
+        L->tail = (t + 1) % L->ring.size();
+        --L->count;
+    }
     L->frame_index.fetch_add(1);
     L->cv_push.notify_one();
     return 1;

@@ -20,6 +20,7 @@
 // vaw_close always frees the handle (call exactly once).
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -210,7 +211,13 @@ void encode_loop(Writer* W) {
             pump_passthrough(W, -1.0 /* the rest of the trim window */);
             break;
         }
-        WFrame& slot = W->ring[W->tail];
+        // Claim the tail slot, then copy the planes OUTSIDE the lock —
+        // inside it, every producer vaw_write memcpy waits on a full-
+        // frame copy (and vice versa), degrading the ring to lockstep.
+        // The producer can't touch this slot while count includes it.
+        const size_t t_idx = W->tail;
+        lock.unlock();
+        WFrame& slot = W->ring[t_idx];
         av_frame_make_writable(frame);
         const int w = W->width, h = W->height;
         av_image_copy_plane(frame->data[0], frame->linesize[0], slot.y.data(),
@@ -219,11 +226,13 @@ void encode_loop(Writer* W) {
                             w / 2, w / 2, h / 2);
         av_image_copy_plane(frame->data[2], frame->linesize[2], slot.v.data(),
                             w / 2, w / 2, h / 2);
-        W->tail = (W->tail + 1) % W->ring.size();
-        --W->count;
+        {
+            std::lock_guard<std::mutex> g(W->mu);
+            W->tail = (t_idx + 1) % W->ring.size();
+            --W->count;
+        }
         W->cv_push.notify_one();
-        frame->pts = W->next_pts++;
-        lock.unlock();
+        frame->pts = W->next_pts++;  // only this thread touches next_pts
         if (avcodec_send_frame(W->enc, frame) < 0) {
             set_error(W, "send_frame failed", -3);
             break;
@@ -275,13 +284,22 @@ void* vaw_open(const char* dest, int w, int h, int fps_num, int fps_den,
     if (W->ofmt->oformat->flags & AVFMT_GLOBALHEADER)
         W->enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
     AVDictionary* opts = nullptr;
-    if (qp >= 0 && std::strstr(codec->name, "x264")) {
+    if (qp >= 0) {
         // The reference's constant-QP 19 "visually lossless" setting
-        // (src/render.ts:12-19).
-        char buf[16];
-        std::snprintf(buf, sizeof(buf), "%d", qp);
-        av_dict_set(&opts, "qp", buf, 0);
-        av_dict_set(&opts, "preset", "fast", 0);
+        // (src/render.ts:12-19). x264/x265 take it as the private
+        // "qp" option; other encoders (mpeg4 etc.) use the generic
+        // constant-quantizer path — without this, mpeg4 fell back to
+        // libav's default 200 kbps bit_rate (garbage at 1080p).
+        if (std::strstr(codec->name, "x264") ||
+            std::strstr(codec->name, "x265")) {
+            char buf[16];
+            std::snprintf(buf, sizeof(buf), "%d", qp);
+            av_dict_set(&opts, "qp", buf, 0);
+            av_dict_set(&opts, "preset", "fast", 0);
+        } else {
+            W->enc->flags |= AV_CODEC_FLAG_QSCALE;
+            W->enc->global_quality = FF_QP2LAMBDA * qp;
+        }
     }
     if (avcodec_open2(W->enc, codec, &opts) < 0) {
         av_dict_free(&opts);
@@ -291,7 +309,11 @@ void* vaw_open(const char* dest, int w, int h, int fps_num, int fps_den,
     av_dict_free(&opts);
 
     W->vstream = avformat_new_stream(W->ofmt, nullptr);
-    avcodec_parameters_from_context(W->vstream->codecpar, W->enc);
+    if (!W->vstream ||
+        avcodec_parameters_from_context(W->vstream->codecpar, W->enc) < 0) {
+        delete W;
+        return nullptr;
+    }
     W->vstream->time_base = W->enc->time_base;
 
     if (copy_from && *copy_from) {
@@ -304,13 +326,30 @@ void* vaw_open(const char* dest, int w, int h, int fps_num, int fps_den,
                 if (t != AVMEDIA_TYPE_AUDIO && t != AVMEDIA_TYPE_DATA)
                     continue;  // video is re-encoded; drop subs/attachments
                 AVStream* ost = avformat_new_stream(W->ofmt, nullptr);
-                if (!ost) continue;
-                if (avcodec_parameters_copy(ost->codecpar, ist->codecpar) < 0)
-                    continue;
+                if (!ost ||
+                    avcodec_parameters_copy(ost->codecpar, ist->codecpar) <
+                        0) {
+                    // A half-built stream (empty codecpar) would make
+                    // write_header emit a bogus track; fail loudly —
+                    // this is OOM territory, not a recoverable skip.
+                    delete W;
+                    return nullptr;
+                }
                 // Keep the source tag (GoPro's GPMF data track is 'gpmd');
                 // the mov muxer preserves data tracks by tag.
                 ost->time_base = ist->time_base;
                 W->map[i] = ost->index;
+            }
+            if (W->trim_start > 0) {
+                // Stream-copy analogue of the decode-side trim seek:
+                // without it an end-of-file render demuxes (and drops)
+                // every prefix packet. Keyframe-backward; the pre-window
+                // packets after the landing point are still dropped by
+                // pump_passthrough's t < 0 filter, so a failed seek on
+                // an unseekable container stays correct, merely slower.
+                av_seek_frame(W->ifmt, -1,
+                              (int64_t)llround(W->trim_start * AV_TIME_BASE),
+                              AVSEEK_FLAG_BACKWARD);
             }
         } else if (W->ifmt) {
             avformat_close_input(&W->ifmt);
@@ -342,16 +381,27 @@ void* vaw_open(const char* dest, int w, int h, int fps_num, int fps_den,
 
 int vaw_write(void* h, const uint8_t* y, const uint8_t* u, const uint8_t* v) {
     auto* W = static_cast<Writer*>(h);
-    std::unique_lock<std::mutex> lock(W->mu);
-    W->cv_push.wait(lock,
-                    [&] { return W->count < W->ring.size() || W->done; });
-    if (W->done) return W->status ? W->status : -1;
-    WFrame& slot = W->ring[W->head];
+    // Reserve the head slot under the lock, memcpy outside it (see
+    // encode_loop), commit with count++. Single producer: head is
+    // stable between the reserve and the commit, and the consumer
+    // never reads a slot count doesn't cover.
+    size_t h_idx;
+    {
+        std::unique_lock<std::mutex> lock(W->mu);
+        W->cv_push.wait(lock,
+                        [&] { return W->count < W->ring.size() || W->done; });
+        if (W->done) return W->status ? W->status : -1;
+        h_idx = W->head;
+    }
+    WFrame& slot = W->ring[h_idx];
     std::memcpy(slot.y.data(), y, slot.y.size());
     std::memcpy(slot.u.data(), u, slot.u.size());
     std::memcpy(slot.v.data(), v, slot.v.size());
-    W->head = (W->head + 1) % W->ring.size();
-    ++W->count;
+    {
+        std::lock_guard<std::mutex> g(W->mu);
+        W->head = (h_idx + 1) % W->ring.size();
+        ++W->count;
+    }
     W->cv_pop.notify_one();
     return 1;
 }

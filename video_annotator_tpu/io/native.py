@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import threading
 from fractions import Fraction
 from typing import Iterator, Optional, Tuple
 
@@ -18,50 +19,74 @@ import numpy as np
 
 from video_annotator_tpu.io.video import VideoMeta
 
-_LIB_PATH = os.path.join(
+_NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "native",
-    "libvaloader.so",
 )
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libvaloader.so")
 
-_lib = None
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+
+# One signature table per shared library: {symbol: (restype, argtypes)}.
+# A symbol prefixed with '?' is optional (older builds of the .so).
+_LOADER_SIG = {
+    "va_open": (ctypes.c_void_p, [ctypes.c_char_p, ctypes.c_int]),
+    "?va_open_seek": (
+        ctypes.c_void_p, [ctypes.c_char_p, ctypes.c_int, ctypes.c_long]),
+    "?va_start_frame": (ctypes.c_long, [ctypes.c_void_p]),
+    "va_meta": (
+        ctypes.c_int,
+        [ctypes.c_void_p] + [ctypes.POINTER(ctypes.c_int)] * 4
+        + [ctypes.POINTER(ctypes.c_long)]),
+    "va_next": (ctypes.c_int, [ctypes.c_void_p] + [_u8p] * 3),
+    "va_close": (None, [ctypes.c_void_p]),
+    "va_frame_index": (ctypes.c_long, [ctypes.c_void_p]),
+    "va_error": (ctypes.c_char_p, [ctypes.c_void_p]),
+}
+_WRITER_SIG = {
+    "vaw_open": (
+        ctypes.c_void_p,
+        [ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+         ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
+         ctypes.c_double, ctypes.c_double, ctypes.c_int]),
+    "vaw_write": (ctypes.c_int, [ctypes.c_void_p] + [_u8p] * 3),
+    "vaw_close": (ctypes.c_int, [ctypes.c_void_p]),
+    "vaw_error": (ctypes.c_char_p, [ctypes.c_void_p]),
+}
+_CONCAT_SIG = {
+    "va_concat": (
+        ctypes.c_int,
+        [ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_char_p]),
+    "va_concat_error": (ctypes.c_char_p, []),
+}
+
+_lib_cache: dict = {}
+
+
+def _load(path: str, signatures: dict):
+    """CDLL + bind the signature table; None (cached) if absent/unloadable."""
+    if path in _lib_cache:
+        return _lib_cache[path]
+    lib = None
+    if os.path.exists(path):
+        try:
+            lib = ctypes.CDLL(path)
+            for name, (restype, argtypes) in signatures.items():
+                optional = name.startswith("?")
+                sym = name[1:] if optional else name
+                if optional and not hasattr(lib, sym):
+                    continue
+                fn = getattr(lib, sym)
+                fn.restype = restype
+                fn.argtypes = argtypes
+        except OSError:
+            lib = None
+    _lib_cache[path] = lib
+    return lib
 
 
 def load_library():
-    global _lib
-    if _lib is not None:
-        return _lib
-    if not os.path.exists(_LIB_PATH):
-        return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
-        return None
-    lib.va_open.restype = ctypes.c_void_p
-    lib.va_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
-    if hasattr(lib, "va_open_seek"):  # pre-seek builds of the .so
-        lib.va_open_seek.restype = ctypes.c_void_p
-        lib.va_open_seek.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_long,
-        ]
-        lib.va_start_frame.restype = ctypes.c_long
-        lib.va_start_frame.argtypes = [ctypes.c_void_p]
-    lib.va_meta.restype = ctypes.c_int
-    lib.va_meta.argtypes = [ctypes.c_void_p] + [
-        ctypes.POINTER(ctypes.c_int)
-    ] * 4 + [ctypes.POINTER(ctypes.c_long)]
-    lib.va_next.restype = ctypes.c_int
-    lib.va_next.argtypes = [ctypes.c_void_p] + [
-        ctypes.POINTER(ctypes.c_uint8)
-    ] * 3
-    lib.va_close.restype = None
-    lib.va_close.argtypes = [ctypes.c_void_p]
-    lib.va_frame_index.restype = ctypes.c_long
-    lib.va_frame_index.argtypes = [ctypes.c_void_p]
-    lib.va_error.restype = ctypes.c_char_p
-    lib.va_error.argtypes = [ctypes.c_void_p]
-    _lib = lib
-    return lib
+    return _load(_LIB_PATH, _LOADER_SIG)
 
 
 def native_available() -> bool:
@@ -83,6 +108,12 @@ class NativeVideoSource:
         if lib is None:
             raise RuntimeError("native loader not built (make -C native)")
         self._lib = lib
+        # Serializes va_next against va_close: closing frees the C-side
+        # Loader (ring, mutex, condvar), so it must never run while a
+        # va_next is blocked inside it. The decode thread keeps pushing
+        # frames (or EOF), so a pending va_next always returns and a
+        # concurrent close() waits briefly rather than use-after-freeing.
+        self._lock = threading.Lock()
         if start_frame > 0 and hasattr(lib, "va_open_seek"):
             self._h = lib.va_open_seek(path.encode(), ring_frames,
                                        int(start_frame))
@@ -107,63 +138,44 @@ class NativeVideoSource:
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         w, h = self.meta.width, self.meta.height
         u8p = ctypes.POINTER(ctypes.c_uint8)
-        while self._h:  # a concurrent close() ends iteration, not a UAF
+        while True:
             y = np.empty((h, w), np.uint8)
             u = np.empty((h // 2, w // 2), np.uint8)
             v = np.empty((h // 2, w // 2), np.uint8)
-            r = self._lib.va_next(
-                self._h,
-                y.ctypes.data_as(u8p),
-                u.ctypes.data_as(u8p),
-                v.ctypes.data_as(u8p),
-            )
-            if r < 0:
-                # Decode errors must not pass as clean EOF: a truncated
-                # file would otherwise silently render a short output.
-                err = self._lib.va_error(self._h)
-                raise RuntimeError(
-                    f"native decode failed: {err.decode() if err else r}"
+            with self._lock:
+                if not self._h:  # concurrently closed: end iteration
+                    return
+                r = self._lib.va_next(
+                    self._h,
+                    y.ctypes.data_as(u8p),
+                    u.ctypes.data_as(u8p),
+                    v.ctypes.data_as(u8p),
                 )
+                if r < 0:
+                    # Decode errors must not pass as clean EOF: a
+                    # truncated file would otherwise silently render a
+                    # short output.
+                    err = self._lib.va_error(self._h)
+                    raise RuntimeError(
+                        f"native decode failed: "
+                        f"{err.decode() if err else r}"
+                    )
             if r != 1:
                 return
             yield y, u, v
 
     def close(self):
-        if self._h:
-            self._lib.va_close(self._h)
-            self._h = None
+        with self._lock:
+            if self._h:
+                self._lib.va_close(self._h)
+                self._h = None
 
 
-_WRITER_LIB_PATH = os.path.join(os.path.dirname(_LIB_PATH), "libvawriter.so")
-_wlib = None
+_WRITER_LIB_PATH = os.path.join(_NATIVE_DIR, "libvawriter.so")
 
 
 def load_writer_library():
-    global _wlib
-    if _wlib is not None:
-        return _wlib
-    if not os.path.exists(_WRITER_LIB_PATH):
-        return None
-    try:
-        lib = ctypes.CDLL(_WRITER_LIB_PATH)
-    except OSError:
-        return None
-    lib.vaw_open.restype = ctypes.c_void_p
-    lib.vaw_open.argtypes = [
-        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
-        ctypes.c_double, ctypes.c_double, ctypes.c_int,
-    ]
-    lib.vaw_write.restype = ctypes.c_int
-    lib.vaw_write.argtypes = [ctypes.c_void_p] + [
-        ctypes.POINTER(ctypes.c_uint8)
-    ] * 3
-    lib.vaw_close.restype = ctypes.c_int
-    lib.vaw_close.argtypes = [ctypes.c_void_p]
-    lib.vaw_error.restype = ctypes.c_char_p
-    lib.vaw_error.argtypes = [ctypes.c_void_p]
-    _wlib = lib
-    return lib
+    return _load(_WRITER_LIB_PATH, _WRITER_SIG)
 
 
 def native_writer_available() -> bool:
@@ -189,7 +201,13 @@ class NativeVideoWriter:
             raise RuntimeError("native writer not built (make -C native)")
         self._lib = lib
         self._w, self._h2 = meta.width, meta.height
-        fps = Fraction(meta.fps)
+        # The C ABI takes the rate as int32 num/den. A float fps like
+        # 29.97 has a 50-bit exact numerator that ctypes would SILENTLY
+        # truncate into a garbage timebase — bound the fraction (1001
+        # covers the NTSC family exactly) and range-check.
+        fps = Fraction(meta.fps).limit_denominator(1001)
+        if not (0 < fps.numerator < 2**31 and 0 < fps.denominator < 2**31):
+            raise ValueError(f"unrepresentable fps {meta.fps!r}")
         self._handle = lib.vaw_open(
             path.encode(), meta.width, meta.height,
             fps.numerator, fps.denominator, encoder.encode(), qp,
@@ -203,11 +221,15 @@ class NativeVideoWriter:
 
     def write(self, planes):
         y, u, v = (np.ascontiguousarray(p, np.uint8) for p in planes)
-        assert y.shape == (self._h2, self._w), (y.shape, self._w, self._h2)
-        # The C side memcpys w*h/4 bytes from each chroma pointer —
-        # undersized planes would read out of bounds.
-        assert u.shape == (self._h2 // 2, self._w // 2), u.shape
-        assert v.shape == (self._h2 // 2, self._w // 2), v.shape
+        # The C side memcpys w*h (resp. w*h/4) bytes from each pointer —
+        # an undersized plane would read out of bounds. Real checks, not
+        # asserts: `python -O` strips asserts and this guards a memcpy.
+        if (y.shape != (self._h2, self._w)
+                or u.shape != (self._h2 // 2, self._w // 2)
+                or v.shape != (self._h2 // 2, self._w // 2)):
+            raise ValueError(
+                f"plane shapes {y.shape}/{u.shape}/{v.shape} do not match "
+                f"writer geometry {self._w}x{self._h2}")
         u8p = ctypes.POINTER(ctypes.c_uint8)
         r = self._lib.vaw_write(
             self._handle, y.ctypes.data_as(u8p), u.ctypes.data_as(u8p),
@@ -227,28 +249,11 @@ class NativeVideoWriter:
                 raise RuntimeError(f"native writer close failed ({status})")
 
 
-_CONCAT_LIB_PATH = os.path.join(os.path.dirname(_LIB_PATH), "libvaconcat.so")
-_clib = None
+_CONCAT_LIB_PATH = os.path.join(_NATIVE_DIR, "libvaconcat.so")
 
 
 def load_concat_library():
-    global _clib
-    if _clib is not None:
-        return _clib
-    if not os.path.exists(_CONCAT_LIB_PATH):
-        return None
-    try:
-        lib = ctypes.CDLL(_CONCAT_LIB_PATH)
-    except OSError:
-        return None
-    lib.va_concat.restype = ctypes.c_int
-    lib.va_concat.argtypes = [
-        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_char_p,
-    ]
-    lib.va_concat_error.restype = ctypes.c_char_p
-    lib.va_concat_error.argtypes = []
-    _clib = lib
-    return lib
+    return _load(_CONCAT_LIB_PATH, _CONCAT_SIG)
 
 
 def native_concat_available() -> bool:
