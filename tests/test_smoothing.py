@@ -8,7 +8,6 @@ from video_annotator_tpu import so3
 from video_annotator_tpu.smoothing.savgol import (
     savgol_weights,
     smooth_rotations,
-    stabilization_corrections,
 )
 from video_annotator_tpu.smoothing.kalman import (
     kalman_filter_1d,
@@ -72,16 +71,38 @@ def test_smooth_rotations_removes_jitter():
     )
 
 
+def _corrections(R, mode, radius=0):
+    """Corrections via the PRODUCTION path (make_window_corrections —
+    the function every render path ships with), replicate-padded like
+    the two-phase renderer does."""
+    from video_annotator_tpu.pipeline.render import (
+        RenderOptions,
+        make_window_corrections,
+    )
+
+    fn = make_window_corrections(radius, RenderOptions(stabilise=mode), None)
+    flat = jnp.asarray(R)
+    if radius:
+        flat = jnp.concatenate(
+            [jnp.broadcast_to(flat[:1], (radius, 3, 3)), flat,
+             jnp.broadcast_to(flat[-1:], (radius, 3, 3))], axis=0)
+    return fn(flat)
+
+
 def test_stabilization_modes():
+    """Mode semantics of the reference (--stabilise none|fixed|smooth,
+    src/cli.ts:80-85; libdewobble stab none|fixed|sg,
+    src/render.ts:669-678), asserted on the renderer's own corrections
+    function."""
     _, noisy_w = _shaky_trajectory(t=100)
     R = so3.exp(jnp.asarray(noisy_w))
-    none = stabilization_corrections(R, "none")
+    none = _corrections(R, "none")
     np.testing.assert_allclose(
         np.asarray(none), np.broadcast_to(np.eye(3), (100, 3, 3)), atol=1e-6
     )
-    fixed = stabilization_corrections(R, "fixed")
+    fixed = _corrections(R, "fixed")
     np.testing.assert_allclose(np.asarray(fixed), np.asarray(R), atol=1e-6)
-    sm = stabilization_corrections(R, "smooth", radius=20)
+    sm = _corrections(R, "smooth", radius=20)
     # Warp rotations should be small (they only cancel the jitter).
     angles = np.linalg.norm(np.asarray(so3.log(sm)), axis=-1)
     assert angles.max() < 0.05
@@ -104,6 +125,32 @@ def test_kalman_rotations_shape_and_validity():
     np.testing.assert_allclose(
         R @ R.transpose(0, 2, 1), np.broadcast_to(np.eye(3), R.shape), atol=1e-4
     )
+
+
+def test_kalman_survives_many_revolutions():
+    """The rotation-vector unwrap must track an UNBOUNDED accumulated
+    angle (a camera that keeps panning): a fixed candidate range broke
+    after ~2.5 turns, and the filter then smoothed across a 2*pi jump —
+    a ~180-degree wrong virtual pose mid-clip."""
+    t = 800
+    ang = np.linspace(0.0, 8.0 * np.pi, t).astype(np.float32)  # 4 turns
+    w = np.stack([np.zeros(t), ang, np.zeros(t)], axis=-1)
+    R = so3.exp(jnp.asarray(w))
+    out = np.asarray(smooth_rotations_kalman(R))
+    # The smoothed pose of a perfectly smooth pan stays ON the pan.
+    err = np.abs(out - np.asarray(R)).max()
+    assert err < 0.05, err
+
+
+def test_wahba_180_degree_sum_zero_quaternion():
+    """rotation_from_correlation must recover rotations whose quaternion
+    has w+x+y+z == 0 (e.g. 180 degrees about (1,-1,0)/sqrt(2)) — a fixed
+    all-ones power-iteration start is exactly orthogonal to that optimum
+    and silently returned a wrong (but valid) rotation."""
+    axis = np.array([1.0, -1.0, 0.0]) / np.sqrt(2.0)
+    R = np.asarray(so3.exp(jnp.asarray(np.pi * axis, jnp.float32)))
+    got = np.asarray(so3.rotation_from_correlation(jnp.asarray(R)))
+    np.testing.assert_allclose(got, R, atol=1e-3)
 
 
 def test_integrate_gyro_constant_rate():

@@ -80,10 +80,12 @@ def _unwrap_rotvecs(w: jax.Array) -> jax.Array:
     in the raw components, and filtering across the jump produces virtual
     rotations far from the measured pose. Every representation of the same
     rotation is w + 2*pi*k*axis; pick, per frame, the candidate closest to
-    the previous (already-continuous) frame — frame-to-frame changes are
-    far below pi, so k in [-2, 2] is ample.
+    the previous (already-continuous) frame. k is centered on the previous
+    frame's projection onto the axis (NOT a fixed range: a camera that
+    keeps spinning accumulates unboundedly many turns, and a fixed k
+    window breaks after ~2.5 revolutions).
     """
-    ks = jnp.arange(-2.0, 3.0)[:, None]  # (5, 1)
+    rel_ks = jnp.arange(-1.0, 2.0)[:, None]  # (3, 1) around the estimate
 
     def step(prev, wt):
         theta = jnp.linalg.norm(wt)
@@ -92,7 +94,11 @@ def _unwrap_rotvecs(w: jax.Array) -> jax.Array:
             wt / jnp.maximum(theta, 1e-6),
             prev / jnp.maximum(jnp.linalg.norm(prev), 1e-6),
         )
-        cands = wt[None, :] + 2.0 * jnp.pi * ks * axis[None, :]  # (5, 3)
+        # Continuous angle along `axis` should land near prev's
+        # projection onto it: theta + 2*pi*k ~= <prev, axis>.
+        k0 = jnp.round((jnp.dot(prev, axis) - theta) / (2.0 * jnp.pi))
+        ks = k0 + rel_ks
+        cands = wt[None, :] + 2.0 * jnp.pi * ks * axis[None, :]  # (3, 3)
         d = jnp.sum((cands - prev[None, :]) ** 2, axis=1)
         best = cands[jnp.argmin(d)]
         return best, best

@@ -94,37 +94,8 @@ def smooth_rotations(
     return so3.project(sg_conv(padded, w).reshape(t, 3, 3))
 
 
-def stabilization_corrections(
-    measured: jax.Array,  # (T, 3, 3) accumulated camera rotations
-    mode: str,
-    radius: int = 30,
-    order: int = 2,
-) -> jax.Array:
-    """Per-frame warp rotations for a stabilization mode.
-
-    Mirrors the reference's modes (``--stabilise none|fixed|smooth``,
-    ``src/cli.ts:80-85``; libdewobble ``stab: none|fixed|sg``,
-    ``src/render.ts:669-678``):
-
-    - ``none``: identity corrections (reproject only);
-    - ``fixed``: lock the camera to its initial attitude — correction
-      removes the full measured rotation;
-    - ``smooth``: SG-filtered trajectory; correction =
-      ``((R_smooth R_meas^-1)^-1)`` = the rotation handed to the warp
-      (``opencv/FrameSourceWarp.cpp:472-475``).
-    """
-    t = measured.shape[0]
-    if mode == "none":
-        return jnp.broadcast_to(jnp.eye(3, dtype=measured.dtype), (t, 3, 3))
-    if mode == "fixed":
-        # warp rotation = R_meas^-1 inverted twice in the reference's
-        # convention: correction^-1 with correction = (I * R^-1)^-1 = R.
-        return measured
-    if mode == "smooth":
-        smoothed = smooth_rotations(measured, radius, order)
-        # warp rotation = correction^-1 = (R_smooth R_meas^-1)^-1... the
-        # kernel receives rotation_correction.inv()
-        # (opencv/FrameSourceWarp.cpp:475): R_meas R_smooth^-1 ... applied
-        # to output rays.
-        return so3.matmul(measured, jnp.swapaxes(smoothed, -1, -2))
-    raise ValueError(f"unknown stabilisation mode: {mode!r}")
+# The per-mode corrections math (none/fixed/smooth -> warp rotations)
+# lives in ONE place: pipeline/render.py's make_window_corrections /
+# _lock_and_attitude — shared by the two-phase, streaming, and compare
+# paths. A parallel copy here once let tests pass while asserting
+# nothing about the shipped path; test the renderer's own function.

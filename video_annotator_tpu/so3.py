@@ -184,12 +184,31 @@ def rotation_from_correlation(B: jax.Array, iters: int = 120) -> jax.Array:
     # Shift so the maximum eigenvalue dominates in magnitude.
     shift = 2.0 * jnp.linalg.norm(B, axis=(-2, -1), keepdims=True) + 1e-6
     Ks = K + shift * jnp.broadcast_to(jnp.eye(4, dtype=B.dtype), K.shape)
-    v = jnp.ones(K.shape[:-1], B.dtype)
-    for _ in range(iters):
-        v = jnp.einsum(
-            "...ij,...j->...i", Ks, v, precision=jax.lax.Precision.HIGHEST
-        )
-        v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + _EPS)
+
+    def _power(v):
+        for _ in range(iters):
+            v = jnp.einsum(
+                "...ij,...j->...i", Ks, v,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + _EPS)
+        return v
+
+    # Two independent starts, keep the higher Rayleigh quotient: the
+    # fixed all-ones start is EXACTLY orthogonal to the optimum whenever
+    # its quaternion satisfies w+x+y+z == 0 (e.g. the 180-degree
+    # rotation about (1,-1,0)/sqrt(2)), and orthogonality survives every
+    # iteration. The one-hot start at the largest K diagonal is the
+    # Shepperd pivot — the optimum's largest component for near-rotation
+    # B — which is nonzero precisely where ones can fail.
+    ones = jnp.ones(K.shape[:-1], B.dtype)
+    diag = jnp.diagonal(K, axis1=-2, axis2=-1)
+    pivot = jax.nn.one_hot(jnp.argmax(diag, axis=-1), 4, dtype=B.dtype)
+    va = _power(ones)
+    vb = _power(pivot)
+    ra = jnp.einsum("...i,...ij,...j->...", va, K, va)
+    rb = jnp.einsum("...i,...ij,...j->...", vb, K, vb)
+    v = jnp.where((ra >= rb)[..., None], va, vb)
     return quat_to_matrix(v)
 
 
