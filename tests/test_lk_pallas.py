@@ -63,3 +63,33 @@ def test_lk_pallas_edge_points_fail_cleanly():
         )
     # Edge rows (y < 17 at level 0, or unsafe at coarser levels) fail.
     assert not status[0]
+
+
+def test_lk_pallas_tracks_last_strip():
+    """Points whose window origin clamps against the right/bottom edge
+    but whose span still FITS the clamped window must track normally: a
+    did-anything-clamp status gate killed every point in the final
+    128-column strip (~16% of a 1280-wide level) even though the kernel
+    math was exact there."""
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(45, 80)).astype(np.float32)
+    img = cv2.resize(img, (1280, 720), interpolation=cv2.INTER_CUBIC)
+    img = ((img - img.min()) / (img.max() - img.min()) * 255).astype(np.float32)
+    img2 = np.roll(img, (2, 3), axis=(0, 1)).astype(np.float32)
+
+    # Interior-y points across the previously-dead right band and the
+    # bottom band (all >= 68 px from the true edge so every pyramid
+    # level has room).
+    xy = [(1080.0, 360.0), (1150.0, 300.0), (1200.0, 400.0),
+          (640.0, 600.0), (700.0, 640.0), (1100.0, 620.0),
+          (640.0, 360.0), (200.0, 200.0)]
+    pts = jnp.asarray(np.asarray(xy, np.float32))
+    valid = jnp.ones((len(xy),), bool)
+    new_pts, status = pyramidal_lk_pallas(
+        jnp.asarray(img), jnp.asarray(img2), pts, valid, interpret=True
+    )
+    status = np.asarray(status)
+    assert status.all(), status
+    d = np.asarray(new_pts) - np.asarray(xy)
+    np.testing.assert_allclose(d, np.tile([3.0, 2.0], (len(xy), 1)),
+                               atol=0.5)

@@ -305,3 +305,38 @@ def test_detect_corners_exact_position_on_large_image():
     for cy, cx in ((4091, 4117), (101, 4081), (4153, 97)):
         d = np.abs(pts - np.asarray([cx, cy])).sum(axis=1).min()
         assert d <= 2.0, (cy, cx, pts)
+
+
+def test_lk_recovers_large_coherent_pan():
+    """A global pan beyond a once-fetched window's drift padding: the
+    XLA path re-fetches the sample window around the current estimate
+    each iteration (cv2 semantics), so large coherent motion is
+    recovered instead of saturating at the window edge with status
+    still True (which RANSAC cannot reject — every point agrees on the
+    same wrong answer)."""
+    import cv2
+
+    rng = np.random.default_rng(7)
+    # Coarse features (~40 px) so a 15 px offset at pyramid level 2 is
+    # inside the Newton convergence basin — the basin is a fundamental
+    # LK limit shared with cv2; the fix under test removes the
+    # window-clamp ceiling, not the basin.
+    img = rng.normal(size=(18, 32)).astype(np.float32)
+    img = cv2.resize(img, (1280, 720), interpolation=cv2.INTER_CUBIC)
+    img = ((img - img.min()) / (img.max() - img.min()) * 255).astype(
+        np.float32)
+    shift = (60, 8)  # (dx, dy) px — far beyond the old ~49 px ceiling
+    img2 = np.roll(img, (shift[1], shift[0]), axis=(0, 1)).astype(np.float32)
+
+    from video_annotator_tpu.ops.corners import detect_corners
+    from video_annotator_tpu.ops.lk import pyramidal_lk
+
+    pts, valid = detect_corners(jnp.asarray(img), max_corners=64,
+                                min_distance=40, border=100)
+    new_pts, status = pyramidal_lk(jnp.asarray(img), jnp.asarray(img2),
+                                   pts, valid)
+    ok = np.asarray(status) & np.asarray(valid)
+    assert ok.sum() > 20
+    d = (np.asarray(new_pts) - np.asarray(pts))[ok]
+    med = np.median(d, axis=0)
+    np.testing.assert_allclose(med, shift, atol=0.5)

@@ -41,6 +41,7 @@ def analyse_similarity(
         KEY_FRAME_MAX_AGE,
         MAX_CORNERS,
         open_trimmed,
+        tracking_border,
         tracking_gates,
     )
 
@@ -54,6 +55,7 @@ def analyse_similarity(
     level = analysis_level(options)
     track_w = meta.width >> level
     min_distance, min_inliers, min_refresh = tracking_gates(track_w)
+    border = tracking_border(track_w, meta.height >> level)
 
     import functools as _ft
 
@@ -77,7 +79,8 @@ def analyse_similarity(
         acc = compose_similarity(params, acc)
         if refresh_age:
             out_pts, out_valid = detect_corners(
-                gray, max_corners=MAX_CORNERS, min_distance=min_distance
+                gray, max_corners=MAX_CORNERS, min_distance=min_distance,
+                border=border,
             )
         else:
             # NOTE: the count-based refresh runs on device, so the host's
@@ -87,7 +90,8 @@ def analyse_similarity(
             out_pts, out_valid = jax.lax.cond(
                 jnp.sum(status) < min_refresh,
                 lambda: detect_corners(
-                    gray, max_corners=MAX_CORNERS, min_distance=min_distance
+                    gray, max_corners=MAX_CORNERS, min_distance=min_distance,
+                    border=border,
                 ),
                 lambda: (new_pts, status),
             )
@@ -97,7 +101,8 @@ def analyse_similarity(
     def detect_step(gray):
         gray = _track_res(gray)
         return detect_corners(
-            gray, max_corners=MAX_CORNERS, min_distance=min_distance
+            gray, max_corners=MAX_CORNERS, min_distance=min_distance,
+            border=border,
         ) + (gray,)
 
     acc = jnp.zeros(4, jnp.float32)

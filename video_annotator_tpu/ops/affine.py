@@ -16,7 +16,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from video_annotator_tpu.ops.warp_xla import bilinear_sample
+from video_annotator_tpu.ops.warp_xla import _SAMPLERS
 
 
 def fit_similarity(
@@ -121,19 +121,24 @@ def similarity_matrix(params: jax.Array) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("out_size", "interp"))
 def warp_similarity(
     image: jax.Array,  # (H, W)
-    params: jax.Array,  # (4,) forward transform prev->curr; we sample inverse
+    params: jax.Array,  # (4,) SAMPLING transform: output px -> source px
     out_size: Tuple[int, int] | None = None,
     interp: str = "bilinear",
 ) -> jax.Array:
-    """Warp so that applying the *inverse* of ``params`` stabilizes.
+    """Resample ``image`` through the similarity ``params``.
+
+    ``params`` is the SAMPLING transform (maps output pixels to source
+    pixels) — to stabilize, callers pass the INVERSE of the estimated
+    prev->curr motion (``models/similarity.py`` composes and inverts
+    before calling; ``invert_similarity`` does the algebra). Passing a
+    forward motion here warps the frame the wrong way, doubling the
+    shake instead of cancelling it.
 
     ``interp='bicubic'`` matches the reference's vidstabtransform
     invocation (``interpol: "bicubic"``, ``src/render.ts:571``).
     """
-    from video_annotator_tpu.ops.warp_xla import _SAMPLERS
-
     h, w = image.shape if out_size is None else out_size
-    inv = params  # caller passes the sampling transform (output px -> src px)
+    inv = params
     dx, dy, ang, ls = inv[0], inv[1], inv[2], inv[3]
     s = jnp.exp(ls)
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)

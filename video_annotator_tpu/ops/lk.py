@@ -114,27 +114,35 @@ def _lk_level(
     """Refine flow for one point at one pyramid level. Returns (flow, ok)."""
     h, w = prev_img.shape
     half = WIN // 2
-    pad = 6  # iteration search slack around the guess
-    wsize = WIN + 2 * pad + 2
-    if h < wsize or w < wsize:
+    thalo = WIN + 2  # template + 1-px gradient halo
+    wsize_t = thalo + 4  # prev window: halo patch + fractional slack
+    wsize_n = WIN + 4  # per-iteration next window (re-fetched, see body)
+    if h < wsize_t or w < wsize_t:
         # Pyramid level smaller than the tracking window (tiny inputs):
         # pass the guess through unchanged.
         return guess, jnp.bool_(True)
 
-    # Window around the point in prev; template patch is at its center.
-    win_prev, px0, py0 = _extract_window(prev_img, point, wsize)
-    tx = jnp.clip(point[0] - px0.astype(jnp.float32) - half, 0.0, wsize - WIN - 1.0)
-    ty = jnp.clip(point[1] - py0.astype(jnp.float32) - half, 0.0, wsize - WIN - 1.0)
-    tpl = _bilinear_patch(win_prev, tx, ty, WIN)
+    # Template with a 1-px halo so the Scharr gradients below use REAL
+    # neighbors (a SAME-padded conv fabricates huge border gradients —
+    # ~0.5*intensity at the patch ring — that dominate G and bias the
+    # Newton step; cv2 and the Pallas kernel both sample a real halo).
+    win_prev, px0, py0 = _extract_window(prev_img, point, wsize_t)
+    tx = jnp.clip(point[0] - px0.astype(jnp.float32) - (half + 1),
+                  0.0, wsize_t - thalo - 1.0)
+    ty = jnp.clip(point[1] - py0.astype(jnp.float32) - (half + 1),
+                  0.0, wsize_t - thalo - 1.0)
+    tpl_halo = _bilinear_patch(win_prev, tx, ty, thalo)
+    tpl = tpl_halo[1:-1, 1:-1]
 
-    # Scharr gradients of the template (cv2 uses Scharr for LK derivatives).
+    # Scharr gradients of the template (cv2 uses Scharr for LK
+    # derivatives), VALID over the halo patch -> (WIN, WIN).
     gx_k = jnp.array([[-3.0, 0, 3], [-10, 0, 10], [-3, 0, 3]], jnp.float32) / 32.0
     ix = jax.lax.conv_general_dilated(
-        tpl[None, None], gx_k[None, None], (1, 1), "SAME",
+        tpl_halo[None, None], gx_k[None, None], (1, 1), "VALID",
         preferred_element_type=jnp.float32,
     )[0, 0]
     iy = jax.lax.conv_general_dilated(
-        tpl[None, None], gx_k.T[None, None], (1, 1), "SAME",
+        tpl_halo[None, None], gx_k.T[None, None], (1, 1), "VALID",
         preferred_element_type=jnp.float32,
     )[0, 0]
 
@@ -147,15 +155,18 @@ def _lk_level(
     ok_g = min_eig / (WIN * WIN) > MIN_EIG_THRESHOLD
     inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
 
-    # Window around point+guess in next.
-    win_next, nx0, ny0 = _extract_window(next_img, point + guess, wsize)
-
     def body(_, v):
-        ox = point[0] + v[0] - nx0.astype(jnp.float32) - half
-        oy = point[1] + v[1] - ny0.astype(jnp.float32) - half
-        ox_c = jnp.clip(ox, 0.0, wsize - WIN - 1.0)
-        oy_c = jnp.clip(oy, 0.0, wsize - WIN - 1.0)
-        cur = _bilinear_patch(win_next, ox_c, oy_c, WIN)
+        # Re-fetch the window around the CURRENT estimate each iteration
+        # (cv2 semantics): a once-fetched window bounds the recoverable
+        # drift to its padding, and under large coherent motion every
+        # point clamps the same way — the flow saturates while status
+        # stays True and RANSAC happily accepts the shared wrong answer.
+        win_next, nx0, ny0 = _extract_window(next_img, point + v, wsize_n)
+        ox = jnp.clip(point[0] + v[0] - nx0.astype(jnp.float32) - half,
+                      0.0, wsize_n - WIN - 1.0)
+        oy = jnp.clip(point[1] + v[1] - ny0.astype(jnp.float32) - half,
+                      0.0, wsize_n - WIN - 1.0)
+        cur = _bilinear_patch(win_next, ox, oy, WIN)
         r = cur - tpl
         bx = jnp.sum(r * ix)
         by = jnp.sum(r * iy)
@@ -191,6 +202,16 @@ def pyramidal_lk(
     the moral equivalent of the reference's status filtering
     (``opencv/FrameSourceWarp.cpp:262-268``).
     """
+    # cv2-style level reduction (buildOpticalFlowPyramid): drop pyramid
+    # levels that can't fit the tracking window comfortably — at a small
+    # tracking resolution the coarsest level's border margin would
+    # otherwise exclude nearly the whole frame.
+    h, w = prev_img.shape
+    max_lv = 1
+    while max_lv < levels and (min(h, w) >> max_lv) >= 2 * WIN:
+        max_lv += 1
+    levels = max_lv
+
     pyr_prev = build_pyramid(prev_img, levels)
     pyr_next = build_pyramid(next_img, levels)
 

@@ -54,7 +54,7 @@ from video_annotator_tpu.ops.lk import (
 from video_annotator_tpu.ops.warp_pallas import pack_frame_words
 
 HALF = WIN // 2
-PAD = 6  # iteration drift allowance (pixels), matching ops/lk.py
+PAD = 6  # iteration drift allowance (pixels) inside the one-shot window
 PGROUP = 8  # points per grid step
 NSTRIP = 2  # 128-column strips per window
 WCOLS = NSTRIP * 128
@@ -208,8 +208,9 @@ def _make_lk_kernel(iters: int):
 
         # --- iterations (next window) ------------------------------------
         # The window was fetched around point+guess; flow v samples at
-        # offset (ryn, ixn) + (v - guess), clamped into the window (the
-        # XLA path clamps identically; drifted-out points fail RANSAC).
+        # offset (ryn, ixn) + (v - guess), clamped into the window.
+        # (The XLA path re-fetches per iteration — unbounded drift, cv2
+        # semantics; here drift beyond the padding clears status below.)
         y_hi = float(4 * AW - WIN - 3)
         x_hi = float(WCOLS - WIN - 2)
 
@@ -238,9 +239,22 @@ def _make_lk_kernel(iters: int):
         ones = jnp.ones((PGROUP, 1), jnp.float32)
         vx, vy = jax.lax.fori_loop(0, iters, body, (gx0 * ones, gy0 * ones))
 
-        ok = (min_eig / float(WIN * WIN) > MIN_EIG_THRESHOLD).astype(
-            jnp.float32
+        # Honest status under drift saturation: the window is fetched
+        # once around point+guess, so recoverable drift is bounded by
+        # its padding. Under large coherent motion (a whip pan) every
+        # point clamps identically and the shared wrong flow would sail
+        # through RANSAC — fail the track instead (the pipeline then
+        # falls back like the reference does on tracking failure,
+        # opencv/FrameSourceWarp.cpp:432-438).
+        oy_want = ryn + 1.0 + (vy - gy0)
+        ox_want = ixn + (vx - gx0)
+        unsat = (
+            (oy_want >= 1.0) & (oy_want <= y_hi)
+            & (ox_want >= 1.0) & (ox_want <= x_hi)
         )
+        ok = (
+            (min_eig / float(WIN * WIN) > MIN_EIG_THRESHOLD) & unsat
+        ).astype(jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, (PGROUP, 128), 1)
         out_ref[...] = jnp.where(
             col == 0, vx, jnp.where(col == 1, vy, jnp.where(col == 2, ok, 0.0))
@@ -252,13 +266,17 @@ def _make_lk_kernel(iters: int):
 def _origins(p, wstrips, hwords):
     """Window origin + in-window offsets for positions ``p`` (N, 2).
 
-    Returns ``(oy, sx, bw, ry, ixw, ok)``. The kernel's contracts —
-    ``floor(ry)`` within sample_rows' static candidate range
-    [RY0, RY0+3] and the 8-word DMA alignment of ``oy`` — hold only when
-    no clamp fires; ``ok`` is False for points too close to an edge for
-    a full window (the caller must fail those tracks, matching cv2's
-    border behavior). Clamped values stay bounded AND aligned so the
-    kernel still executes safely on masked points.
+    Returns ``(oy, sx, bw, ry, ixw, ok)``. ``ok`` asserts the kernel's
+    actual contracts ON THE CLAMPED origins — ``floor(ry)`` inside
+    sample_rows' static candidate range [RY0, RY0+3] and the halo patch
+    columns inside the window — so a point whose origin clamped against
+    an image edge but whose span still FITS the clamped window tracks
+    normally (a stricter did-anything-clamp gate killed every point in
+    the last 128-column strip / final 8-word band of each level: ~16%
+    of the width at 1280 wide). ``ok`` is False only when the span
+    genuinely cannot fit (too close to the edge), matching cv2's border
+    behavior; clamped values stay bounded AND aligned so the kernel
+    still executes safely on masked points.
     """
     ix = jnp.floor(p[:, 0]).astype(jnp.int32)
     iy = jnp.floor(p[:, 1]).astype(jnp.int32)
@@ -271,11 +289,17 @@ def _origins(p, wstrips, hwords):
     oy0 = (wy // 8) * 8
     oy = jnp.clip(oy0, 0, max(((hwords - DMA_WORDS) // 8) * 8, 0))
     bw = jnp.clip(wy - oy, 0, 7)
-    ok = (sx0 == sx) & (oy0 == oy)
     # Patch row -1 (gradient halo, y = p_y - HALF - 1) as a fractional
     # pixel offset inside the ALIGNED window.
     ry = p[:, 1] - float(HALF + 1) - ((oy + bw) * 4).astype(jnp.float32)
     ixw = p[:, 0] - (sx * 128).astype(jnp.float32) - float(HALF)
+    fry = jnp.floor(ry)
+    ok = (
+        (fry >= float(RY0)) & (fry <= float(RY0 + 3))
+        # Halo sampling gathers columns floor(ixw)-1 .. floor(ixw)+WIN+1
+        # (+1 more for the x+1 tap roll): keep them inside the window.
+        & (ixw >= 1.0) & (ixw <= float(WCOLS - WIN - 3))
+    )
     return oy, sx, bw, ry, ixw, ok
 
 
@@ -389,6 +413,15 @@ def pyramidal_lk_pallas(
                                   use_kernel=not interpret)
         nwords = pack_frame_words(pyr_next[lvl], ph, pw,
                                   use_kernel=not interpret)
+        # 8 extra edge-replicated word rows: the DMA always reads
+        # DMA_WORDS rows from an 8-ALIGNED origin, so without slack the
+        # bottom ~8 word rows (32 px) of every level are unreachable —
+        # points there failed even though their span fits the image.
+        # Replication mimics cv2's border behavior for the drift tail.
+        pwords = jnp.concatenate(
+            [pwords, jnp.repeat(pwords[:, -1:], 8, axis=1)], axis=1)
+        nwords = jnp.concatenate(
+            [nwords, jnp.repeat(nwords[:, -1:], 8, axis=1)], axis=1)
         scale = 2.0**lvl
         vx, vy, ok = _lk_level_pallas(
             pwords, nwords, pts_p / scale, flow / scale,

@@ -233,6 +233,22 @@ def tracking_gates(track_w: int) -> tuple:
     return min_distance, min_inliers, min_refresh
 
 
+def tracking_border(track_w: int, track_h: int) -> int:
+    """Corner-seeding border for the trackers' detect_corners calls.
+
+    Corners closer to an edge than the deepest pyramid level's tracking
+    window can never be tracked — pyramidal LK needs ~(WIN//2 + 1) px of
+    margin per level, i.e. 2**(levels-1) times that at tracking
+    resolution — so seeding them burns max_corners slots on guaranteed
+    status=False points, displacing trackable interior cells. Capped by
+    the frame size so detection never goes empty on tiny inputs.
+    """
+    from video_annotator_tpu.ops.lk import DEF_LEVELS, WIN
+
+    margin = 2 ** (DEF_LEVELS - 1) * (WIN // 2 + 1)
+    return max(8, min(margin, min(track_w, track_h) // 6))
+
+
 def _frame_range(meta: VideoMeta, o: RenderOptions):
     fps = float(meta.fps)
     first = int(round((o.start or 0.0) * fps))
@@ -724,6 +740,7 @@ def _make_tracker(meta: VideoMeta, options: RenderOptions):
     track_w = in_cam_full.width
     threshold = 8.0 / float(in_cam_native.fx)  # reference's 8 px gate, in rays
     min_distance, min_inliers, min_refresh = tracking_gates(track_w)
+    border = tracking_border(track_w, in_cam_full.height)
 
     import functools as _ft
 
@@ -764,13 +781,15 @@ def _make_tracker(meta: VideoMeta, options: RenderOptions):
         )
         if refresh_age:
             out_pts, out_valid = detect_corners(
-                gray, max_corners=MAX_CORNERS, min_distance=min_distance
+                gray, max_corners=MAX_CORNERS, min_distance=min_distance,
+                border=border,
             )
         else:
             out_pts, out_valid = jax.lax.cond(
                 jnp.sum(status) < min_refresh,
                 lambda: detect_corners(
-                    gray, max_corners=MAX_CORNERS, min_distance=min_distance
+                    gray, max_corners=MAX_CORNERS, min_distance=min_distance,
+                    border=border,
                 ),
                 lambda: (new_pts, status),
             )
@@ -780,7 +799,8 @@ def _make_tracker(meta: VideoMeta, options: RenderOptions):
     def detect_step(gray):
         gray = _track_res(gray)
         return detect_corners(
-            gray, max_corners=MAX_CORNERS, min_distance=min_distance
+            gray, max_corners=MAX_CORNERS, min_distance=min_distance,
+            border=border,
         ) + (gray,)
 
     return detect_step, track_step
