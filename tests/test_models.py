@@ -95,6 +95,58 @@ def test_phase_correlate_recovers_shift():
     np.testing.assert_allclose(np.asarray(d), d_true, atol=0.2)
 
 
+def test_phase_correlate_periodic_texture():
+    """Narrowband (sum-of-sinusoids) content must not corrupt the peak.
+
+    Fully whitened phase correlation measured 1.9 px median / 4 px max
+    error on this texture (the synthetic world texture's spectral shape,
+    ``io/synthetic.py``); the regularized spectral weight must hold
+    sub-0.1 px. Guards the deshake family's analysis pass.
+    """
+    h, w = 240, 320
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = (
+        128
+        + 60
+        * (
+            0.35 * np.sin(xs * 0.21) * np.sin(ys * 0.23)
+            + 0.25 * np.sin(xs * 0.57 + 1.3) * np.cos(ys * 0.49)
+            + 0.2 * np.sin(xs * 0.09 - ys * 0.11)
+        )
+    ).astype(np.float32)
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        d_true = rng.uniform(-4, 4, 2)
+        M = np.float32([[1, 0, d_true[0]], [0, 1, d_true[1]]])
+        img2 = cv2.warpAffine(
+            img, M, (w, h),
+            flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_REFLECT,
+        )
+        d, _ = phase_correlate(jnp.asarray(img2), jnp.asarray(img))
+        np.testing.assert_allclose(np.asarray(d), d_true, atol=0.1)
+
+
+def test_phase_correlate_psr_separates_degenerate_pairs():
+    """PSR confidence: shifted pairs >> the deshake gate (8.0) >> cuts."""
+    h, w = 240, 320
+    rng = np.random.default_rng(5)
+    a = cv2.GaussianBlur(
+        rng.uniform(0, 255, (h, w)).astype(np.float32), (0, 0), 1.5
+    )
+    b = cv2.GaussianBlur(
+        rng.uniform(0, 255, (h, w)).astype(np.float32), (0, 0), 1.5
+    )
+    M = np.float32([[1, 0, 3.0], [0, 1, -2.0]])
+    a_sh = cv2.warpAffine(a, M, (w, h), borderMode=cv2.BORDER_REFLECT)
+    _, psr_good = phase_correlate(jnp.asarray(a_sh), jnp.asarray(a))
+    _, psr_cut = phase_correlate(jnp.asarray(b), jnp.asarray(a))
+    flat = np.full((h, w), 128, np.float32)
+    _, psr_flat = phase_correlate(jnp.asarray(flat), jnp.asarray(flat))
+    assert float(psr_good) > 10.0
+    assert float(psr_cut) < 8.0
+    assert float(psr_flat) < 8.0
+
+
 @pytest.mark.parametrize("filt", ["similarity", "deshake"])
 def test_2d_families_end_to_end(tmp_path, filt):
     src = "synthetic://shaky?w=256&h=192&n=20&seed=9&shake=0.004&pan=0.0"

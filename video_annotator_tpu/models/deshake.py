@@ -40,15 +40,24 @@ def analyse_deshake(
     level = analysis_level(options)
     from video_annotator_tpu.ops.warp_pallas import box_downsample
 
+    # Measurement-quality gate: a peak-to-sidelobe ratio below ~8 means
+    # the correlation surface has no trustworthy peak (scene cut, flat
+    # frame — see ops/phasecorr.py); fall back to the previous frame's
+    # motion, the deshake-family analogue of the reference's
+    # inliers<40 => reuse-previous-rotation gate
+    # (opencv/FrameSourceWarp.cpp:432-438).
+    psr_min = 8.0
+
     @jax.jit
-    def track_step(prev_small, gray, acc):
+    def track_step(prev_small, gray, acc, prev_d):
         # d such that curr(x) ~= prev(x - d): camera moved by +d. Runs
         # and accumulates on device — no per-frame host sync (each
         # blocked round trip costs ~30-90 ms over a remote backend).
         small = box_downsample(gray, level).astype(jnp.float32) \
             if level else gray.astype(jnp.float32)
-        d, _peak = phase_correlate(small, prev_small)
-        return acc + d, small
+        d, psr = phase_correlate(small, prev_small)
+        d = jnp.where(psr >= psr_min, d, prev_d)
+        return acc + d, small, d
 
     @jax.jit
     def first_step(gray):
@@ -57,6 +66,7 @@ def analyse_deshake(
         )
 
     acc = jnp.zeros(2, jnp.float32)
+    prev_d = jnp.zeros(2, jnp.float32)
     out = []
     prev_gray = None
     idx = reader.start_frame - 1
@@ -76,7 +86,9 @@ def analyse_deshake(
                 out.append(acc)
             else:
                 with prof.stage("track"):
-                    acc, prev_gray = track_step(prev_gray, y, acc)
+                    acc, prev_gray, prev_d = track_step(
+                        prev_gray, y, acc, prev_d
+                    )
                     out.append(acc)
     finally:
         # Like analyse() (pipeline/render.py): an exception mid-loop must

@@ -16,9 +16,19 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit)
-def phase_correlate(a: jax.Array, b: jax.Array):
-    """Translation (dx, dy) such that a(x) ~= b(x - d), plus peak response.
+@functools.partial(jax.jit, static_argnames=("whiten_reg",))
+def phase_correlate(a: jax.Array, b: jax.Array, whiten_reg: float = 1.0):
+    """Translation (dx, dy) such that a(x) ~= b(x - d), plus confidence.
+
+    The second return is the peak-to-sidelobe ratio
+    ``(peak - mean) / std`` of the correlation surface — raw peak height
+    tracks spectral content, not match quality (a correlated narrowband
+    pair and a broadband scene cut measure the same height), while the
+    PSR separates them: measured >=10 for genuinely shifted pairs (even
+    narrowband/noisy/motion-blurred), <=7.6 for scene cuts, ~2.9 for
+    flat frames. Callers gate on ~8 (``models/deshake.py``; the
+    rotation family's analogue is the RANSAC inlier gate,
+    ``opencv/FrameSourceWarp.cpp:432-438``).
 
     I.e. ``d`` is how far ``a``'s content sits ahead of ``b``'s:
     ``phase_correlate(shifted, original)`` returns the applied shift
@@ -26,6 +36,16 @@ def phase_correlate(a: jax.Array, b: jax.Array):
     ``phase_correlate(curr, prev)`` as the camera translation).
 
     Hann-windowed phase correlation with parabolic subpixel interpolation.
+
+    ``whiten_reg`` regularizes the spectral whitening: each bin's unit
+    phase vector is scaled by ``m / (m + whiten_reg * mean(m))`` where
+    ``m`` is the cross-spectrum magnitude. Full whitening (``0.0``) gives
+    every frequency bin equal vote, so on narrowband/periodic content the
+    (phase-noise-only) bins between harmonics plus the texture's lattice
+    ambiguity corrupt the peak — measured 1.9 px median / 4 px max error
+    on a sum-of-sinusoids texture, vs 0.01/0.02 px with the regularized
+    weight (which also tightens broadband accuracy ~8x; see
+    ``tests/test_models.py::test_phase_correlate_periodic_texture``).
     """
     h, w = a.shape
     wy = jnp.hanning(h)[:, None]
@@ -34,7 +54,9 @@ def phase_correlate(a: jax.Array, b: jax.Array):
     fa = jnp.fft.rfft2(a.astype(jnp.float32) * win)
     fb = jnp.fft.rfft2(b.astype(jnp.float32) * win)
     cross = fa * jnp.conj(fb)
-    cross = cross / (jnp.abs(cross) + 1e-9)
+    m = jnp.abs(cross)
+    weight = m / (m + whiten_reg * jnp.mean(m)) if whiten_reg > 0 else 1.0
+    cross = cross / (m + 1e-9) * weight
     corr = jnp.fft.irfft2(cross, s=(h, w))
 
     idx = jnp.argmax(corr)
@@ -57,4 +79,5 @@ def phase_correlate(a: jax.Array, b: jax.Array):
     dy = jnp.where(fy > h / 2, fy - h, fy)
     dx = jnp.where(fx > w / 2, fx - w, fx)
     peak = corr[py, px]
-    return jnp.stack([dx, dy]), peak
+    psr = (peak - jnp.mean(corr)) / (jnp.std(corr) + 1e-12)
+    return jnp.stack([dx, dy]), psr
