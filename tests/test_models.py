@@ -126,10 +126,16 @@ def test_phase_correlate_periodic_texture():
         np.testing.assert_allclose(np.asarray(d), d_true, atol=0.1)
 
 
-def test_phase_correlate_psr_separates_degenerate_pairs():
-    """PSR confidence: shifted pairs >> the deshake gate (8.0) >> cuts."""
+def test_phase_correlate_confidence_separates_degenerate_pairs():
+    """Normalized confidence: shifted pairs >> the deshake gate (1.5) >> cuts.
+
+    The confidence is PSR / sqrt(2 ln N) — size-normalized so one
+    threshold works from the analysis-scale levels up to 4K (a raw PSR
+    gate false-rejects small frames and false-accepts large ones; see
+    ops/phasecorr.py for the measured distributions).
+    """
     h, w = 240, 320
-    rng = np.random.default_rng(5)
+    rng = np.random.default_rng(3)
     a = cv2.GaussianBlur(
         rng.uniform(0, 255, (h, w)).astype(np.float32), (0, 0), 1.5
     )
@@ -138,13 +144,14 @@ def test_phase_correlate_psr_separates_degenerate_pairs():
     )
     M = np.float32([[1, 0, 3.0], [0, 1, -2.0]])
     a_sh = cv2.warpAffine(a, M, (w, h), borderMode=cv2.BORDER_REFLECT)
-    _, psr_good = phase_correlate(jnp.asarray(a_sh), jnp.asarray(a))
-    _, psr_cut = phase_correlate(jnp.asarray(b), jnp.asarray(a))
-    flat = np.full((h, w), 128, np.float32)
-    _, psr_flat = phase_correlate(jnp.asarray(flat), jnp.asarray(flat))
-    assert float(psr_good) > 10.0
-    assert float(psr_cut) < 8.0
-    assert float(psr_flat) < 8.0
+    _, conf_good = phase_correlate(jnp.asarray(a_sh), jnp.asarray(a))
+    _, conf_cut = phase_correlate(jnp.asarray(b), jnp.asarray(a))
+    flat_a = 128 + rng.normal(0, 1, (h, w)).astype(np.float32)
+    flat_b = 128 + rng.normal(0, 1, (h, w)).astype(np.float32)
+    _, conf_flat = phase_correlate(jnp.asarray(flat_a), jnp.asarray(flat_b))
+    assert float(conf_good) > 3.0
+    assert float(conf_cut) < 1.4
+    assert float(conf_flat) < 0.8
 
 
 @pytest.mark.parametrize("filt", ["similarity", "deshake"])

@@ -40,13 +40,18 @@ def analyse_deshake(
     level = analysis_level(options)
     from video_annotator_tpu.ops.warp_pallas import box_downsample
 
-    # Measurement-quality gate: a peak-to-sidelobe ratio below ~8 means
+    # Measurement-quality gate: normalized confidence below 1.5 means
     # the correlation surface has no trustworthy peak (scene cut, flat
-    # frame — see ops/phasecorr.py); fall back to the previous frame's
-    # motion, the deshake-family analogue of the reference's
-    # inliers<40 => reuse-previous-rotation gate
-    # (opencv/FrameSourceWarp.cpp:432-438).
-    psr_min = 8.0
+    # frame — thresholds measured in ops/phasecorr.py); fall back to
+    # the previous frame's motion, the deshake-family analogue of the
+    # reference's inliers<40 => reuse-previous-rotation gate
+    # (opencv/FrameSourceWarp.cpp:432-438). Accepted deltas are also
+    # clamped to 1/8 frame per axis — consecutive-frame camera shake is
+    # small (ffmpeg deshake searches +-16 px, rx/ry defaults), and the
+    # clamp bounds the damage of the one degenerate class the
+    # confidence can't see: an adversarial cut that mimics a periodic
+    # genuine pair.
+    conf_min = 1.5
 
     @jax.jit
     def track_step(prev_small, gray, acc, prev_d):
@@ -55,8 +60,12 @@ def analyse_deshake(
         # blocked round trip costs ~30-90 ms over a remote backend).
         small = box_downsample(gray, level).astype(jnp.float32) \
             if level else gray.astype(jnp.float32)
-        d, psr = phase_correlate(small, prev_small)
-        d = jnp.where(psr >= psr_min, d, prev_d)
+        d, conf = phase_correlate(small, prev_small)
+        d_max = jnp.asarray(
+            [small.shape[1] / 8.0, small.shape[0] / 8.0], jnp.float32
+        )
+        d = jnp.clip(d, -d_max, d_max)
+        d = jnp.where(conf >= conf_min, d, prev_d)
         return acc + d, small, d
 
     @jax.jit

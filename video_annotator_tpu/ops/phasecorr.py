@@ -14,21 +14,28 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=("whiten_reg",))
 def phase_correlate(a: jax.Array, b: jax.Array, whiten_reg: float = 1.0):
     """Translation (dx, dy) such that a(x) ~= b(x - d), plus confidence.
 
-    The second return is the peak-to-sidelobe ratio
-    ``(peak - mean) / std`` of the correlation surface — raw peak height
-    tracks spectral content, not match quality (a correlated narrowband
-    pair and a broadband scene cut measure the same height), while the
-    PSR separates them: measured >=10 for genuinely shifted pairs (even
-    narrowband/noisy/motion-blurred), <=7.6 for scene cuts, ~2.9 for
-    flat frames. Callers gate on ~8 (``models/deshake.py``; the
-    rotation family's analogue is the RANSAC inlier gate,
-    ``opencv/FrameSourceWarp.cpp:432-438``).
+    The second return is a size-normalized match confidence: the
+    peak-to-sidelobe ratio ``(peak - mean) / std`` of the correlation
+    surface, divided by ``sqrt(2 ln N)`` — the expected maximum of N
+    iid unit normals, i.e. the PSR a peak-free (pure-noise) surface
+    would measure. Raw peak height tracks spectral content, not match
+    quality, and the raw PSR grows with frame area (a fixed threshold
+    false-rejects small frames and false-accepts large ones). The
+    normalized confidence measured over 96x128..1080x1920, 5 seeds:
+    genuine shifts >= 1.63 (broadband >= 4, worst case narrowband
+    periodic), scene cuts 0.89-1.74, flat frames <= 0.67. Callers gate
+    at ~1.5 — below every genuine pair, above flat/black frames and
+    most cuts (an adversarial noise-texture cut can overlap a periodic
+    genuine pair in ANY global statistic; ``models/deshake.py`` adds a
+    delta-magnitude clamp for those). The rotation family's analogue is
+    the RANSAC inlier gate (``opencv/FrameSourceWarp.cpp:432-438``).
 
     I.e. ``d`` is how far ``a``'s content sits ahead of ``b``'s:
     ``phase_correlate(shifted, original)`` returns the applied shift
@@ -80,4 +87,5 @@ def phase_correlate(a: jax.Array, b: jax.Array, whiten_reg: float = 1.0):
     dx = jnp.where(fx > w / 2, fx - w, fx)
     peak = corr[py, px]
     psr = (peak - jnp.mean(corr)) / (jnp.std(corr) + 1e-12)
-    return jnp.stack([dx, dy]), psr
+    conf = psr / np.sqrt(2.0 * np.log(h * w))
+    return jnp.stack([dx, dy]), conf
