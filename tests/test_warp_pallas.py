@@ -431,7 +431,10 @@ def test_frame_warper_prefilter_cpu_path():
     mask = (a > 1) & (b > 1)  # compare interior (borders identical anyway)
     mse = float(np.mean((a[mask] - b[mask]) ** 2))
     psnr = 10 * np.log10(255.0**2 / max(mse, 1e-9))
-    assert psnr > 35.0, psnr
+    # The prefilter is a real low-pass (mip level 1 here), so bit-exact
+    # agreement is impossible by design; on smooth content it must still
+    # meet the repo-wide 45 dB fidelity standard (measured: 47.4 dB).
+    assert psnr > 45.0, psnr
     # Constant chroma must stay constant under the prefilter (borders fill
     # with neutral 128, so test the majority interior).
     assert np.median(np.abs(np.asarray(wu1) - 90)) < 1.5

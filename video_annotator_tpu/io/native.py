@@ -61,12 +61,37 @@ _CONCAT_SIG = {
 }
 
 _lib_cache: dict = {}
+_build_attempted = False
+
+
+def _try_build() -> None:
+    """Best-effort one-shot ``make -C native`` when a .so is missing.
+
+    The shared libraries are build artifacts (not tracked in git); a fresh
+    checkout builds them on first use so the native decode/encode paths and
+    their tests keep working without a manual build step.
+    """
+    global _build_attempted
+    if _build_attempted:
+        return
+    _build_attempted = True
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "all"],
+            capture_output=True, timeout=120, check=False,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        pass
 
 
 def _load(path: str, signatures: dict):
     """CDLL + bind the signature table; None (cached) if absent/unloadable."""
     if path in _lib_cache:
         return _lib_cache[path]
+    if not os.path.exists(path):
+        _try_build()
     lib = None
     if os.path.exists(path):
         try:
