@@ -19,8 +19,11 @@ pre-extracted detections per view.
 
 from __future__ import annotations
 
+import dataclasses
+import enum
 import json
-from typing import Tuple
+import os
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,9 +33,25 @@ from video_annotator_tpu import so3
 from video_annotator_tpu.camera import Camera, CameraModel
 
 
-def _project(params, obj_pts, model: CameraModel):
-    """Project board points through pose + intrinsics."""
+class PatternType(enum.Enum):
+    """Calibration target families the reference tool supports
+    (``camera_calibration.cpp:22``, detection switch ``:356-363``)."""
+
+    CHESSBOARD = "CHESSBOARD"
+    CIRCLES_GRID = "CIRCLES_GRID"
+    ASYMMETRIC_CIRCLES_GRID = "ASYMMETRIC_CIRCLES_GRID"
+
+
+def _project(params, obj_pts, model: CameraModel, aspect_ratio=None):
+    """Project board points through pose + intrinsics.
+
+    ``aspect_ratio``: when set, fx is tied to ``aspect_ratio * fy`` (the
+    reference's CALIB_FIX_ASPECT_RATIO semantics,
+    ``camera_calibration.cpp:137-138``) and ``params["fx"]`` is unused.
+    """
     fx, fy, cx, cy = params["fx"], params["fy"], params["cx"], params["cy"]
+    if aspect_ratio is not None:
+        fx = aspect_ratio * fy
     dist = params["dist"]
     rvecs, tvecs = params["rvec"], params["tvec"]  # (V, 3)
 
@@ -74,8 +93,18 @@ def calibrate(
     image_size: Tuple[int, int],
     model: CameraModel = CameraModel.FISHEYE,
     steps: int = 4000,
+    fix_aspect_ratio: Optional[float] = None,
+    fix_principal_point: bool = False,
+    fix_k: Sequence[bool] = (False, False, False, False),
 ) -> Tuple[Camera, float]:
-    """Fit intrinsics + per-view poses; returns (camera, rms_error_px)."""
+    """Fit intrinsics + per-view poses; returns (camera, rms_error_px).
+
+    The ``fix_*`` knobs mirror the reference's calibration flags
+    (``camera_calibration.cpp:130-147``): CALIB_FIX_ASPECT_RATIO pins
+    fx = ratio * fy, CALIB_FIX_PRINCIPAL_POINT pins (cx, cy) at the image
+    center, and CALIB_FIX_K1..K4 pin individual distortion coefficients at
+    zero. Fixing is exact (masked out of both optimizers), not penalized.
+    """
     v = image_points.shape[0]
     w, h = image_size
     obj = jnp.asarray(object_points, jnp.float32)
@@ -96,8 +125,23 @@ def calibrate(
         ),
     }
 
+    # 0/1 mask with the params' structure: fixed entries never move (the
+    # LM refiner zeroes the matching Jacobian columns with the same mask).
+    mask = {
+        "fx": jnp.asarray(0.0 if fix_aspect_ratio is not None else 1.0),
+        "fy": jnp.asarray(1.0),
+        "cx": jnp.asarray(0.0 if fix_principal_point else 1.0),
+        "cy": jnp.asarray(0.0 if fix_principal_point else 1.0),
+        "dist": jnp.asarray(
+            [0.0 if f else 1.0 for f in fix_k], jnp.float32
+        ),
+        "rvec": jnp.ones((v, 3), jnp.float32),
+        "tvec": jnp.ones((v, 3), jnp.float32),
+    }
+    ar = None if fix_aspect_ratio is None else float(fix_aspect_ratio)
+
     def loss(p):
-        pred = _project(p, obj, model)
+        pred = _project(p, obj, model, aspect_ratio=ar)
         return jnp.mean(jnp.sum((pred - img) ** 2, axis=-1))
 
     import optax
@@ -114,22 +158,25 @@ def calibrate(
         # focals moving at pixel scale).
         for k in ("fx", "fy", "cx", "cy"):
             updates[k] = updates[k] * 100.0
+        updates = jax.tree_util.tree_map(lambda u, m: u * m, updates, mask)
         p = optax.apply_updates(p, updates)
         return p, s
 
     for _ in range(steps):
         params, state = step(params, state)
 
-    params = _lm_refine(params, obj, img, model)
+    params = _lm_refine(params, obj, img, model, mask=mask, aspect_ratio=ar)
     rms = float(jnp.sqrt(loss(params)))
+    fx = params["fx"] if ar is None else ar * params["fy"]
     cam = Camera.make(
-        params["fx"], params["fy"], params["cx"], params["cy"], w, h, model,
+        fx, params["fy"], params["cx"], params["cy"], w, h, model,
         dist=params["dist"],
     )
     return cam, rms
 
 
-def _lm_refine(params, obj, img, model: CameraModel, iters: int = 40):
+def _lm_refine(params, obj, img, model: CameraModel, iters: int = 40,
+               mask=None, aspect_ratio=None):
     """Levenberg-Marquardt polish of the adam solution.
 
     Adam finds the basin but crawls on calibration's ill-conditioned
@@ -141,9 +188,15 @@ def _lm_refine(params, obj, img, model: CameraModel, iters: int = 40):
     from jax.flatten_util import ravel_pytree
 
     p0, unravel = ravel_pytree(params)
+    flat_mask = (
+        np.asarray(ravel_pytree(mask)[0], np.float64)
+        if mask is not None else np.ones(p0.shape[0])
+    )
 
     def resid(p):
-        return (_project(unravel(p), obj, model) - img).ravel()
+        return (
+            _project(unravel(p), obj, model, aspect_ratio=aspect_ratio) - img
+        ).ravel()
 
     res_j = jax.jit(resid)
     jac_j = jax.jit(jax.jacfwd(resid))
@@ -154,6 +207,7 @@ def _lm_refine(params, obj, img, model: CameraModel, iters: int = 40):
     lam = 1e-3
     for _ in range(iters):
         J = np.asarray(jac_j(jnp.asarray(p, jnp.float32)), np.float64)
+        J *= flat_mask  # fixed params: zero column -> zero gradient/step
         jtj = J.T @ J
         g = J.T @ r
         scale = np.diag(np.maximum(np.diag(jtj), 1e-8))
@@ -180,12 +234,97 @@ def _lm_refine(params, obj, img, model: CameraModel, iters: int = 40):
     return unravel(jnp.asarray(p, jnp.float32))
 
 
-def board_object_points(cols: int, rows: int, square_size: float = 1.0):
-    """(cols*rows, 3) inner-corner board coordinates (z = 0)."""
+def board_object_points(cols: int, rows: int, square_size: float = 1.0,
+                        pattern: PatternType = PatternType.CHESSBOARD):
+    """(cols*rows, 3) board feature coordinates (z = 0).
+
+    Chessboard/symmetric circles share the regular grid; the asymmetric
+    circles grid staggers odd rows by one square
+    (``camera_calibration.cpp:527-540`` ``calcBoardCornerPositions``).
+    """
     xs, ys = np.meshgrid(np.arange(cols), np.arange(rows))
+    if pattern == PatternType.ASYMMETRIC_CIRCLES_GRID:
+        xs = 2 * xs + ys % 2
     return np.stack(
         [xs.ravel(), ys.ravel(), np.zeros(cols * rows)], axis=1
     ).astype(np.float64) * float(square_size)
+
+
+def detect_pattern(gray, pattern: Tuple[int, int],
+                   pattern_type: PatternType = PatternType.CHESSBOARD):
+    """Find one calibration target in a grayscale image.
+
+    The reference's detection switch (``camera_calibration.cpp:354-368``):
+    chessboard corners (adaptive threshold + normalize, subpixel-refined)
+    or ``findCirclesGrid`` in symmetric/asymmetric mode. Returns (N, 2)
+    float32 points or ``None``.
+    """
+    import cv2
+
+    cols, rows = pattern
+    if pattern_type == PatternType.CHESSBOARD:
+        flags = cv2.CALIB_CB_ADAPTIVE_THRESH | cv2.CALIB_CB_NORMALIZE_IMAGE
+        found, pts = cv2.findChessboardCorners(gray, (cols, rows), flags)
+        if not found:
+            return None
+        crit = (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_COUNT, 30, 0.01)
+        pts = cv2.cornerSubPix(gray, pts, (11, 11), (-1, -1), crit)
+    else:
+        flags = (
+            cv2.CALIB_CB_ASYMMETRIC_GRID
+            if pattern_type == PatternType.ASYMMETRIC_CIRCLES_GRID
+            else cv2.CALIB_CB_SYMMETRIC_GRID
+        )
+        found, pts = cv2.findCirclesGrid(gray, (cols, rows), flags=flags)
+        if not found:
+            return None
+    return pts.reshape(-1, 2).astype(np.float32)
+
+
+def _iter_gray_frames(source: str):
+    """Yield grayscale frames + (w, h) from a video or an image-list file.
+
+    Mirrors the reference's input switch (``camera_calibration.cpp:96-121``):
+    a ``.xml``/``.yaml``/``.yml`` path is a FileStorage string list of image
+    files (``readStringList``, ``:246-262``); anything else decodes as video
+    through this framework's readers (luma plane only — detection is
+    grayscale). Live-camera input (a numeric string) needs a capture device
+    this headless environment lacks.
+    """
+    import cv2
+
+    if source.split(".")[-1].lower() in ("xml", "yaml", "yml"):
+        fs = cv2.FileStorage(source, cv2.FILE_STORAGE_READ)
+        try:
+            node = fs.getNode("images")
+            if node.empty():
+                node = fs.root().at(0) if fs.root().size() else node
+            files = [node.at(i).string() for i in range(node.size())]
+        finally:
+            fs.release()
+        base = os.path.dirname(os.path.abspath(source))
+        for f in files:
+            path = f if os.path.isabs(f) else os.path.join(base, f)
+            img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                raise FileNotFoundError(f"image list entry not readable: {f}")
+            yield img, (img.shape[1], img.shape[0]), None
+        return
+    if source.isdigit():
+        raise ValueError(
+            "live-camera calibration input (a numeric camera ID) is not "
+            "supported in this headless environment; record a clip instead"
+        )
+
+    from video_annotator_tpu.io.video import open_reader
+
+    reader = open_reader(source)
+    meta = reader.meta
+    try:
+        for y, _, _ in iter(reader):
+            yield y, (meta.width, meta.height), float(meta.fps)
+    finally:
+        reader.close()
 
 
 def detect_board_views(
@@ -194,56 +333,273 @@ def detect_board_views(
     square_size: float = 1.0,
     max_views: int = 25,
     interval_s: float = 0.25,
+    pattern_type: PatternType = PatternType.CHESSBOARD,
+    flip_vertical: bool = False,
 ):
-    """Detect chessboard inner corners across a video's frames.
+    """Detect calibration-target views across a video's frames.
 
-    The reference tool's capture loop (``camera_calibration.cpp:379-390``):
-    ``findChessboardCorners`` with adaptive threshold + normalization, then
-    ``cornerSubPix`` refinement, sampling views at least ``interval_s``
-    apart until ``max_views`` are collected. Decoding runs through this
-    framework's readers (luma plane only — detection is grayscale).
+    The reference tool's capture loop (``camera_calibration.cpp:340-390``):
+    optional flip around the horizontal axis, pattern detection per
+    ``pattern_type``, subpixel refinement for chessboards, sampling views at
+    least ``interval_s`` apart until ``max_views`` are collected.
 
     Returns ``(object_points (N, 3), image_points (V, N, 2), (w, h))``.
     """
     import cv2
 
-    from video_annotator_tpu.io.video import open_reader
-
     cols, rows = pattern
-    reader = open_reader(source)
-    meta = reader.meta
-    stride = max(1, int(round(interval_s * float(meta.fps))))
-    flags = cv2.CALIB_CB_ADAPTIVE_THRESH | cv2.CALIB_CB_NORMALIZE_IMAGE
-    crit = (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_COUNT, 30, 0.01)
     views = []
-    try:
-        for i, (y, _, _) in enumerate(iter(reader)):
-            if i % stride:
-                continue
-            found, corners = cv2.findChessboardCorners(y, (cols, rows), flags)
-            if not found:
-                continue
-            corners = cv2.cornerSubPix(
-                y, corners, (11, 11), (-1, -1), crit
-            )
-            views.append(corners.reshape(-1, 2))
-            if len(views) >= max_views:
-                break
-    finally:
-        reader.close()
+    size = None
+    stride = None
+    for i, (gray, wh, fps) in enumerate(_iter_gray_frames(source)):
+        size = wh
+        if stride is None:
+            # Image lists (fps None) examine every entry; video samples
+            # views at least interval_s apart.
+            stride = (1 if fps is None
+                      else max(1, int(round(interval_s * fps))))
+        if i % stride:
+            continue
+        if flip_vertical:
+            gray = cv2.flip(gray, 0)
+        pts = detect_pattern(gray, (cols, rows), pattern_type)
+        if pts is None:
+            continue
+        views.append(pts)
+        if len(views) >= max_views:
+            break
     if len(views) < 3:
         raise ValueError(
-            f"found a {cols}x{rows} chessboard in only {len(views)} frames "
-            f"of {source}; calibration needs at least 3 views"
+            f"found a {cols}x{rows} {pattern_type.value} in only "
+            f"{len(views)} frames of {source}; calibration needs at least "
+            f"3 views"
         )
-    obj = board_object_points(cols, rows, square_size)
-    return obj, np.stack(views), (meta.width, meta.height)
+    obj = board_object_points(cols, rows, square_size, pattern_type)
+    return obj, np.stack(views), size
+
+
+@dataclasses.dataclass
+class CalibrationSettings:
+    """The reference calibrator's settings file, field for field
+    (``Settings::read/write``, ``camera_calibration.cpp:25-75``; example
+    ``in_VID5.xml``). Read/write via cv2.FileStorage so the reference's own
+    XML settings files load unchanged (YAML works too, by extension).
+
+    GUI-only fields (``Show_UndistortedImage``, ``Input_Delay`` for live
+    cameras) are parsed and preserved but inert in this headless build.
+    """
+
+    board_width: int = 9
+    board_height: int = 6
+    square_size: float = 1.0
+    pattern: PatternType = PatternType.CHESSBOARD
+    input: str = ""
+    flip_vertical: bool = False
+    delay_ms: int = 100
+    nr_frames: int = 25
+    fix_aspect_ratio: float = 0.0  # 0 = free; >0 pins fx/fy to this ratio
+    zero_tangent_dist: bool = True  # inert: the fisheye model has none
+    fix_principal_point: bool = False
+    output_file: str = "out_camera_data.xml"
+    write_points: bool = False
+    write_extrinsics: bool = False
+    write_grid: bool = False
+    show_undistorted: bool = False
+    use_fisheye: bool = True
+    fix_k: Tuple[bool, bool, bool, bool, bool] = (
+        False, False, False, False, False)
+
+    @staticmethod
+    def read(path: str) -> "CalibrationSettings":
+        import cv2
+
+        fs = cv2.FileStorage(path, cv2.FILE_STORAGE_READ)
+        if not fs.isOpened():
+            raise FileNotFoundError(f"cannot open settings file {path}")
+        try:
+            node = fs.getNode("Settings")
+            if node.empty():
+                node = fs.root()
+
+            def _i(name, default):
+                n = node.getNode(name)
+                return default if n.empty() else int(n.real())
+
+            def _f(name, default):
+                n = node.getNode(name)
+                return default if n.empty() else float(n.real())
+
+            def _s(name, default):
+                n = node.getNode(name)
+                # The reference's files quote strings inside the element
+                # ("CHESSBOARD"); FileStorage keeps the quotes — strip.
+                return default if n.empty() else n.string().strip('"')
+
+            pat = _s("Calibrate_Pattern", "CHESSBOARD").upper()
+            try:
+                pattern = PatternType(pat)
+            except ValueError:
+                raise ValueError(
+                    f"Camera calibration mode does not exist: {pat}")
+            return CalibrationSettings(
+                board_width=_i("BoardSize_Width", 9),
+                board_height=_i("BoardSize_Height", 6),
+                square_size=_f("Square_Size", 1.0),
+                pattern=pattern,
+                input=_s("Input", ""),
+                flip_vertical=bool(_i("Input_FlipAroundHorizontalAxis", 0)),
+                delay_ms=_i("Input_Delay", 100),
+                nr_frames=_i("Calibrate_NrOfFrameToUse", 25),
+                fix_aspect_ratio=_f("Calibrate_FixAspectRatio", 0.0),
+                zero_tangent_dist=bool(
+                    _i("Calibrate_AssumeZeroTangentialDistortion", 1)),
+                fix_principal_point=bool(
+                    _i("Calibrate_FixPrincipalPointAtTheCenter", 0)),
+                output_file=_s("Write_outputFileName", "out_camera_data.xml"),
+                write_points=bool(_i("Write_DetectedFeaturePoints", 0)),
+                write_extrinsics=bool(_i("Write_extrinsicParameters", 0)),
+                write_grid=bool(_i("Write_gridPoints", 0)),
+                show_undistorted=bool(_i("Show_UndistortedImage", 0)),
+                use_fisheye=bool(_i("Calibrate_UseFisheyeModel", 1)),
+                fix_k=tuple(
+                    bool(_i(f"Fix_K{i}", 0)) for i in range(1, 6)),
+            )
+        finally:
+            fs.release()
+
+    def write(self, path: str) -> None:
+        import cv2
+
+        fs = cv2.FileStorage(path, cv2.FILE_STORAGE_WRITE)
+        try:
+            fs.startWriteStruct("Settings", cv2.FileNode_MAP)
+            fs.write("BoardSize_Width", self.board_width)
+            fs.write("BoardSize_Height", self.board_height)
+            fs.write("Square_Size", self.square_size)
+            fs.write("Calibrate_Pattern", self.pattern.value)
+            fs.write("Calibrate_NrOfFrameToUse", self.nr_frames)
+            fs.write("Calibrate_FixAspectRatio", self.fix_aspect_ratio)
+            fs.write("Calibrate_AssumeZeroTangentialDistortion",
+                     int(self.zero_tangent_dist))
+            fs.write("Calibrate_FixPrincipalPointAtTheCenter",
+                     int(self.fix_principal_point))
+            fs.write("Write_DetectedFeaturePoints", int(self.write_points))
+            fs.write("Write_extrinsicParameters", int(self.write_extrinsics))
+            fs.write("Write_gridPoints", int(self.write_grid))
+            fs.write("Write_outputFileName", self.output_file)
+            fs.write("Show_UndistortedImage", int(self.show_undistorted))
+            fs.write("Calibrate_UseFisheyeModel", int(self.use_fisheye))
+            fs.write("Input_FlipAroundHorizontalAxis",
+                     int(self.flip_vertical))
+            fs.write("Input_Delay", self.delay_ms)
+            fs.write("Input", self.input)
+            for i, fk in enumerate(self.fix_k, start=1):
+                fs.write(f"Fix_K{i}", int(fk))
+            fs.endWriteStruct()
+        finally:
+            fs.release()
+
+
+def write_camera_params(path: str, cam: Camera, rms: float,
+                        settings: Optional[CalibrationSettings] = None,
+                        image_points: Optional[np.ndarray] = None,
+                        object_points: Optional[np.ndarray] = None,
+                        n_views: int = 0) -> None:
+    """Persist calibration results as FileStorage XML/YAML.
+
+    Field names follow the reference's ``saveCameraParams``
+    (``camera_calibration.cpp:613-700``): camera_matrix,
+    distortion_coefficients, image/board geometry, the RMS, and (per the
+    Write_* settings flags) the detected points and refined grid.
+    """
+    import cv2
+
+    k = np.array(
+        [[float(cam.fx), 0.0, float(cam.cx)],
+         [0.0, float(cam.fy), float(cam.cy)],
+         [0.0, 0.0, 1.0]], np.float64)
+    dist = np.asarray(cam.dist, np.float64).reshape(-1, 1)
+    fs = cv2.FileStorage(path, cv2.FILE_STORAGE_WRITE)
+    try:
+        fs.write("calibration_time", "")
+        if n_views:
+            fs.write("nr_of_frames", int(n_views))
+        fs.write("image_width", int(cam.width))
+        fs.write("image_height", int(cam.height))
+        if settings is not None:
+            fs.write("board_width", settings.board_width)
+            fs.write("board_height", settings.board_height)
+            fs.write("square_size", settings.square_size)
+            if settings.fix_aspect_ratio > 0:
+                fs.write("fix_aspect_ratio", settings.fix_aspect_ratio)
+        fs.write("camera_matrix", k)
+        fs.write("distortion_coefficients", dist)
+        fs.write("avg_reprojection_error", float(rms))
+        if settings is not None and settings.write_grid \
+                and object_points is not None:
+            fs.write("grid_points",
+                     np.asarray(object_points, np.float64))
+        if settings is not None and settings.write_points \
+                and image_points is not None:
+            v, n, _ = image_points.shape
+            fs.write("image_points",
+                     np.asarray(image_points, np.float64).reshape(v, n * 2))
+    finally:
+        fs.release()
+
+
+def run_from_settings(settings_path: str,
+                      output: Optional[str] = None) -> Tuple[Camera, float]:
+    """The reference tool's whole workflow from one settings file: read
+    settings, detect `nr_frames` pattern views in `Input`, calibrate with
+    the configured model/flags, write the output FileStorage."""
+    s = CalibrationSettings.read(settings_path)
+    if not s.input:
+        raise ValueError(f"settings file {settings_path} has no Input")
+    src = s.input
+    if not os.path.isabs(src) and not os.path.exists(src):
+        rel = os.path.join(os.path.dirname(os.path.abspath(settings_path)),
+                           src)
+        if os.path.exists(rel):
+            src = rel
+    obj, img, (w, h) = detect_board_views(
+        src, (s.board_width, s.board_height), s.square_size,
+        max_views=s.nr_frames, pattern_type=s.pattern,
+        flip_vertical=s.flip_vertical,
+    )
+    cam, rms = calibrate(
+        obj, img, (w, h),
+        CameraModel.FISHEYE if s.use_fisheye else CameraModel.RECTILINEAR,
+        fix_aspect_ratio=(s.fix_aspect_ratio
+                          if s.fix_aspect_ratio > 0 else None),
+        fix_principal_point=s.fix_principal_point,
+        fix_k=s.fix_k[:4],
+    )
+    out = output or s.output_file
+    if not os.path.isabs(out):
+        out = os.path.join(os.path.dirname(os.path.abspath(settings_path)),
+                           out)
+    write_camera_params(out, cam, rms, settings=s, image_points=img,
+                        object_points=obj, n_views=img.shape[0])
+    print(f"calibrated {img.shape[0]} views: rms {rms:.3f} px -> {out}")
+    return cam, rms
 
 
 def calibrate_cli(points_path: str, model: str, size: str | None,
                   output: str | None, board: str = "9x6",
                   square_size: float = 1.0, max_views: int = 25,
-                  interval_s: float = 0.25):
+                  interval_s: float = 0.25,
+                  pattern: str = "chessboard",
+                  settings: str | None = None,
+                  flip_vertical: bool = False):
+    if settings:
+        run_from_settings(settings, output)
+        return
+    pat = {
+        "chessboard": PatternType.CHESSBOARD,
+        "circles": PatternType.CIRCLES_GRID,
+        "acircles": PatternType.ASYMMETRIC_CIRCLES_GRID,
+    }[pattern]
     if points_path.endswith(".npz"):
         data = np.load(points_path)
         obj = data["object_points"]
@@ -254,6 +610,7 @@ def calibrate_cli(points_path: str, model: str, size: str | None,
         obj, img, detected = detect_board_views(
             points_path, (cols, rows), square_size,
             max_views=max_views, interval_s=interval_s,
+            pattern_type=pat, flip_vertical=flip_vertical,
         )
         print(f"detected {img.shape[0]} board views in {points_path}")
         data = {}
@@ -286,5 +643,11 @@ def calibrate_cli(points_path: str, model: str, size: str | None,
     text = json.dumps(result, indent=2)
     print(text)
     if output:
-        with open(output, "w") as f:
-            f.write(text + "\n")
+        if output.split(".")[-1].lower() in ("xml", "yml", "yaml"):
+            # The reference tool's output format (saveCameraParams schema)
+            # so downstream OpenCV tooling reads it directly.
+            write_camera_params(output, cam, rms, image_points=img,
+                                object_points=obj, n_views=int(img.shape[0]))
+        else:
+            with open(output, "w") as f:
+                f.write(text + "\n")

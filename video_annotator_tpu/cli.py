@@ -276,13 +276,21 @@ def build_parser() -> argparse.ArgumentParser:
 
     k = sub.add_parser(
         "calibrate",
-        help="Fit fisheye intrinsics from chessboard footage (the "
+        help="Fit fisheye intrinsics from calibration-target footage (the "
              "reference tool's workflow) or pre-extracted points",
     )
-    k.add_argument("points",
-                   help="video to detect a chessboard in, or .npz with "
-                        "object_points/image_points arrays")
+    k.add_argument("points", nargs="?", default=None,
+                   help="video/image-list to detect a target in, or .npz "
+                        "with object_points/image_points arrays (omit when "
+                        "--settings provides Input)")
+    k.add_argument("--settings", default=None,
+                   help="reference-format XML/YAML settings file "
+                        "(in_VID5.xml schema); runs the whole workflow and "
+                        "writes Write_outputFileName")
     k.add_argument("--model", default="fisheye", choices=["fisheye", "rectilinear"])
+    k.add_argument("--pattern", default="chessboard",
+                   choices=["chessboard", "circles", "acircles"],
+                   help="target type (camera_calibration.cpp:356-363)")
     k.add_argument("--size", default=None, help="WxH image size override")
     k.add_argument("--board", default="9x6",
                    help="inner-corner grid COLSxROWS (in_VID5.xml: 9x6)")
@@ -292,7 +300,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max board views to collect (in_VID5.xml: 25)")
     k.add_argument("--interval", type=float, default=0.25,
                    help="seconds between detection attempts")
-    k.add_argument("-o", "--output", default=None, help="Write intrinsics JSON here")
+    k.add_argument("--flip-vertical", action="store_true",
+                   help="flip input frames around the horizontal axis "
+                        "(Input_FlipAroundHorizontalAxis)")
+    k.add_argument("-o", "--output", default=None,
+                   help="intrinsics output: .json, or FileStorage "
+                        ".xml/.yml/.yaml (saveCameraParams schema)")
 
     return p
 
@@ -528,9 +541,14 @@ def main(argv=None) -> int:
         elif args.command == "calibrate":
             from video_annotator_tpu.calibrate import calibrate_cli
 
+            if args.points is None and not args.settings:
+                raise ValueError(
+                    "calibrate needs a points/video path or --settings")
             calibrate_cli(args.points, args.model, args.size, args.output,
                           board=args.board, square_size=args.square_size,
-                          max_views=args.frames, interval_s=args.interval)
+                          max_views=args.frames, interval_s=args.interval,
+                          pattern=args.pattern, settings=args.settings,
+                          flip_vertical=args.flip_vertical)
         return 0
     except Exception as e:  # CLI exits 1 on pipeline errors (src/cli.ts:13-23)
         if getattr(args, "debug", False):
