@@ -1,5 +1,6 @@
 """IO tests: y4m roundtrip, cv2 mp4 roundtrip, synthetic source."""
 
+import os
 import numpy as np
 from fractions import Fraction
 
@@ -174,3 +175,63 @@ def test_seek_matches_skip(tmp_path):
         np.testing.assert_array_equal(y, y2)
         np.testing.assert_array_equal(u, u2)
         np.testing.assert_array_equal(v, v2)
+
+
+def test_ffmpeg_delegated_encoder(tmp_path, monkeypatch):
+    """Hardware/exotic encoder names (the reference's h264_vaapi/nvenc/amf
+    targets, src/render.ts:275-281) delegate to an ffmpeg binary on PATH,
+    streaming Y4M through its stdin."""
+    import stat
+    from fractions import Fraction
+
+    from video_annotator_tpu.io.video import VideoMeta, open_writer
+
+    fake = tmp_path / "bin" / "ffmpeg"
+    fake.parent.mkdir()
+    fake.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys\n"
+        "args = sys.argv[1:]\n"
+        "out = args[-1]\n"
+        "data = sys.stdin.buffer.read()\n"
+        "with open(out, 'wb') as f:\n"
+        "    f.write((' '.join(args[:-1]) + '\\n').encode())\n"
+        "    f.write(data)\n"
+    )
+    fake.chmod(fake.stat().st_mode | stat.S_IXUSR)
+    monkeypatch.setenv("PATH", f"{fake.parent}:" + os.environ["PATH"])
+
+    out = tmp_path / "out.mkv"
+    meta = VideoMeta(64, 48, Fraction(30, 1))
+    wr = open_writer(str(out), meta, encoder="h264_vaapi")
+    y = np.full((48, 64), 17, np.uint8)
+    c = np.full((24, 32), 128, np.uint8)
+    for _ in range(3):
+        wr.write((y, c, c))
+    wr.close()
+
+    blob = out.read_bytes()
+    head, _, rest = blob.partition(b"\n")
+    args = head.decode()
+    # The reference's VAAPI encode shape: device init + hwupload + -qp 19.
+    assert "-vaapi_device /dev/dri/renderD128" in args
+    assert "format=nv12,hwupload" in args
+    assert "-c:v h264_vaapi -qp 19" in args
+    assert rest.startswith(b"YUV4MPEG2 W64 H48")
+    assert rest.count(b"FRAME\n") == 3
+
+
+def test_unknown_encoder_without_ffmpeg_errors(tmp_path, monkeypatch):
+    """No silent mp4v substitution: an undeliverable encoder name fails
+    loudly when no ffmpeg binary exists to delegate to."""
+    from fractions import Fraction
+
+    import pytest
+
+    from video_annotator_tpu.io.video import VideoMeta, open_writer
+
+    monkeypatch.setenv("PATH", str(tmp_path))  # nothing on PATH
+    with pytest.raises(ValueError, match="h264_nvenc"):
+        open_writer(str(tmp_path / "o.mkv"),
+                    VideoMeta(64, 48, Fraction(30, 1)),
+                    encoder="h264_nvenc")

@@ -182,6 +182,62 @@ class _Y4MSink:
         self._w.close()
 
 
+class _FfmpegSink:
+    """Escape hatch for encoders this host cannot drive natively
+    (h264_vaapi / h264_nvenc / h264_amf / hevc_* — the reference's
+    hardware-encode targets, ``src/render.ts:275-281``,
+    ``concat.sh:216,323``): pipe Y4M into an ``ffmpeg`` binary that owns
+    the GPU encoder. A TPU host has no GPU encoder, so this only engages
+    when an ffmpeg binary is on PATH (remote/hybrid render boxes)."""
+
+    def __init__(self, path: str, meta: VideoMeta, encoder: str,
+                 qp: int = 19, binary: Optional[str] = None):
+        import shutil
+        import subprocess
+
+        ffmpeg = binary or shutil.which("ffmpeg")
+        if ffmpeg is None:
+            raise ValueError(
+                f"encoder {encoder!r} is not built in (native: libx264/"
+                f"libx265/mpeg4; cv2 fourcc: 4-char names) and no ffmpeg "
+                f"binary is on PATH to delegate to")
+        cmd = [ffmpeg, "-y", "-loglevel", "error"]
+        if "vaapi" in encoder:
+            # The reference's VAAPI encode shape (concat.sh:216): device
+            # init + hwupload ahead of the encoder.
+            cmd += ["-vaapi_device", "/dev/dri/renderD128"]
+        cmd += ["-f", "yuv4mpegpipe", "-i", "pipe:0"]
+        if "vaapi" in encoder:
+            cmd += ["-vf", "format=nv12,hwupload"]
+        cmd += ["-c:v", encoder, "-qp", str(qp), path]
+        self._proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
+        self._path = path
+        self._pipe = y4m_mod.Y4MWriter(
+            self._proc.stdin, meta.width, meta.height, meta.fps)
+
+    def write(self, planes: Planes):
+        try:
+            self._pipe.write(*planes)
+        except BrokenPipeError:
+            self._proc.wait()
+            raise RuntimeError(
+                f"delegated ffmpeg encoder exited early "
+                f"(rc={self._proc.returncode}) writing {self._path}")
+
+    def close(self):
+        if self._proc is None:
+            return
+        proc, self._proc = self._proc, None
+        try:
+            self._pipe.close()
+        except BrokenPipeError:
+            pass
+        rc = proc.wait()
+        if rc != 0:
+            raise RuntimeError(
+                f"delegated ffmpeg encode of {self._path} failed (rc={rc})")
+
+
 class _CvSink:
     """Encode via OpenCV-FFMPEG (mp4v/avc1). The reference's default encoder
     is libx264 with constant QP 19 (``src/render.ts:12-19``); OpenCV's
@@ -279,4 +335,9 @@ def open_writer(path: Optional[str], meta: VideoMeta, encoder: str = "mp4v",
                 "passthrough)",
                 file=sys.stderr,
             )
+    if encoder not in _NATIVE_ENCODERS and len(encoder) != 4:
+        # Not built in and not a cv2 fourcc: a hardware/exotic encoder name
+        # (h264_vaapi, hevc_nvenc, ...). Delegate to an ffmpeg binary
+        # rather than silently substituting mp4v.
+        return _FfmpegSink(path, meta, encoder)
     return _CvSink(path, meta, fourcc=encoder if len(encoder) == 4 else "mp4v")
