@@ -299,21 +299,28 @@ def _tap_weight_coeffs(interp: str) -> tuple:
     """
     # Fit against the XLA oracle's own weight functions (single source of
     # truth — ops/warp_xla.py); evaluated through jnp, so convert back.
+    # ensure_compile_time_eval keeps the evaluation eager even when the
+    # kernel is built inside an outer trace (shard_map/jit stages every
+    # jnp bind otherwise, and np.asarray on the tracer would throw — the
+    # sharded 4-tap DP path hit exactly that).
+    import jax
+
     from video_annotator_tpu.ops.warp_xla import keys_weight, lanczos_weight
 
     f = np.linspace(0.0, 1.0, 2049)
-    if interp == "bicubic":
-        ws = [np.asarray(keys_weight(f - k), np.float64)
-              for k in (-1, 0, 1, 2)]
-        deg = 3
-    elif interp == "lanczos":
-        ws = [np.asarray(lanczos_weight(f - k), np.float64)
-              for k in (-1, 0, 1, 2)]
-        norm = ws[0] + ws[1] + ws[2] + ws[3]
-        ws = [w / norm for w in ws]
-        deg = 9
-    else:
-        raise ValueError(f"no 4-tap weights for interp={interp!r}")
+    with jax.ensure_compile_time_eval():
+        if interp == "bicubic":
+            ws = [np.asarray(keys_weight(f - k), np.float64)
+                  for k in (-1, 0, 1, 2)]
+            deg = 3
+        elif interp == "lanczos":
+            ws = [np.asarray(lanczos_weight(f - k), np.float64)
+                  for k in (-1, 0, 1, 2)]
+            norm = ws[0] + ws[1] + ws[2] + ws[3]
+            ws = [w / norm for w in ws]
+            deg = 9
+        else:
+            raise ValueError(f"no 4-tap weights for interp={interp!r}")
     out = []
     for w in ws:
         c = np.polyfit(f, w, deg)

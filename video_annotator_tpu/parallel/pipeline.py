@@ -75,6 +75,7 @@ def build_pipeline_step(
     def track_and_smooth(frames, key):  # (Bl, Tl, H, W)
         bl, tl = frames.shape[0], frames.shape[1]
         tidx = jax.lax.axis_index("time")
+        bidx = jax.lax.axis_index("data")
 
         # --- tracking halo: last frame of the left neighbor ---------------
         last = frames[:, -1:]
@@ -85,7 +86,17 @@ def build_pipeline_step(
         from_left = jnp.where(tidx == 0, frames[:, :1], from_left)
         prev = jnp.concatenate([from_left, frames[:, :-1]], axis=1)
 
-        keys = jax.random.split(key[0], bl * tl).reshape(bl, tl, -1)
+        # Per-frame RNG derived from GLOBAL (stream, frame) indices, so the
+        # RANSAC hypothesis draw — and therefore the whole output — is
+        # identical across mesh factorizations (the dryrun asserts sharded
+        # == single-device oracle).
+        gb = bidx * bl + jnp.arange(bl)
+        gt = tidx * tl + jnp.arange(tl)
+        keys = jax.vmap(
+            lambda b: jax.vmap(
+                lambda t: jax.random.fold_in(jax.random.fold_in(key[0], b), t)
+            )(gt)
+        )(gb)
         deltas = jax.vmap(jax.vmap(_pairwise_delta))(prev, frames, keys)
 
         # --- distributed prefix product over time -------------------------

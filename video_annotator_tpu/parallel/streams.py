@@ -37,8 +37,18 @@ def warp_streams_sharded(
         out_size = (out_camera.height, out_camera.width)
     if space_axis is not None and out_size[0] % mesh.shape[space_axis]:
         # Output rows not divisible by the space axis (odd auto-fit
-        # heights): shard over streams only rather than erroring.
-        space_axis = None
+        # heights): pad the row grid up to a multiple, warp sharded, crop.
+        # The extra rows unproject below the output image and sample
+        # clamped/zero like any out-of-frame pixel — pure crop fodder —
+        # so TP stays available for EVERY auto-fit camera instead of
+        # silently degrading to stream-only sharding.
+        ns = mesh.shape[space_axis]
+        pad_h = -(-out_size[0] // ns) * ns
+        padded = warp_streams_sharded(
+            frames, rotations, out_camera, in_camera, mesh,
+            data_axis, space_axis, out_size=(pad_h, out_size[1]),
+        )
+        return padded[:, : out_size[0]]
 
     def one(frame, rot):
         coords = compute_warp_map(out_camera, in_camera, rot, out_size)
