@@ -148,6 +148,44 @@ int main() {
         std::fprintf(stderr, "seek failed: %d %d\n", sa, sb);
         return 1;
     }
-    std::printf("native selftest OK: %ld + %ld frames (+seek)\n", fa, fj);
+
+    // Multi-loader stress: the 8x4K60 feed shape (benchmarks/host_feed.py)
+    // is K independent loaders per host, each with its own demux+decode
+    // thread plus libavcodec frame threads. Race 6 loaders on one file —
+    // 4 draining fully, 2 abandoning after a few frames so ring-full
+    // teardown overlaps the other instances' decoding.
+    constexpr int K = 6;
+    int mr[K];
+    long mf[K];
+    std::vector<std::thread> pool;
+    for (int i = 0; i < K; ++i) {
+        mr[i] = -1;
+        mf[i] = 0;
+        pool.emplace_back([&, i] {
+            if (i >= 4) {
+                void* l = va_open(a.c_str(), 4);
+                if (!l) { mr[i] = 1; return; }
+                std::vector<uint8_t> y(W * H), u(W * H / 4), v(W * H / 4);
+                for (int k = 0; k < 3; ++k)
+                    if (va_next(l, y.data(), u.data(), v.data()) != 1) break;
+                va_close(l);  // decode thread mid-pump
+                mr[i] = 0;
+                mf[i] = N;  // not counted
+            } else {
+                mr[i] = read_clip(a, &mf[i]);
+            }
+        });
+    }
+    for (auto& t : pool) t.join();
+    for (int i = 0; i < K; ++i) {
+        if (mr[i] || mf[i] != N) {
+            std::fprintf(stderr, "multi-loader %d: rc=%d frames=%ld\n", i,
+                         mr[i], mf[i]);
+            return 1;
+        }
+    }
+
+    std::printf("native selftest OK: %ld + %ld frames (+seek, +%dx loaders)\n",
+                fa, fj, K);
     return 0;
 }
