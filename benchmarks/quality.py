@@ -189,6 +189,16 @@ def main() -> None:
         ("unstabilized", dict(stabilise="none", **rot), None),
         ("rotation_smooth_savgol", dict(stabilise="smooth", **rot),
          "unstabilized"),
+        # --analysis-scale quality delta: the 4k_visual_full_pipeline
+        # benchmark tracks at 0.5 (the reference demo's scale,
+        # DisplayImage.cpp:48); these rows put a number on what downscaled
+        # tracking costs in trajectory accuracy and residual shake.
+        ("rotation_smooth_scale05",
+         dict(stabilise="smooth", analysis_scale=0.5, **rot),
+         "unstabilized"),
+        ("rotation_smooth_scale025",
+         dict(stabilise="smooth", analysis_scale=0.25, **rot),
+         "unstabilized"),
         ("rotation_smooth_kalman",
          dict(stabilise="smooth", smoother="kalman", **rot), "unstabilized"),
         ("rotation_fixed", dict(stabilise="fixed", **rot), "unstabilized"),

@@ -12,6 +12,9 @@ story is complete:
    Kalman trajectory smoothing, end to end on device.
 4. ``4k_gyro_fused``        — 4K GoPro fisheye with GPMF gyro-integrated
    trajectory + the fused single-pass warp+stabilize kernel.
+4b. ``4k_visual_full_pipeline`` — the north-star loop with VISUAL
+   tracking included: Shi-Tomasi + Pallas LK + RANSAC at analysis-scale
+   0.5 (the reference demo's scale) -> SG smoothing -> fused warp.
 5. ``8x4k60_multistream``   — 8x 4K60 streams batched through the fused
    warp on one chip (the v5e-8 sharded path is exercised by
    ``__graft_entry__.dryrun_multichip``); reports aggregate fps and the
@@ -341,6 +344,147 @@ def bench_4k_gyro_fused():
 
 
 # --------------------------------------------------------------------------
+# 4b. 4K visual-tracking full pipeline (the north-star loop, analyse
+#     INCLUDED: Shi-Tomasi + Pallas LK + RANSAC -> SG -> fused warp)
+# --------------------------------------------------------------------------
+
+def bench_4k_visual_full_pipeline():
+    """The reference's per-frame loop (``FrameSourceWarp.cpp:397-446``) at
+    4K with the motion analysis measured IN: corner tracking at
+    ``--analysis-scale 0.5`` — the reference demo's own tracking scale
+    (``DisplayImage.cpp:48``, quality delta recorded in
+    ``benchmarks/quality.py``) — RANSAC rotation estimation, SG smoothing
+    (radius 30), and the fused warp+stabilize kernel on full-res YUV.
+
+    Frames are synthetic shaken footage rendered once on device (this
+    config measures the compute loop, not decode; config #5 and
+    ``docs/PIPELINE.md`` cover the host feed). Analyse dispatches run
+    back-to-back with no per-frame host sync, exactly like
+    ``pipeline/render.py::analyse``. Override the tracking scale with
+    ``VAT_BENCH_ANALYSIS_SCALE`` (1, 0.5 or 0.25).
+    """
+    from fractions import Fraction
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_annotator_tpu import so3
+    from video_annotator_tpu.camera import (
+        CameraPreset,
+        get_output_camera,
+        get_preset_camera,
+    )
+    from video_annotator_tpu.io.synthetic import SyntheticCamera, render_frame
+    from video_annotator_tpu.io.video import VideoMeta
+    from video_annotator_tpu.pipeline.render import (
+        FrameWarper,
+        RenderOptions,
+        _make_tracker,
+    )
+    from video_annotator_tpu.smoothing.savgol import smooth_rotations
+
+    w, h = 3840, 2880
+    n = 96
+    scale = float(os.environ.get("VAT_BENCH_ANALYSIS_SCALE", "0.5"))
+
+    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (w, h))
+    out_cam = get_output_camera(in_cam, crop_borders=True)
+    warper = FrameWarper(in_cam, out_cam, max_correction_deg=6.0)
+
+    cfg = SyntheticCamera(width=w, height=h, num_frames=n, shake=0.004)
+    render = jax.jit(
+        lambda r: jnp.clip(render_frame(in_cam, r)[0], 0, 255)
+        .astype(jnp.uint8)
+    )
+    frames8 = [render(jnp.asarray(r)) for r in cfg.rotations()]
+    uu = jnp.full((h // 2, w // 2), 128, jnp.uint8)
+    vv = jnp.full((h // 2, w // 2), 128, jnp.uint8)
+    jax.block_until_ready(frames8)
+
+    meta = VideoMeta(w, h, Fraction(60, 1))
+    chunk = int(os.environ.get("VAT_BENCH_ANALYSIS_CHUNK", "16"))
+    opts = RenderOptions(
+        preset=CameraPreset.GOPRO_H4B_WIDE43_MEASURED, analysis_scale=scale,
+        analysis_chunk=chunk,
+    )
+    detect_step, track_step, track_chunk = _make_tracker(meta, opts)
+    # Chunked frame stacks, pre-stacked once (the analyse loop's decode
+    # prefetcher stacks them on the fly; stacking is not what this
+    # config measures).
+    stacks = [
+        jnp.stack(frames8[i:i + chunk])
+        for i in range(1, n, chunk)
+    ]
+    stacks = [
+        s if s.shape[0] == chunk else jnp.concatenate(
+            [s, jnp.repeat(s[-1:], chunk - s.shape[0], axis=0)])
+        for s in stacks
+    ]
+    jax.block_until_ready(stacks)
+
+    def analyse_run(sync=False):
+        pts, valid, prev_state = detect_step(frames8[0])
+        r_acc = jnp.eye(3, dtype=jnp.float32)
+        prev_delta = jnp.eye(3, dtype=jnp.float32)
+        key = jax.random.PRNGKey(7)
+        age = jnp.int32(0)
+        rs = [r_acc[None]]
+        for s in stacks:
+            (pts, valid, prev_state, prev_delta, r_acc, key, age), ras = (
+                track_chunk(pts, valid, prev_state, prev_delta, r_acc,
+                            key, age, s))
+            rs.append(ras)
+        out = jnp.concatenate(rs)[:n]
+        if sync:
+            out.block_until_ready()
+        return out
+
+    smooth = jax.jit(
+        lambda m: so3.matmul(
+            m, jnp.swapaxes(smooth_rotations(m, radius=30), -1, -2)
+        )
+    )
+
+    batch = 32
+
+    def warp_run(corr, sync=True):
+        inflight = []
+        for i in range(0, n, batch):
+            k = min(batch, n - i)
+            inflight.append(warper.warp_yuv_batch(
+                tuple(frames8[i:i + k]), (uu,) * k, (vv,) * k,
+                corr[i:i + k],
+            ))
+            if len(inflight) > 1:
+                jax.block_until_ready(inflight.pop(0))
+        if sync:
+            jax.block_until_ready(inflight)
+
+    def full_run():
+        corr = smooth(analyse_run())
+        warp_run(corr)
+
+    full_run()  # warmup/compile (both phases, both tracker variants)
+    dt = _best_of(full_run)
+
+    # Informational phase split (each synced, so they add up to >= dt).
+    dt_analyse = _best_of(lambda: analyse_run(sync=True), trials=2, sleep=1.0)
+    corr = smooth(analyse_run())
+    corr.block_until_ready()
+    dt_warp = _best_of(lambda: warp_run(corr), trials=2, sleep=1.0)
+
+    return _result(
+        "4k_visual_full_pipeline", n / dt, n, 60.0,
+        {
+            "analysis_scale": scale,
+            "analyse_fps": round(n / dt_analyse, 2),
+            "warp_fps": round(n / dt_warp, 2),
+        },
+    )
+
+
+# --------------------------------------------------------------------------
 # 5. 8x 4K60 multi-stream batched warp
 # --------------------------------------------------------------------------
 
@@ -436,6 +580,7 @@ CONFIGS = {
     "1080p_sparse_flow": bench_1080p_sparse_flow,
     "1080p_full_pipeline": bench_1080p_full_pipeline,
     "4k_gyro_fused": bench_4k_gyro_fused,
+    "4k_visual_full_pipeline": bench_4k_visual_full_pipeline,
     "8x4k60_multistream": bench_8x4k60_multistream,
 }
 

@@ -141,9 +141,17 @@ def main(argv=None) -> int:
     ap.add_argument("--encoder", default="y4m",
                     help="y4m (raw sink, default: measures the pipeline) "
                          "or a libav encoder name (adds it to the loop)")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "soak.json"),
+        help="also persist the JSON record here ('' disables)")
     args = ap.parse_args(argv)
-    print(json.dumps(run_soak(args.frames, args.width, args.height,
-                              keep=args.keep, encoder=args.encoder)))
+    result = run_soak(args.frames, args.width, args.height,
+                      keep=args.keep, encoder=args.encoder)
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+            f.write("\n")
     return 0
 
 

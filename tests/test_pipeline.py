@@ -42,6 +42,20 @@ def test_analyse_recovers_ground_truth(traj):
     assert errs.max() < 0.35, errs.max()  # < 0.35 degree drift over 40 frames
 
 
+def test_analyse_chunked_matches_per_frame(traj):
+    """The lax.scan chunked analyse (default) and per-frame dispatches
+    (--analysis-chunk 1, the streaming path's shape) produce the SAME
+    trajectory — chunking only amortizes dispatch overhead. The module
+    fixture runs the default chunked path; re-run per-frame and compare,
+    at a chunk size that forces a padded tail flush too."""
+    per_frame = analyse(SRC, RenderOptions(analysis_chunk=1, **OPTS))
+    odd_chunk = analyse(SRC, RenderOptions(analysis_chunk=7, **OPTS))
+    np.testing.assert_allclose(
+        traj.params, per_frame.params, atol=1e-5)
+    np.testing.assert_allclose(
+        traj.params, odd_chunk.params, atol=1e-5)
+
+
 def test_analyse_half_scale_matches_full(traj):
     """--analysis-scale 0.5 (the reference demo's tracking scale,
     opencv/DisplayImage.cpp:49-57) estimates the same camera trajectory

@@ -197,6 +197,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=[1.0, 0.5, 0.25],
                    help="track motion on a downsampled pyramid level "
                         "(the reference demo tracks at 0.5)")
+    r.add_argument("--analysis-chunk", type=int, default=16,
+                   help="analyse-phase frames per device dispatch "
+                        "(lax.scan chunk; 1 = per-frame dispatches; "
+                        "identical trajectory either way)")
     # Inert reference-compatibility shims: existing video-annotator
     # scripts pass these (src/cli.ts:125-160); accept them with a note
     # instead of an argparse error so migration is drop-in.
@@ -394,6 +398,7 @@ def _render_options(args) -> "RenderOptions":
         prefetch_depth=getattr(args, "prefetch_depth", 3),
         native_io=getattr(args, "native_io", True),
         analysis_scale=getattr(args, "analysis_scale", 1.0),
+        analysis_chunk=getattr(args, "analysis_chunk", 16),
         max_correction_deg=getattr(args, "max_correction", 8.0),
         prefilter=getattr(args, "prefilter", "off"),
         interp=getattr(args, "interp", "bilinear"),

@@ -376,52 +376,73 @@ def _lk_level_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("levels", "iters", "interpret")
+    jax.jit, static_argnames=("levels", "interpret")
 )
-def pyramidal_lk_pallas(
-    prev_img: jax.Array,
-    next_img: jax.Array,
-    points: jax.Array,  # (N, 2)
-    valid: jax.Array,  # (N,)
+def lk_pack_pyramid(
+    img: jax.Array,
     levels: int = DEF_LEVELS,
-    iters: int = DEF_ITERS,
     interpret: bool = False,
 ):
-    """Drop-in replacement for :func:`ops.lk.pyramidal_lk` on TPU.
+    """Packed quad-row word pyramid for the LK kernel, built ONCE.
 
-    Jitted end-to-end: the pyramid build, packing, and the three level
-    kernels fuse into one executable (eagerly dispatching the ~10
-    intermediate ops costs ~40 ms over the remote backend).
+    A tracked frame participates in TWO consecutive LK calls (as `next`,
+    then as `prev`); rebuilding the pyramid + pack each call doubles the
+    dense per-frame work. The analyse loop carries this tuple instead of
+    the raw luma. Levels too small for the kernel's window DMA pack to
+    ``None`` (a static pytree hole — the level loop keeps its coarse
+    guess there, exactly like the unpacked path).
     """
-    h, w = prev_img.shape
-    n = points.shape[0]
-    pad_n = _round_up(n, PGROUP) - n
-    pts_p = jnp.pad(points, ((0, pad_n), (0, 0)), constant_values=4.0 * HALF)
-
-    pyr_prev = build_pyramid(prev_img, levels)
-    pyr_next = build_pyramid(next_img, levels)
-
-    flow = pts_p * 0.0
-    status = valid
-    for lvl in range(levels - 1, -1, -1):
-        ph, pw = pyr_prev[lvl].shape
+    pyr = build_pyramid(img, levels)
+    packed = []
+    for lvl in range(levels):
+        ph, pw = pyr[lvl].shape
         if ph < 4 * DMA_WORDS + 32 or pw < WCOLS:
-            continue  # tiny level: keep coarse guess
+            packed.append(None)  # tiny level: keep coarse guess
+            continue
         # Pallas bitcast pack on chip (the XLA fallback pack is ~10x
         # slower and runs 6x per frame here: 2 images x 3 levels).
-        pwords = pack_frame_words(pyr_prev[lvl], ph, pw,
-                                  use_kernel=not interpret)
-        nwords = pack_frame_words(pyr_next[lvl], ph, pw,
-                                  use_kernel=not interpret)
+        words = pack_frame_words(pyr[lvl], ph, pw, use_kernel=not interpret)
         # 8 extra edge-replicated word rows: the DMA always reads
         # DMA_WORDS rows from an 8-ALIGNED origin, so without slack the
         # bottom ~8 word rows (32 px) of every level are unreachable —
         # points there failed even though their span fits the image.
         # Replication mimics cv2's border behavior for the drift tail.
-        pwords = jnp.concatenate(
-            [pwords, jnp.repeat(pwords[:, -1:], 8, axis=1)], axis=1)
-        nwords = jnp.concatenate(
-            [nwords, jnp.repeat(nwords[:, -1:], 8, axis=1)], axis=1)
+        words = jnp.concatenate(
+            [words, jnp.repeat(words[:, -1:], 8, axis=1)], axis=1)
+        packed.append(words)
+    return tuple(packed)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("img_shape", "iters", "interpret")
+)
+def pyramidal_lk_pallas_packed(
+    packed_prev,
+    packed_next,
+    img_shape: Tuple[int, int],
+    points: jax.Array,  # (N, 2)
+    valid: jax.Array,  # (N,)
+    iters: int = DEF_ITERS,
+    interpret: bool = False,
+):
+    """LK on prebuilt packed pyramids (see :func:`lk_pack_pyramid`).
+
+    Identical math to :func:`pyramidal_lk_pallas` — the wrapper is that
+    function with the pyramid build hoisted out so callers can reuse the
+    previous frame's pyramid from their carry.
+    """
+    h, w = img_shape
+    n = points.shape[0]
+    pad_n = _round_up(n, PGROUP) - n
+    pts_p = jnp.pad(points, ((0, pad_n), (0, 0)), constant_values=4.0 * HALF)
+
+    flow = pts_p * 0.0
+    status = valid
+    for lvl in range(len(packed_prev) - 1, -1, -1):
+        pwords = packed_prev[lvl]
+        nwords = packed_next[lvl]
+        if pwords is None or nwords is None:
+            continue  # tiny level: keep coarse guess
         scale = 2.0**lvl
         vx, vy, ok = _lk_level_pallas(
             pwords, nwords, pts_p / scale, flow / scale,
@@ -439,3 +460,31 @@ def pyramidal_lk_pallas(
         & (new_pts[:, 1] >= half) & (new_pts[:, 1] < h - half)
     )
     return new_pts, status & in_bounds
+
+
+@functools.partial(
+    jax.jit, static_argnames=("levels", "iters", "interpret")
+)
+def pyramidal_lk_pallas(
+    prev_img: jax.Array,
+    next_img: jax.Array,
+    points: jax.Array,  # (N, 2)
+    valid: jax.Array,  # (N,)
+    levels: int = DEF_LEVELS,
+    iters: int = DEF_ITERS,
+    interpret: bool = False,
+):
+    """Drop-in replacement for :func:`ops.lk.pyramidal_lk` on TPU.
+
+    Jitted end-to-end: the pyramid build, packing, and the three level
+    kernels fuse into one executable (eagerly dispatching the ~10
+    intermediate ops costs ~40 ms over the remote backend).
+    """
+    packed_prev = lk_pack_pyramid(prev_img, levels, interpret)
+    packed_next = lk_pack_pyramid(next_img, levels, interpret)
+    return pyramidal_lk_pallas_packed(
+        packed_prev, packed_next, prev_img.shape, points, valid,
+        iters, interpret,
+    )
+
+

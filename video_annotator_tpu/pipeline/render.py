@@ -39,7 +39,11 @@ from video_annotator_tpu.camera import (
 from video_annotator_tpu.io.video import VideoMeta, open_reader, open_writer
 from video_annotator_tpu.ops.corners import detect_corners
 from video_annotator_tpu.ops.lk import pyramidal_lk
-from video_annotator_tpu.ops.lk_pallas import pyramidal_lk_pallas
+from video_annotator_tpu.ops.lk_pallas import (
+    lk_pack_pyramid,
+    pyramidal_lk_pallas,
+    pyramidal_lk_pallas_packed,
+)
 from video_annotator_tpu.ops.ransac import estimate_rotation, rotation_with_fallback
 from video_annotator_tpu.ops.warp_pallas import (  # noqa: F401
     box_downsample,
@@ -160,6 +164,10 @@ class RenderOptions:
     # reference demo tracks at scale 0.5 (opencv/DisplayImage.cpp:49-57).
     # Rotations are resolution-independent; tracking cost ~1/4 per level.
     analysis_scale: float = 1.0
+    # Analyse-phase frames per device dispatch (lax.scan chunk). 1 =
+    # per-frame dispatches (the streaming path's shape). Identical
+    # trajectory either way; chunking only amortizes dispatch overhead.
+    analysis_chunk: int = 16
     max_correction_deg: float = 8.0
     # "auto": box-downsample minifying inputs to the matching mip level
     # before warping (antialias + smaller kernel windows). "off" keeps
@@ -747,8 +755,17 @@ def _make_tracker(meta: VideoMeta, options: RenderOptions):
     def _track_res(gray):
         return box_downsample(gray, level) if level else gray
 
+    use_pallas = jax.default_backend() != "cpu"
+
+    def _track_state(gray):
+        """Carry between steps: the downsampled luma plus (TPU) its packed
+        LK word pyramid — a tracked frame participates in two consecutive
+        LK calls, and carrying the pyramid halves the dense per-frame
+        build+pack work."""
+        return (gray, lk_pack_pyramid(gray) if use_pallas else ())
+
     @_ft.partial(jax.jit, static_argnames=("refresh_age",))
-    def track_step(prev_gray, gray, pts, valid, prev_delta, r_acc, key,
+    def track_step(prev_state, gray, pts, valid, prev_delta, r_acc, key,
                    refresh_age):
         """One fully-device analyse step: track + estimate + accumulate +
         (conditionally) refresh corners.
@@ -763,12 +780,16 @@ def _make_tracker(meta: VideoMeta, options: RenderOptions):
         """
         key, sub = jax.random.split(key)
         # Downsample the CURRENT frame only (the previous frame arrives
-        # already small as the loop's carry).
+        # already small — with its packed pyramid — as the loop's carry).
         gray = _track_res(gray)
+        state = _track_state(gray)
         # Pallas LK on TPU (sub-ms); the vmapped-gather XLA path costs
         # ~68 ms/frame at 1920x1440 and stays as the CPU/test oracle.
-        lk = pyramidal_lk if jax.default_backend() == "cpu" else pyramidal_lk_pallas
-        new_pts, status = lk(prev_gray, gray, pts, valid)
+        if use_pallas:
+            new_pts, status = pyramidal_lk_pallas_packed(
+                prev_state[1], state[1], gray.shape, pts, valid)
+        else:
+            new_pts, status = pyramidal_lk(prev_state[0], gray, pts, valid)
         rays_p = in_cam_full.unproject_unit(pts)
         rays_c = in_cam_full.unproject_unit(new_pts)
         est = estimate_rotation(
@@ -793,7 +814,7 @@ def _make_tracker(meta: VideoMeta, options: RenderOptions):
                 ),
                 lambda: (new_pts, status),
             )
-        return out_pts, out_valid, delta, r_new, key, gray
+        return out_pts, out_valid, delta, r_new, key, state
 
     @jax.jit
     def detect_step(gray):
@@ -801,9 +822,62 @@ def _make_tracker(meta: VideoMeta, options: RenderOptions):
         return detect_corners(
             gray, max_corners=MAX_CORNERS, min_distance=min_distance,
             border=border,
-        ) + (gray,)
+        ) + (_track_state(gray),)
 
-    return detect_step, track_step
+    @jax.jit
+    def track_chunk(pts, valid, prev_state, prev_delta, r_acc, key, age,
+                    frames):
+        """Analyse a CHUNK of frames in one dispatch (``lax.scan``).
+
+        Per-frame analyse dispatches cost more than the ~2 ms of device
+        tracking work once a queue/tunnel sits between host and chip;
+        scanning G frames amortizes that G-fold and is the natural
+        two-phase shape (the decode prefetcher stacks the chunk). Math
+        and RNG-split order are IDENTICAL to ``track_step`` — the
+        chunked and per-frame paths produce the same trajectory
+        (tested) — with the age-based key-frame refresh moved in-graph
+        (carried as an int32, same reset rule as the host loop).
+        """
+        def step(carry, fr):
+            pts, valid, prev_state, pd, ra, k, age = carry
+            k, sub = jax.random.split(k)
+            gray = _track_res(fr)
+            state = _track_state(gray)
+            if use_pallas:
+                new_pts, status = pyramidal_lk_pallas_packed(
+                    prev_state[1], state[1], gray.shape, pts, valid)
+            else:
+                new_pts, status = pyramidal_lk(
+                    prev_state[0], gray, pts, valid)
+            rays_p = in_cam_full.unproject_unit(pts)
+            rays_c = in_cam_full.unproject_unit(new_pts)
+            est = estimate_rotation(
+                rays_p, rays_c, status, sub, threshold_rad=threshold
+            )
+            delta = rotation_with_fallback(est, pd,
+                                           min_inliers=min_inliers)
+            r_new = so3.project(
+                jnp.matmul(delta, ra,
+                           precision=jax.lax.Precision.HIGHEST)
+            )
+            refresh_age = age >= KEY_FRAME_MAX_AGE
+            out_pts, out_valid = jax.lax.cond(
+                refresh_age | (jnp.sum(status) < min_refresh),
+                lambda: detect_corners(
+                    gray, max_corners=MAX_CORNERS,
+                    min_distance=min_distance, border=border,
+                ),
+                lambda: (new_pts, status),
+            )
+            age = jnp.where(refresh_age, 0, age + 1)
+            return (out_pts, out_valid, state, delta, r_new, k, age), r_new
+
+        carry, ras = jax.lax.scan(
+            step, (pts, valid, prev_state, prev_delta, r_acc, key, age),
+            frames)
+        return carry, ras
+
+    return detect_step, track_step, track_chunk
 
 
 def analyse(
@@ -814,17 +888,36 @@ def analyse(
     """Estimate the per-frame accumulated camera rotation trajectory."""
     prof = profiler or StageProfiler()
     reader, meta, first, last = open_trimmed(source, options)
-    detect_step, track_step = _make_tracker(meta, options)
+    detect_step, track_step, track_chunk = _make_tracker(meta, options)
 
+    chunk_n = max(1, int(options.analysis_chunk))
     r_list = []
     r_acc = jnp.eye(3, dtype=jnp.float32)
     prev_delta = jnp.eye(3, dtype=jnp.float32)
     key = jax.random.PRNGKey(7)
-    prev_gray = None
+    prev_state = None
     pts = valid = None
     age = 0
+    age_dev = jnp.int32(0)
+    pending: list = []
     idx = reader.start_frame - 1
     from video_annotator_tpu.io.prefetch import DevicePrefetcher
+
+    def flush_chunk():
+        """One lax.scan dispatch over the buffered frames (pad the tail
+        by repeating its last frame; padded outputs are dropped and the
+        polluted carry only matters after EOF)."""
+        nonlocal pts, valid, prev_state, prev_delta, r_acc, key, age_dev
+        k = len(pending)
+        if not k:
+            return
+        frames = pending + [pending[-1]] * (chunk_n - k)
+        stacked = jnp.stack(frames)
+        pending.clear()
+        (pts, valid, prev_state, prev_delta, r_acc, key, age_dev), ras = (
+            track_chunk(pts, valid, prev_state, prev_delta, r_acc, key,
+                        age_dev, stacked))
+        r_list.append(ras[:k])
 
     # Uploads happen uint8 on the prefetch thread (the jitted steps
     # convert); an in-loop host-side device_put serializes the loop on
@@ -839,19 +932,26 @@ def analyse(
                 continue
             if idx >= last:
                 break
-            if prev_gray is None:
+            if prev_state is None:
                 with prof.stage("detect"):
-                    pts, valid, prev_gray = detect_step(y)
-                r_list.append(r_acc)
+                    pts, valid, prev_state = detect_step(y)
+                r_list.append(r_acc[None])
+            elif chunk_n > 1:
+                with prof.stage("track"):
+                    pending.append(y)
+                    if len(pending) >= chunk_n:
+                        flush_chunk()
             else:
                 with prof.stage("track"):
-                    pts, valid, prev_delta, r_acc, key, prev_gray = track_step(
-                        prev_gray, y, pts, valid, prev_delta, r_acc, key,
+                    pts, valid, prev_delta, r_acc, key, prev_state = track_step(
+                        prev_state, y, pts, valid, prev_delta, r_acc, key,
                         refresh_age=age >= KEY_FRAME_MAX_AGE,
                     )
-                    r_list.append(r_acc)
+                    r_list.append(r_acc[None])
                 age = 0 if age >= KEY_FRAME_MAX_AGE else age + 1
             prog.tick()
+        with prof.stage("track"):
+            flush_chunk()
     finally:
         prog.close()
         pre.close()
@@ -860,7 +960,7 @@ def analyse(
     # One device->host sync for the whole trajectory.
     with prof.stage("collect"):
         if r_list:
-            rs = jnp.stack(r_list)
+            rs = jnp.concatenate(r_list, axis=0)
             rotvecs = np.asarray(jax.jit(jax.vmap(so3.log))(rs), np.float64)
         else:
             rotvecs = np.zeros((0, 3))

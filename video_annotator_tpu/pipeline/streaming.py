@@ -68,8 +68,9 @@ def render_streaming(
     # stabilise=none without a horizon lock needs no measured attitude at
     # all: skip the per-frame tracker entirely (corrections are identity).
     needs_motion = options.stabilise != "none" or options.horizon_lock
-    detect_step, track_step = (
-        _make_tracker(meta, options) if needs_motion else (None, None)
+    detect_step, track_step, _ = (
+        _make_tracker(meta, options) if needs_motion
+        else (None, None, None)
     )
     in_cam, out_cam = build_cameras(meta, options)
 
