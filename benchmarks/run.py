@@ -234,7 +234,7 @@ def bench_1080p_full_pipeline():
             status, sub, threshold_rad=threshold,
         )
         delta = rotation_with_fallback(est, prev_delta, min_inliers=40)
-        r_new = so3.project(
+        r_new = so3.orthonormalize(
             jnp.matmul(delta, r_acc, precision=jax.lax.Precision.HIGHEST)
         )
         return new_pts, status, delta, r_new, key

@@ -4,6 +4,8 @@ The kernel implements exact 2x2 bilinear sampling, so it must match
 ``warp_image_xla`` to float rounding — far tighter than the 45 dB PSNR gate.
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -765,3 +767,21 @@ def test_band_and_rolling_shutter_compose_with_four_tap(interp):
                        interp=interp)
     )
     np.testing.assert_allclose(ours, ref, atol=0.08)
+
+
+def test_dbuf_depth_3_matches_depth_2():
+    """Window-DMA pipeline depth is a pure perf knob: outputs identical."""
+    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (320, 240))
+    out_cam = get_output_camera(in_cam, scale=1.0, crop_borders=False)
+    rng = np.random.default_rng(13)
+    img = np.round(rng.uniform(0, 255, size=(240, 320))).astype(np.float32)
+    rot = so3.exp(jnp.array([0.015, -0.02, 0.01]))
+    outs = []
+    for depth in (2, 3, 4):
+        plan = plan_warp(out_cam, in_cam, max_correction_deg=6.0)
+        plan = dataclasses.replace(plan, dbuf_depth=depth)
+        outs.append(np.asarray(warp_frame_pallas(
+            jnp.asarray(img), rot, plan, out_cam, in_cam, interpret=True
+        )))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])

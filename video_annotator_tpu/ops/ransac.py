@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from video_annotator_tpu import so3
 
 # Reference RANSAC parameters (opencv/FrameSourceWarp.cpp:354-366,432).
-NUM_HYPOTHESES = 128
+NUM_HYPOTHESES = 100  # reference: solvePnPRansac iterationsCount=100 (FrameSourceWarp.cpp:354-366)
 DEFAULT_REPROJ_PX = 8.0
 MIN_INLIERS = 40
 

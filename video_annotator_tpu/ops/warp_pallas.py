@@ -120,6 +120,13 @@ class WarpPlan:
     # but that was before the schedule walk was cut 3x; the DMA stall
     # now dominates.)
     dbuf: bool = True
+    # Window-DMA pipeline depth: number of VMEM window slots / how many
+    # tiles ahead copies are issued (2 = classic double buffer). The
+    # roofline (docs/KERNEL.md) puts the copy LATENCY at ~450 ns/tile
+    # against ~429 ns of walk compute, so one slot of lookahead hides it
+    # only barely; depth 3 issues two tiles ahead. VMEM cost is one
+    # window (~48 KB) per extra slot.
+    dbuf_depth: int = 2
     # Per-TILE mip levels (the minification prefilter): level l tiles
     # sample from the l-times box-downsampled input through coordinates
     # scaled by 2^-l. mip_max == 0 disables the machinery entirely (the
@@ -229,8 +236,8 @@ def warp_scratch_shapes(plan: "WarpPlan", mode=None):
         win = (2,) + win
         sem = (2,) + sem
     if plan.dbuf:
-        win = (2,) + win
-        sem = (2,) + sem
+        win = (plan.dbuf_depth,) + win
+        sem = (plan.dbuf_depth,) + sem
     return [
         pltpu.VMEM(win, jnp.int32),
         pltpu.SemaphoreType.DMA(sem) if sem else pltpu.SemaphoreType.DMA,
@@ -383,6 +390,7 @@ def plan_warp(
         split_acc = os.environ.get("VAT_SPLIT_ACC", "1") != "0"
     pred_tail = os.environ.get("VAT_PRED_TAIL", "1") != "0"
     dbuf = os.environ.get("VAT_DBUF", "1") != "0"
+    dbuf_depth = max(2, int(os.environ.get("VAT_DBUF_DEPTH", "2")))
     if out_size is None:
         out_size = (out_camera.height, out_camera.width)
     crop_h, crop_w = out_size
@@ -560,6 +568,7 @@ def plan_warp(
         split_acc=split_acc,
         pred_tail=pred_tail,
         dbuf=dbuf,
+        dbuf_depth=dbuf_depth,
         mip_max=mip_max,
         levels_blob=levels_blob,
         interp=interp,
@@ -1053,26 +1062,36 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
                 3 if (batched and batched not in ("uv", "band")) else 2
             ):
                 nsteps *= pl.num_programs(d)
-            slot = jax.lax.rem(step_idx, 2)
+            depth = plan.dbuf_depth
+            slot = jax.lax.rem(step_idx, depth)
+
+            def _clamped(g):
+                # Tiles are globally contiguous; band mode clamps at the
+                # global grid end (the last shard's overflow tiles sit
+                # where g+k would run past the metas).
+                return jnp.minimum(g, ny * nx - 1) if batched == "band" else g
 
             @pl.when(step_idx == 0)
             def _():
-                for c in window_copies(gidx, win.at[slot], sem.at[slot]):
-                    c.start()
+                # Prologue: start this tile's copy plus depth-2 tiles of
+                # lookahead (slots 0..depth-2).
+                for k in range(depth - 1):
+                    @pl.when(jnp.asarray(k, jnp.int32) < nsteps)
+                    def _(k=k):
+                        for c in window_copies(
+                            _clamped(gidx + k), win.at[k], sem.at[k]
+                        ):
+                            c.start()
 
-            # Next LOCAL step's tile is globally contiguous (band rows are
-            # contiguous); the guard stops at the band/grid end so no
-            # out-of-range meta is read. Band mode additionally clamps:
-            # the last shard's clamped overflow tiles sit at the global
-            # grid end where gidx+1 would run past the metas.
-            nxt = gidx + 1
-            if batched == "band":
-                nxt = jnp.minimum(nxt, ny * nx - 1)
+            # Steady state: issue the copy depth-1 tiles ahead, then wait
+            # on this tile's (started depth-1 steps ago).
+            nxt = _clamped(gidx + (depth - 1))
+            nxt_slot = jax.lax.rem(step_idx + (depth - 1), depth)
 
-            @pl.when(step_idx + 1 < nsteps)
+            @pl.when(step_idx + (depth - 1) < nsteps)
             def _():
                 for c in window_copies(
-                    nxt, win.at[1 - slot], sem.at[1 - slot]
+                    nxt, win.at[nxt_slot], sem.at[nxt_slot]
                 ):
                     c.start()
 

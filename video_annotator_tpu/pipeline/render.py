@@ -63,7 +63,11 @@ from video_annotator_tpu.smoothing.kalman import smooth_rotations_kalman
 # Key-frame refresh policy (opencv/FrameSourceWarp.cpp:415).
 KEY_FRAME_MAX_AGE = 20
 KEY_FRAME_MIN_CORNERS = 150
-MAX_CORNERS = 256  # reference tracks 200 (FrameSourceWarp.cpp:230); padded
+# The reference tracks 200 corners (FrameSourceWarp.cpp:230); 200 is a
+# multiple of the LK kernel's 8-point groups, so exact parity is also
+# the fast shape (round 1 padded to 256 — 28% more LK work for corners
+# the reference never tracks).
+MAX_CORNERS = 200
 MIN_INLIERS_FULL = 40  # reference gate at full resolution (cpp:432)
 
 # --projection values. The reference forwards the option verbatim to the
@@ -168,6 +172,12 @@ class RenderOptions:
     # per-frame dispatches (the streaming path's shape). Identical
     # trajectory either way; chunking only amortizes dispatch overhead.
     analysis_chunk: int = 16
+    # LK Newton iterations per pyramid level. cv2's default criteria
+    # (30, eps 0.01) terminates in a handful of iterations on real
+    # footage; 8 fixed iterations measure identical trajectory accuracy
+    # to 10 on the ground-truth suite (tests/test_pipeline.py,
+    # benchmarks/quality.py traj_rms) at ~2/10 less LK kernel time.
+    analysis_iters: int = 8
     max_correction_deg: float = 8.0
     # "auto": box-downsample minifying inputs to the matching mip level
     # before warping (antialias + smaller kernel windows). "off" keeps
@@ -756,6 +766,7 @@ def _make_tracker(meta: VideoMeta, options: RenderOptions):
         return box_downsample(gray, level) if level else gray
 
     use_pallas = jax.default_backend() != "cpu"
+    lk_iters = int(getattr(options, "analysis_iters", 8))
 
     def _track_state(gray):
         """Carry between steps: the downsampled luma plus (TPU) its packed
@@ -787,17 +798,21 @@ def _make_tracker(meta: VideoMeta, options: RenderOptions):
         # ~68 ms/frame at 1920x1440 and stays as the CPU/test oracle.
         if use_pallas:
             new_pts, status = pyramidal_lk_pallas_packed(
-                prev_state[1], state[1], gray.shape, pts, valid)
+                prev_state[1], state[1], gray.shape, pts, valid,
+                iters=lk_iters)
         else:
-            new_pts, status = pyramidal_lk(prev_state[0], gray, pts, valid)
+            new_pts, status = pyramidal_lk(prev_state[0], gray, pts, valid,
+                                           iters=lk_iters)
         rays_p = in_cam_full.unproject_unit(pts)
         rays_c = in_cam_full.unproject_unit(new_pts)
         est = estimate_rotation(
             rays_p, rays_c, status, sub, threshold_rad=threshold
         )
         delta = rotation_with_fallback(est, prev_delta, min_inliers=min_inliers)
-        # R_t = dR . R_{t-1} (opencv/FrameSourceWarp.cpp:441).
-        r_new = so3.project(
+        # R_t = dR . R_{t-1} (opencv/FrameSourceWarp.cpp:441); one
+        # Newton-Schulz step keeps the product on SO(3) (both factors are
+        # rotations to f32 rounding) without a per-frame scalar SVD.
+        r_new = so3.orthonormalize(
             jnp.matmul(delta, r_acc, precision=jax.lax.Precision.HIGHEST)
         )
         if refresh_age:
@@ -845,10 +860,11 @@ def _make_tracker(meta: VideoMeta, options: RenderOptions):
             state = _track_state(gray)
             if use_pallas:
                 new_pts, status = pyramidal_lk_pallas_packed(
-                    prev_state[1], state[1], gray.shape, pts, valid)
+                    prev_state[1], state[1], gray.shape, pts, valid,
+                    iters=lk_iters)
             else:
                 new_pts, status = pyramidal_lk(
-                    prev_state[0], gray, pts, valid)
+                    prev_state[0], gray, pts, valid, iters=lk_iters)
             rays_p = in_cam_full.unproject_unit(pts)
             rays_c = in_cam_full.unproject_unit(new_pts)
             est = estimate_rotation(
@@ -856,7 +872,7 @@ def _make_tracker(meta: VideoMeta, options: RenderOptions):
             )
             delta = rotation_with_fallback(est, pd,
                                            min_inliers=min_inliers)
-            r_new = so3.project(
+            r_new = so3.orthonormalize(
                 jnp.matmul(delta, ra,
                            precision=jax.lax.Precision.HIGHEST)
             )

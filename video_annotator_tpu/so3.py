@@ -118,6 +118,21 @@ def log(R: jax.Array) -> jax.Array:
     return qv * scale[..., None]
 
 
+def orthonormalize(M: jax.Array) -> jax.Array:
+    """One Newton-Schulz step toward the nearest rotation: R(3I - R^T R)/2.
+
+    For inputs already within ~1e-3 of SO(3) — the accumulated products
+    ``R_t = dR . R_{t-1}`` whose factors are rotations up to float32
+    rounding — one step lands within squared error of the true polar
+    projection at the cost of two small matmuls instead of a per-frame
+    3x3 SVD (which is scalar-iterative on TPU and dominated the analyse
+    scan's non-LK time). NOT a substitute for :func:`project` on general
+    matrices (elementwise-averaged rotation windows etc.).
+    """
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=M.dtype), M.shape)
+    return matmul(M, (3.0 * eye - matmul(jnp.swapaxes(M, -1, -2), M))) * 0.5
+
+
 def project(M: jax.Array) -> jax.Array:
     """Project a (..., 3, 3) matrix onto SO(3) (nearest rotation, polar/SVD).
 
