@@ -311,3 +311,33 @@ def test_lone_height_fills_width_from_input():
         RenderOptions(preset=None, input_dfov=120.0, height=100,
                       upsample=150.0))
     assert (cam.width, cam.height) == (288, 100)
+
+
+def test_preview_sink_dumps_final_frames(tmp_path):
+    """--preview DIR: the headless analogue of the reference demo's
+    imshow loop (DisplayImage.cpp:60-72) — every Nth FINAL output frame
+    lands as a PNG while rendering, identical to the written frame."""
+    import cv2
+
+    from video_annotator_tpu.io.video import open_reader, yuv420_to_bgr
+
+    src = "synthetic://shaky?w=256&h=192&n=24&seed=5&shake=0.004&pan=0.0"
+    dest = str(tmp_path / "out.y4m")
+    pdir = str(tmp_path / "previews")
+    render(src, dest, RenderOptions(
+        **OPTS, stabilise="smooth", stabilise_radius=5,
+        preview=pdir, preview_every=10,
+    ))
+    import os
+
+    names = sorted(os.listdir(pdir))
+    assert names == ["preview_000000.png", "preview_000010.png",
+                     "preview_000020.png"], names
+    # The preview is the FINAL output frame, pixel-exact.
+    r = open_reader(dest)
+    first = next(iter(r))
+    r.close()
+    png = cv2.imread(os.path.join(pdir, names[0]))
+    want = yuv420_to_bgr(*[np.asarray(p).astype(np.uint8) for p in first])
+    assert png.shape == want.shape
+    np.testing.assert_array_equal(png, want)

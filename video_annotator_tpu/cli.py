@@ -201,6 +201,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="analyse-phase frames per device dispatch "
                         "(lax.scan chunk; 1 = per-frame dispatches; "
                         "identical trajectory either way)")
+    r.add_argument("--analysis-iters", type=int, default=8,
+                   help="LK Newton iterations per pyramid level "
+                        "(cv2's eps criteria typically terminate in "
+                        "fewer; ground-truth accuracy identical 8 vs 10)")
+    r.add_argument("--preview", default=None, metavar="DIR",
+                   help="dump every Nth final output frame as PNG into "
+                        "DIR while rendering (the reference demo's live "
+                        "imshow view, headless — DisplayImage.cpp:60-72)")
+    r.add_argument("--preview-every", type=int, default=30)
     # Inert reference-compatibility shims: existing video-annotator
     # scripts pass these (src/cli.ts:125-160); accept them with a note
     # instead of an argparse error so migration is drop-in.
@@ -399,6 +408,9 @@ def _render_options(args) -> "RenderOptions":
         native_io=getattr(args, "native_io", True),
         analysis_scale=getattr(args, "analysis_scale", 1.0),
         analysis_chunk=getattr(args, "analysis_chunk", 16),
+        analysis_iters=getattr(args, "analysis_iters", 8),
+        preview=getattr(args, "preview", None),
+        preview_every=getattr(args, "preview_every", 30),
         max_correction_deg=getattr(args, "max_correction", 8.0),
         prefilter=getattr(args, "prefilter", "off"),
         interp=getattr(args, "interp", "bilinear"),

@@ -178,6 +178,11 @@ class RenderOptions:
     # to 10 on the ground-truth suite (tests/test_pipeline.py,
     # benchmarks/quality.py traj_rms) at ~2/10 less LK kernel time.
     analysis_iters: int = 8
+    # Live preview (the reference demo's imshow loop,
+    # opencv/DisplayImage.cpp:60-72, headless): dump every Nth final
+    # output frame as a PNG into this directory while rendering.
+    preview: Optional[str] = None
+    preview_every: int = 30
     max_correction_deg: float = 8.0
     # "auto": box-downsample minifying inputs to the matching mip level
     # before warping (antialias + smaller kernel windows). "off" keeps
@@ -618,6 +623,47 @@ class CropSink:
 
     def close(self):
         self._sink.close()
+
+
+class PreviewSink:
+    """Headless analogue of the reference demo's live view: the C++
+    driver imshows every warped frame as it streams
+    (``opencv/DisplayImage.cpp:60-72``); with no display this dumps
+    every Nth FINAL output frame as a PNG into a directory, inspectable
+    while the render runs (``--preview DIR [--preview-every N]``)."""
+
+    def __init__(self, sink, directory: str, every: int = 30):
+        os.makedirs(directory, exist_ok=True)
+        self._sink = sink
+        self._dir = directory
+        self._every = max(1, int(every))
+        self._i = 0
+
+    def write(self, planes):
+        if self._i % self._every == 0:
+            import cv2
+
+            from video_annotator_tpu.io.video import yuv420_to_bgr
+
+            y, u, v = (np.asarray(p) for p in planes)
+            cv2.imwrite(
+                os.path.join(self._dir, f"preview_{self._i:06d}.png"),
+                yuv420_to_bgr(y.astype(np.uint8), u.astype(np.uint8),
+                              v.astype(np.uint8)),
+            )
+        self._i += 1
+        self._sink.write(planes)
+
+    def close(self):
+        self._sink.close()
+
+
+def wrap_preview(sink, options):
+    """Outermost sink wrapper: previews the final (cropped, HUD'd) frame."""
+    if getattr(options, "preview", None):
+        return PreviewSink(sink, options.preview,
+                           getattr(options, "preview_every", 30))
+    return sink
 
 
 def apply_crop_rect(out_meta: VideoMeta, options):
@@ -1500,7 +1546,8 @@ def _batched_encode_loop(reader, sink, corrections, warp_yuv_batch, options,
         DevicePrefetcher,
     )
 
-    writer = AsyncFrameWriter(sink)
+    # --preview wraps outermost: it sees exactly what the container gets.
+    writer = AsyncFrameWriter(wrap_preview(sink, options))
 
     # Pre-upload per-BATCH rotation stacks: an eager host->device transfer
     # (or a device-array slice) inside the frame loop costs ~1-3 ms each on

@@ -131,7 +131,9 @@ def render_streaming(
         # Crop before the overlay draws (outermost wrapper) so the HUD
         # stays on the cropped output (see pipeline/render.py:encode).
         sink = CropSink(sink, crop_r)
-    writer = AsyncFrameWriter(sink)
+    from video_annotator_tpu.pipeline.render import wrap_preview
+
+    writer = AsyncFrameWriter(wrap_preview(sink, options))
 
     batch = options.warp_batch or max(
         1, int(os.environ.get("VAT_WARP_BATCH", "32")))
