@@ -384,11 +384,18 @@ def bench_4k_visual_full_pipeline():
     )
     from video_annotator_tpu.smoothing.savgol import smooth_rotations
 
-    w, h = 3840, 2880
+    # Default geometry is the GoPro 4:3 sensor (3840x2880 — 33% MORE
+    # pixels than 16:9 "4K"); VAT_BENCH_GEOM=uhd measures standard
+    # 3840x2160 UHD (the 16:9 measured preset) for comparison with
+    # generic 4K60 targets.
+    uhd = os.environ.get("VAT_BENCH_GEOM") == "uhd"
+    w, h = (3840, 2160) if uhd else (3840, 2880)
+    preset = (CameraPreset.GOPRO_H4B_WIDE169_MEASURED if uhd
+              else CameraPreset.GOPRO_H4B_WIDE43_MEASURED)
     n = 96
     scale = float(os.environ.get("VAT_BENCH_ANALYSIS_SCALE", "0.5"))
 
-    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (w, h))
+    in_cam = get_preset_camera(preset, (w, h))
     out_cam = get_output_camera(in_cam, crop_borders=True)
     warper = FrameWarper(in_cam, out_cam, max_correction_deg=6.0)
 
@@ -405,7 +412,7 @@ def bench_4k_visual_full_pipeline():
     meta = VideoMeta(w, h, Fraction(60, 1))
     chunk = int(os.environ.get("VAT_BENCH_ANALYSIS_CHUNK", "16"))
     opts = RenderOptions(
-        preset=CameraPreset.GOPRO_H4B_WIDE43_MEASURED, analysis_scale=scale,
+        preset=preset, analysis_scale=scale,
         analysis_chunk=chunk,
     )
     detect_step, track_step, track_chunk = _make_tracker(meta, opts)
@@ -475,8 +482,9 @@ def bench_4k_visual_full_pipeline():
     dt_warp = _best_of(lambda: warp_run(corr), trials=2, sleep=1.0)
 
     return _result(
-        "4k_visual_full_pipeline", n / dt, n, 60.0,
+        "4k_visual_full_pipeline" + ("_uhd" if uhd else ""), n / dt, n, 60.0,
         {
+            "geometry": f"{w}x{h}",
             "analysis_scale": scale,
             "analyse_fps": round(n / dt_analyse, 2),
             "warp_fps": round(n / dt_warp, 2),
