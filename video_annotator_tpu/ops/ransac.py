@@ -87,12 +87,22 @@ def estimate_rotation(
     p = rays_prev / (jnp.linalg.norm(rays_prev, axis=-1, keepdims=True) + 1e-9)
     q = rays_curr / (jnp.linalg.norm(rays_curr, axis=-1, keepdims=True) + 1e-9)
 
-    # Sample hypothesis pairs, biased to valid points via masked Gumbel
-    # top-2 (fixed-shape alternative to rejection sampling).
+    # Sample hypothesis pairs among VALID points with fixed shapes: one
+    # stable argsort puts valid indices first, then each hypothesis draws
+    # two distinct uniform indices into that prefix (the j >= i shift
+    # guarantees distinctness). Replaces a masked-Gumbel top-2 PER
+    # hypothesis — 100 top_k passes over the point set per frame were a
+    # measurable slice of the analyse scan; same uniform-over-valid-pairs
+    # distribution.
+    order = jnp.argsort(~valid, stable=True)  # valid-first index order
+    v = jnp.maximum(jnp.sum(valid), 2)
+
     def sample(k):
-        g = jax.random.gumbel(k, (n,)) + jnp.where(valid, 0.0, -1e9)
-        _, idx = jax.lax.top_k(g, 2)
-        return idx
+        k1, k2 = jax.random.split(k)
+        i = jax.random.randint(k1, (), 0, v)
+        j = jax.random.randint(k2, (), 0, v - 1)
+        j = jnp.where(j >= i, j + 1, j)
+        return jnp.stack([order[i], order[j]])
 
     keys = jax.random.split(key, num_hypotheses)
     pairs = jax.vmap(sample)(keys)  # (H, 2)
