@@ -467,3 +467,117 @@ def test_calibrate_fix_flags():
     assert d[0] == 0.0 and d[2] == 0.0 and d[3] == 0.0
     assert abs(d[1] + 0.01) < 5e-3, d
     assert abs(float(cam.fx) - 301.0) < 3.0, float(cam.fx)
+
+
+def test_standard_model_fits_radial_distortion():
+    """Calibrate_UseFisheyeModel=0 (the reference's standard model) must
+    FIT radial distortion, not silently pin it at zero: recover a known
+    Brown k1/k2 from synthetic rectilinear views. Views are posed so all
+    detections land INSIDE the image (as real detections must — the
+    pinhole model extrapolates unboundedly outside it)."""
+    import jax.numpy as jnp
+
+    from video_annotator_tpu.calibrate import _project, calibrate
+    from video_annotator_tpu.camera import CameraModel
+
+    w, h = 640, 480
+    true = {
+        "fx": jnp.float32(400.0),
+        "fy": jnp.float32(402.0),
+        "cx": jnp.float32(319.0),
+        "cy": jnp.float32(241.0),
+        "dist": jnp.asarray([-0.25, 0.08, 0.0, 0.0], jnp.float32),
+    }
+    xs, ys = np.meshgrid(np.arange(9), np.arange(6))
+    obj = np.stack([xs.ravel() - 4, ys.ravel() - 2.5, np.zeros(54)], axis=1)
+    rng = np.random.default_rng(2)
+    n_views = 12
+    params = dict(true)
+    params["rvec"] = jnp.asarray(rng.normal(size=(n_views, 3)) * 0.25,
+                                 jnp.float32)
+    params["tvec"] = jnp.asarray(np.stack([
+        rng.normal(size=n_views) * 0.4,
+        rng.normal(size=n_views) * 0.4,
+        9.0 + 3.0 * rng.uniform(size=n_views),
+    ], axis=1), jnp.float32)
+    img = np.asarray(_project(params, jnp.asarray(obj, jnp.float32),
+                              CameraModel.RECTILINEAR))
+    img = img + np.random.default_rng(1).normal(size=img.shape) * 0.05
+    assert ((img[..., 0] >= 0) & (img[..., 0] < w)
+            & (img[..., 1] >= 0) & (img[..., 1] < h)).all()
+
+    cam, rms = calibrate(obj, img, (w, h),
+                         CameraModel.RECTILINEAR, steps=3000)
+    assert rms < 0.5, rms
+    assert abs(float(cam.fx) - 400.0) < 4.0, float(cam.fx)
+    d = np.asarray(cam.dist)
+    assert abs(d[0] + 0.25) < 0.03, d
+    assert abs(d[1] - 0.08) < 0.05, d
+
+
+def test_run_from_settings_writes_extrinsics(tmp_path):
+    """Write_extrinsicParameters=1 emits the (V, 6) [rvec|tvec] matrix
+    the reference's saveCameraParams writes
+    (camera_calibration.cpp:640-668)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from video_annotator_tpu.calibrate import (
+        PatternType,
+        board_object_points,
+        run_from_settings,
+    )
+    from video_annotator_tpu.camera import Camera, CameraModel
+
+    cols, rows = 7, 5
+    true_cam = Camera.make(
+        300.0, 300.0, 320.0, 240.0, 640, 480, CameraModel.FISHEYE,
+        dist=jnp.asarray([0.02, -0.005, 0.0, 0.0], jnp.float32),
+    )
+    obj = board_object_points(cols, rows, 1.0, PatternType.CIRCLES_GRID)
+    center = obj.mean(0)
+    rng = np.random.default_rng(9)
+    poses = []
+    for _ in range(8):
+        R = np.asarray(so3.exp(jnp.asarray(
+            rng.normal(size=3) * np.array([0.15, 0.15, 0.05]), jnp.float32)))
+        t = np.array([
+            rng.uniform(-0.8, 0.8) - center[0],
+            rng.uniform(-0.8, 0.8) - center[1],
+            rng.uniform(11.0, 15.0),
+        ])
+        poses.append((R, t))
+    frames = _render_circle_frames(true_cam, poses, obj)
+    names = []
+    for i, f in enumerate(frames):
+        name = f"v{i:02d}.png"
+        cv2.imwrite(str(tmp_path / name), f)
+        names.append(name)
+    fs = cv2.FileStorage(str(tmp_path / "images.xml"), cv2.FILE_STORAGE_WRITE)
+    fs.startWriteStruct("images", cv2.FileNode_SEQ)
+    for n in names:
+        fs.write("", n)
+    fs.endWriteStruct()
+    fs.release()
+    (tmp_path / "settings.xml").write_text(f"""<?xml version="1.0"?>
+<opencv_storage>
+<Settings>
+  <BoardSize_Width>{cols}</BoardSize_Width>
+  <BoardSize_Height>{rows}</BoardSize_Height>
+  <Square_Size>1</Square_Size>
+  <Calibrate_Pattern>"CIRCLES_GRID"</Calibrate_Pattern>
+  <Input>"images.xml"</Input>
+  <Calibrate_NrOfFrameToUse>8</Calibrate_NrOfFrameToUse>
+  <Calibrate_UseFisheyeModel>1</Calibrate_UseFisheyeModel>
+  <Write_outputFileName>"out.xml"</Write_outputFileName>
+  <Write_extrinsicParameters>1</Write_extrinsicParameters>
+</Settings>
+</opencv_storage>
+""")
+    cam, rms = run_from_settings(str(tmp_path / "settings.xml"))
+    out = cv2.FileStorage(str(tmp_path / "out.xml"), cv2.FILE_STORAGE_READ)
+    extr = out.getNode("extrinsic_parameters").mat()
+    out.release()
+    assert extr is not None and extr.shape == (8, 6), extr
+    # Translations should be near the synthetic depths (z ~ 11-15).
+    assert np.all(extr[:, 5] > 5.0) and np.all(extr[:, 5] < 25.0), extr[:, 5]

@@ -235,3 +235,47 @@ def test_unknown_encoder_without_ffmpeg_errors(tmp_path, monkeypatch):
         open_writer(str(tmp_path / "o.mkv"),
                     VideoMeta(64, 48, Fraction(30, 1)),
                     encoder="h264_nvenc")
+
+
+def test_exotic_encoder_with_passthrough_delegates(tmp_path, monkeypatch):
+    """An exotic encoder + stream passthrough must NOT silently encode
+    libx264 via the native writer: it delegates to the ffmpeg binary
+    (warning that passthrough is dropped)."""
+    import stat
+    from fractions import Fraction
+
+    from video_annotator_tpu.io.video import VideoMeta, open_writer
+
+    fake = tmp_path / "bin" / "ffmpeg"
+    fake.parent.mkdir()
+    fake.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys\n"
+        "data = sys.stdin.buffer.read()\n"
+        "open(sys.argv[-1], 'wb').write(data)\n"
+    )
+    fake.chmod(fake.stat().st_mode | stat.S_IXUSR)
+    monkeypatch.setenv("PATH", f"{fake.parent}:" + os.environ["PATH"])
+
+    out = tmp_path / "out.mkv"
+    wr = open_writer(str(out), VideoMeta(64, 48, Fraction(30, 1)),
+                     encoder="h264_vaapi",
+                     copy_streams_from="/nonexistent/source.mp4")
+    y = np.full((48, 64), 17, np.uint8)
+    c = np.full((24, 32), 128, np.uint8)
+    wr.write((y, c, c))
+    wr.close()
+    # The fake ffmpeg received Y4M — the native writer (which would have
+    # silently substituted libx264) was not used.
+    assert out.read_bytes().startswith(b"YUV4MPEG2")
+
+
+def test_y4m_writer_accepts_pathlike(tmp_path):
+    from fractions import Fraction
+    from pathlib import Path
+
+    w = Y4MWriter(Path(tmp_path / "p.y4m"), 32, 16, Fraction(30, 1))
+    w.write(np.zeros((16, 32), np.uint8), np.zeros((8, 16), np.uint8),
+            np.zeros((8, 16), np.uint8))
+    w.close()
+    assert (tmp_path / "p.y4m").read_bytes().startswith(b"YUV4MPEG2")

@@ -341,3 +341,19 @@ def test_preview_sink_dumps_final_frames(tmp_path):
     want = yuv420_to_bgr(*[np.asarray(p).astype(np.uint8) for p in first])
     assert png.shape == want.shape
     np.testing.assert_array_equal(png, want)
+
+    # With --crop the preview must show the CROPPED frame (the preview
+    # wraps the raw writer, inside the crop/debug wrappers).
+    dest2 = str(tmp_path / "out2.y4m")
+    pdir2 = str(tmp_path / "previews2")
+    render(src, dest2, RenderOptions(
+        **OPTS, stabilise="smooth", stabilise_radius=5,
+        crop_rect="128:96:0:0", preview=pdir2, preview_every=50,
+    ))
+    r = open_reader(dest2)
+    first2 = next(iter(r))
+    r.close()
+    png2 = cv2.imread(os.path.join(pdir2, "preview_000000.png"))
+    assert png2.shape[:2] == (96, 128), png2.shape
+    want2 = yuv420_to_bgr(*[np.asarray(p).astype(np.uint8) for p in first2])
+    np.testing.assert_array_equal(png2, want2)

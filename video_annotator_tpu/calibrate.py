@@ -82,6 +82,14 @@ def _project(params, obj_pts, model: CameraModel, aspect_ratio=None):
         )
         s = jnp.where(on_axis, 1.0, theta_d / r)
         x, y = x * s, y * s
+    else:
+        # The reference's standard (non-fisheye) model fits Brown radial
+        # distortion k1..k3 (camera_calibration.cpp:587-589 with
+        # AssumeZeroTangentialDistortion, the in_VID5.xml default);
+        # dist[:3] holds (k1, k2, k3), dist[3] stays unused/fixed.
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (dist[0] + r2 * (dist[1] + r2 * dist[2]))
+        x, y = x * radial, y * radial
     u = fx * x + cx
     v = fy * y + cy
     return jnp.stack([u, v], axis=-1)  # (V, N, 2)
@@ -96,8 +104,12 @@ def calibrate(
     fix_aspect_ratio: Optional[float] = None,
     fix_principal_point: bool = False,
     fix_k: Sequence[bool] = (False, False, False, False),
-) -> Tuple[Camera, float]:
-    """Fit intrinsics + per-view poses; returns (camera, rms_error_px).
+    full_output: bool = False,
+):
+    """Fit intrinsics + per-view poses; returns (camera, rms_error_px),
+    plus the per-view extrinsics (V, 6) [rvec | tvec] when
+    ``full_output`` (the reference's saveCameraParams writes them,
+    ``camera_calibration.cpp:640-668``).
 
     The ``fix_*`` knobs mirror the reference's calibration flags
     (``camera_calibration.cpp:130-147``): CALIB_FIX_ASPECT_RATIO pins
@@ -113,16 +125,41 @@ def calibrate(
     # Initialization: principal point at center, focal from a 90-degree
     # dfov guess, boards roughly 1 board-diagonal in front of the camera.
     diag = float(np.linalg.norm(object_points.max(0) - object_points.min(0)))
+    fx0 = fy0 = 0.8 * w
+    rvec0 = np.zeros((v, 3), np.float32)
+    tvec0 = np.tile(np.asarray([0.0, 0.0, max(diag, 1.0)], np.float32),
+                    (v, 1))
+    if model == CameraModel.RECTILINEAR:
+        # The pinhole model's X/z ray geometry is unbounded, and gradient
+        # descent from a generic guess reliably diverges (the fisheye
+        # theta parameterization is bounded and does not need this).
+        # Seed focal + per-view poses the way calibrateCameraRO does:
+        # planar-homography intrinsics, then PnP per view.
+        try:
+            import cv2
+
+            objs = [object_points.astype(np.float32)] * v
+            imgs = [image_points[i].astype(np.float32).reshape(-1, 1, 2)
+                    for i in range(v)]
+            K0 = cv2.initCameraMatrix2D(objs, imgs, (w, h))
+            fx0, fy0 = float(K0[0, 0]), float(K0[1, 1])
+            for i in range(v):
+                ok, rv, tv = cv2.solvePnP(
+                    objs[i], imgs[i], K0, None,
+                    flags=cv2.SOLVEPNP_ITERATIVE)
+                if ok:
+                    rvec0[i] = rv.ravel()
+                    tvec0[i] = tv.ravel()
+        except Exception:
+            pass  # fall back to the generic init
     params = {
-        "fx": jnp.asarray(0.8 * w, jnp.float32),
-        "fy": jnp.asarray(0.8 * w, jnp.float32),
+        "fx": jnp.asarray(fx0, jnp.float32),
+        "fy": jnp.asarray(fy0, jnp.float32),
         "cx": jnp.asarray((w - 1) / 2.0, jnp.float32),
         "cy": jnp.asarray((h - 1) / 2.0, jnp.float32),
         "dist": jnp.zeros(4, jnp.float32),
-        "rvec": jnp.zeros((v, 3), jnp.float32),
-        "tvec": jnp.tile(
-            jnp.asarray([0.0, 0.0, max(diag, 1.0)], jnp.float32), (v, 1)
-        ),
+        "rvec": jnp.asarray(rvec0, jnp.float32),
+        "tvec": jnp.asarray(tvec0, jnp.float32),
     }
 
     # 0/1 mask with the params' structure: fixed entries never move (the
@@ -150,8 +187,10 @@ def calibrate(
     opt = optax.adam(learning_rate=optax.exponential_decay(0.05, 1000, 0.5))
     state = opt.init(params)
 
-    @jax.jit
-    def step(p, s):
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnames=("freeze_dist",))
+    def step(p, s, freeze_dist):
         g = jax.grad(loss)(p)
         updates, s = opt.update(g, s)
         # Scale pixel-unit params up (adam is scale-free, but keep cx/cy and
@@ -159,11 +198,18 @@ def calibrate(
         for k in ("fx", "fy", "cx", "cy"):
             updates[k] = updates[k] * 100.0
         updates = jax.tree_util.tree_map(lambda u, m: u * m, updates, mask)
+        if freeze_dist:
+            updates = dict(updates, dist=updates["dist"] * 0.0)
         p = optax.apply_updates(p, updates)
         return p, s
 
-    for _ in range(steps):
-        params, state = step(params, state)
+    # Staged: distortion frozen while poses/focal find the basin — a free
+    # distortion polynomial in r^2 (rectilinear: r^6 terms on rays past
+    # r = 1) otherwise feeds back on wrong poses and diverges; the
+    # reference's calibrateCameraRO does the same implicitly via its
+    # intrinsic guess.
+    for i in range(steps):
+        params, state = step(params, state, freeze_dist=i < steps // 2)
 
     params = _lm_refine(params, obj, img, model, mask=mask, aspect_ratio=ar)
     rms = float(jnp.sqrt(loss(params)))
@@ -172,6 +218,11 @@ def calibrate(
         fx, params["fy"], params["cx"], params["cy"], w, h, model,
         dist=params["dist"],
     )
+    if full_output:
+        extr = np.concatenate(
+            [np.asarray(params["rvec"]), np.asarray(params["tvec"])], axis=1
+        ).astype(np.float64)
+        return cam, rms, extr
     return cam, rms
 
 
@@ -504,7 +555,8 @@ def write_camera_params(path: str, cam: Camera, rms: float,
                         settings: Optional[CalibrationSettings] = None,
                         image_points: Optional[np.ndarray] = None,
                         object_points: Optional[np.ndarray] = None,
-                        n_views: int = 0) -> None:
+                        n_views: int = 0,
+                        extrinsics: Optional[np.ndarray] = None) -> None:
     """Persist calibration results as FileStorage XML/YAML.
 
     Field names follow the reference's ``saveCameraParams``
@@ -535,6 +587,12 @@ def write_camera_params(path: str, cam: Camera, rms: float,
         fs.write("camera_matrix", k)
         fs.write("distortion_coefficients", dist)
         fs.write("avg_reprojection_error", float(rms))
+        if settings is not None and settings.write_extrinsics \
+                and extrinsics is not None:
+            # (V, 6) rows of [rvec | tvec], the reference's
+            # extrinsic_parameters layout (camera_calibration.cpp:640-668).
+            fs.write("extrinsic_parameters",
+                     np.asarray(extrinsics, np.float64))
         if settings is not None and settings.write_grid \
                 and object_points is not None:
             fs.write("grid_points",
@@ -566,21 +624,26 @@ def run_from_settings(settings_path: str,
         src, (s.board_width, s.board_height), s.square_size,
         max_views=s.nr_frames, pattern_type=s.pattern,
         flip_vertical=s.flip_vertical,
+        # The reference spaces captured views by Input_Delay ms
+        # (camera_calibration.cpp:384-386); same knob here for video.
+        interval_s=max(s.delay_ms, 1) / 1000.0,
     )
-    cam, rms = calibrate(
+    cam, rms, extr = calibrate(
         obj, img, (w, h),
         CameraModel.FISHEYE if s.use_fisheye else CameraModel.RECTILINEAR,
         fix_aspect_ratio=(s.fix_aspect_ratio
                           if s.fix_aspect_ratio > 0 else None),
         fix_principal_point=s.fix_principal_point,
         fix_k=s.fix_k[:4],
+        full_output=True,
     )
     out = output or s.output_file
     if not os.path.isabs(out):
         out = os.path.join(os.path.dirname(os.path.abspath(settings_path)),
                            out)
     write_camera_params(out, cam, rms, settings=s, image_points=img,
-                        object_points=obj, n_views=img.shape[0])
+                        object_points=obj, n_views=img.shape[0],
+                        extrinsics=extr)
     print(f"calibrated {img.shape[0]} views: rms {rms:.3f} px -> {out}")
     return cam, rms
 

@@ -304,37 +304,48 @@ def open_writer(path: Optional[str], meta: VideoMeta, encoder: str = "mp4v",
         return _NullSink()
     if path.endswith(".y4m"):
         return _Y4MSink(path, meta)
-    if allow_native and (encoder in _NATIVE_ENCODERS
+    # Alias map from fourccs/common names to libav encoder names — the C
+    # side's lookup would otherwise miss and silently substitute libx264.
+    native_name = {
+        "x264": "libx264", "h264": "libx264", "avc1": "libx264",
+        "mp4v": "mpeg4", "hevc": "libx265", "hvc1": "libx265",
+        "x265": "libx265",
+    }.get(encoder, encoder if encoder in _NATIVE_ENCODERS else None)
+    if allow_native and (native_name is not None
                          or copy_streams_from is not None):
-        try:
-            from video_annotator_tpu.io.native import (
-                NativeVideoWriter,
-                native_writer_available,
-            )
-
-            if native_writer_available():
-                # Map fourcc/common aliases to libav encoder names — the
-                # C side would otherwise miss the lookup and silently
-                # substitute libx264 for the requested codec.
-                name = {
-                    "x264": "libx264", "h264": "libx264", "avc1": "libx264",
-                    "mp4v": "mpeg4", "hevc": "libx265", "hvc1": "libx265",
-                    "x265": "libx265",
-                }.get(encoder, encoder)
-                return NativeVideoWriter(
-                    path, meta, encoder=name, qp=19,
-                    copy_streams_from=copy_streams_from,
-                    trim_start=trim_start, trim_end=trim_end,
-                )
-        except (RuntimeError, OSError) as e:
+        if native_name is None:
+            # Exotic encoder (h264_vaapi etc.) + stream passthrough: the
+            # native writer would silently fall back to libx264 in C, so
+            # delegate to ffmpeg below instead and say what is lost.
             import sys
 
             print(
-                f"warning: native writer unavailable for {path} ({e}); "
-                "falling back to cv2 (bitrate-default, no stream "
-                "passthrough)",
+                f"warning: --encoder {encoder!r} is not a built-in codec; "
+                "encoding WITHOUT audio/GPMF stream passthrough",
                 file=sys.stderr,
             )
+        else:
+            try:
+                from video_annotator_tpu.io.native import (
+                    NativeVideoWriter,
+                    native_writer_available,
+                )
+
+                if native_writer_available():
+                    return NativeVideoWriter(
+                        path, meta, encoder=native_name, qp=19,
+                        copy_streams_from=copy_streams_from,
+                        trim_start=trim_start, trim_end=trim_end,
+                    )
+            except (RuntimeError, OSError) as e:
+                import sys
+
+                print(
+                    f"warning: native writer unavailable for {path} ({e}); "
+                    "falling back to cv2 (bitrate-default, no stream "
+                    "passthrough)",
+                    file=sys.stderr,
+                )
     if encoder not in _NATIVE_ENCODERS and len(encoder) != 4:
         # Not built in and not a cv2 fourcc: a hardware/exotic encoder name
         # (h264_vaapi, hevc_nvenc, ...). Delegate to an ffmpeg binary

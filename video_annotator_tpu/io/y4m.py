@@ -78,9 +78,12 @@ class Y4MReader:
 
 class Y4MWriter:
     def __init__(self, path, width: int, height: int, fps=Fraction(30, 1)):
-        # ``path`` may be a filename or an open binary file object (e.g. a
-        # subprocess stdin pipe for delegated encoders).
-        self._f = open(path, "wb") if isinstance(path, str) else path
+        # ``path`` may be a filename/PathLike or an open binary file
+        # object (e.g. a subprocess stdin pipe for delegated encoders).
+        import os
+
+        self._f = (open(path, "wb")
+                   if isinstance(path, (str, os.PathLike)) else path)
         fps = Fraction(fps).limit_denominator(65536)
         self._f.write(
             f"YUV4MPEG2 W{width} H{height} F{fps.numerator}:{fps.denominator}"

@@ -659,7 +659,9 @@ class PreviewSink:
 
 
 def wrap_preview(sink, options):
-    """Outermost sink wrapper: previews the final (cropped, HUD'd) frame."""
+    """Wrap the RAW file sink (innermost): writes flow through the
+    crop/HUD wrappers first, so the preview captures exactly the frame
+    the container receives."""
     if getattr(options, "preview", None):
         return PreviewSink(sink, options.preview,
                            getattr(options, "preview_every", 30))
@@ -1495,9 +1497,12 @@ def encode(
         num_frames=traj.num_frames,
     )
     write_meta, crop_r = apply_crop_rect(out_meta, options)
-    sink = open_writer(None if options.no_output else dest, write_meta,
-                       encoder=options.encoder,
-                       **_passthrough_kwargs(source, meta, options))
+    sink = wrap_preview(
+        open_writer(None if options.no_output else dest, write_meta,
+                    encoder=options.encoder,
+                    **_passthrough_kwargs(source, meta, options)),
+        options,
+    )
     if options.debug:
         from video_annotator_tpu.pipeline.debug import (
             DebugOverlayWriter,
@@ -1546,8 +1551,7 @@ def _batched_encode_loop(reader, sink, corrections, warp_yuv_batch, options,
         DevicePrefetcher,
     )
 
-    # --preview wraps outermost: it sees exactly what the container gets.
-    writer = AsyncFrameWriter(wrap_preview(sink, options))
+    writer = AsyncFrameWriter(sink)
 
     # Pre-upload per-BATCH rotation stacks: an eager host->device transfer
     # (or a device-array slice) inside the frame loop costs ~1-3 ms each on
@@ -1692,9 +1696,10 @@ def encode_2d(
         num_frames=traj.num_frames,
     )
     write_meta, crop_r = apply_crop_rect(out_meta, options)
-    writer = open_writer(None if options.no_output else dest, write_meta,
-                         encoder=options.encoder,
-                         **_passthrough_kwargs(source, meta, options))
+    writer = wrap_preview(open_writer(
+        None if options.no_output else dest, write_meta,
+        encoder=options.encoder,
+        **_passthrough_kwargs(source, meta, options)), options)
     if options.debug:
         from video_annotator_tpu.pipeline.debug import DebugOverlayWriter
 

@@ -116,9 +116,14 @@ def render_streaming(
     from video_annotator_tpu.pipeline.render import CropSink, apply_crop_rect
 
     write_meta, crop_r = apply_crop_rect(out_meta, options)
-    sink = open_writer(None if options.no_output else dest, write_meta,
-                       encoder=options.encoder,
-                       **_passthrough_kwargs(source, meta, options))
+    from video_annotator_tpu.pipeline.render import wrap_preview
+
+    sink = wrap_preview(
+        open_writer(None if options.no_output else dest, write_meta,
+                    encoder=options.encoder,
+                    **_passthrough_kwargs(source, meta, options)),
+        options,
+    )
     overlay = None
     if options.debug:
         # Single-pass mode discovers corrections per batch, so the HUD is
@@ -131,9 +136,7 @@ def render_streaming(
         # Crop before the overlay draws (outermost wrapper) so the HUD
         # stays on the cropped output (see pipeline/render.py:encode).
         sink = CropSink(sink, crop_r)
-    from video_annotator_tpu.pipeline.render import wrap_preview
-
-    writer = AsyncFrameWriter(wrap_preview(sink, options))
+    writer = AsyncFrameWriter(sink)
 
     batch = options.warp_batch or max(
         1, int(os.environ.get("VAT_WARP_BATCH", "32")))
