@@ -311,12 +311,36 @@ def open_writer(path: Optional[str], meta: VideoMeta, encoder: str = "mp4v",
         "mp4v": "mpeg4", "hevc": "libx265", "hvc1": "libx265",
         "x265": "libx265",
     }.get(encoder, encoder if encoder in _NATIVE_ENCODERS else None)
-    if allow_native and (native_name is not None
-                         or copy_streams_from is not None):
-        if native_name is None:
-            # Exotic encoder (h264_vaapi etc.) + stream passthrough: the
-            # native writer would silently fall back to libx264 in C, so
-            # delegate to ffmpeg below instead and say what is lost.
+    if allow_native and (encoder in _NATIVE_ENCODERS
+                         or (copy_streams_from is not None
+                             and native_name is not None)):
+        try:
+            from video_annotator_tpu.io.native import (
+                NativeVideoWriter,
+                native_writer_available,
+            )
+
+            if native_writer_available():
+                return NativeVideoWriter(
+                    path, meta, encoder=native_name, qp=19,
+                    copy_streams_from=copy_streams_from,
+                    trim_start=trim_start, trim_end=trim_end,
+                )
+        except (RuntimeError, OSError) as e:
+            import sys
+
+            print(
+                f"warning: native writer unavailable for {path} ({e}); "
+                "falling back to cv2 (bitrate-default, no stream "
+                "passthrough)",
+                file=sys.stderr,
+            )
+    if encoder not in _NATIVE_ENCODERS and len(encoder) != 4:
+        # Not built in and not a cv2 fourcc: a hardware/exotic encoder name
+        # (h264_vaapi, hevc_nvenc, ...). Delegate to an ffmpeg binary
+        # rather than silently substituting libx264 (which is what the
+        # native writer's C-side codec lookup would do) or mp4v.
+        if copy_streams_from is not None:
             import sys
 
             print(
@@ -324,31 +348,5 @@ def open_writer(path: Optional[str], meta: VideoMeta, encoder: str = "mp4v",
                 "encoding WITHOUT audio/GPMF stream passthrough",
                 file=sys.stderr,
             )
-        else:
-            try:
-                from video_annotator_tpu.io.native import (
-                    NativeVideoWriter,
-                    native_writer_available,
-                )
-
-                if native_writer_available():
-                    return NativeVideoWriter(
-                        path, meta, encoder=native_name, qp=19,
-                        copy_streams_from=copy_streams_from,
-                        trim_start=trim_start, trim_end=trim_end,
-                    )
-            except (RuntimeError, OSError) as e:
-                import sys
-
-                print(
-                    f"warning: native writer unavailable for {path} ({e}); "
-                    "falling back to cv2 (bitrate-default, no stream "
-                    "passthrough)",
-                    file=sys.stderr,
-                )
-    if encoder not in _NATIVE_ENCODERS and len(encoder) != 4:
-        # Not built in and not a cv2 fourcc: a hardware/exotic encoder name
-        # (h264_vaapi, hevc_nvenc, ...). Delegate to an ffmpeg binary
-        # rather than silently substituting mp4v.
         return _FfmpegSink(path, meta, encoder)
     return _CvSink(path, meta, fourcc=encoder if len(encoder) == 4 else "mp4v")
