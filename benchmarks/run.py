@@ -578,7 +578,10 @@ def bench_8x4k60_multistream():
         {
             "streams": streams,
             "per_stream_fps": round(agg_fps / streams, 2),
-            "host_feed_GBps": round(feed_bw, 3),
+            # h2d transfer bandwidth (jax.device_put over the tunnel here,
+            # PCIe on a production host) — distinct from host_feed.json's
+            # host DECODE throughput, which shares no bus with this.
+            "h2d_GBps": round(feed_bw, 3),
         },
     )
 

@@ -570,7 +570,16 @@ def write_camera_params(path: str, cam: Camera, rms: float,
         [[float(cam.fx), 0.0, float(cam.cx)],
          [0.0, float(cam.fy), float(cam.cy)],
          [0.0, 0.0, 1.0]], np.float64)
-    dist = np.asarray(cam.dist, np.float64).reshape(-1, 1)
+    d = np.asarray(cam.dist, np.float64).ravel()
+    if cam.model == CameraModel.RECTILINEAR:
+        # Internally the rectilinear fit stores (k1, k2, k3, unused); the
+        # OpenCV plumb-bob convention for a non-fisheye vector is
+        # (k1, k2, p1, p2, k3), so remap before writing or any downstream
+        # cv2.undistort would read the fitted k3 as tangential p1.
+        dist = np.asarray([d[0], d[1], 0.0, 0.0, d[2]],
+                          np.float64).reshape(-1, 1)
+    else:
+        dist = d[:4].reshape(-1, 1)  # fisheye: (k1..k4) theta-polynomial
     fs = cv2.FileStorage(path, cv2.FILE_STORAGE_WRITE)
     try:
         fs.write("calibration_time", "")
@@ -595,13 +604,18 @@ def write_camera_params(path: str, cam: Camera, rms: float,
                      np.asarray(extrinsics, np.float64))
         if settings is not None and settings.write_grid \
                 and object_points is not None:
+            # NOTE: this is the *unrefined* ideal board grid — this
+            # implementation has no calibrateCameraRO object-point
+            # refinement, so unlike the reference's newObjPoints the
+            # grid written here equals the input pattern coordinates.
             fs.write("grid_points",
                      np.asarray(object_points, np.float64))
         if settings is not None and settings.write_points \
                 and image_points is not None:
-            v, n, _ = image_points.shape
+            # (V, N, 2) float32 -> a V x N CV_32FC2 Mat, the reference's
+            # image_points layout (camera_calibration.cpp:670-685).
             fs.write("image_points",
-                     np.asarray(image_points, np.float64).reshape(v, n * 2))
+                     np.ascontiguousarray(image_points, np.float32))
     finally:
         fs.release()
 
@@ -631,8 +645,13 @@ def run_from_settings(settings_path: str,
     cam, rms, extr = calibrate(
         obj, img, (w, h),
         CameraModel.FISHEYE if s.use_fisheye else CameraModel.RECTILINEAR,
+        # The reference *overwrites* its flag word for fisheye
+        # (camera_calibration.cpp:138-146) — CALIB_FIX_ASPECT_RATIO only
+        # applies to the non-fisheye model, so the stock in_VID5.xml
+        # (FixAspectRatio=1, fisheye default) still fits fx/fy freely.
         fix_aspect_ratio=(s.fix_aspect_ratio
-                          if s.fix_aspect_ratio > 0 else None),
+                          if s.fix_aspect_ratio > 0 and not s.use_fisheye
+                          else None),
         fix_principal_point=s.fix_principal_point,
         fix_k=s.fix_k[:4],
         full_output=True,

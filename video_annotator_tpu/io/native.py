@@ -75,15 +75,25 @@ def _try_build() -> None:
     if _build_attempted:
         return
     _build_attempted = True
+    if os.environ.get("VAT_NATIVE_AUTOBUILD", "1") == "0":
+        return
     import subprocess
+    import sys
 
+    print(f"[vat] native libs missing; building (make -C {_NATIVE_DIR}; "
+          "set VAT_NATIVE_AUTOBUILD=0 to skip)", file=sys.stderr)
     try:
-        subprocess.run(
+        res = subprocess.run(
             ["make", "-C", _NATIVE_DIR, "all"],
             capture_output=True, timeout=120, check=False,
         )
-    except (OSError, subprocess.TimeoutExpired):
-        pass
+        if res.returncode != 0:
+            tail = res.stderr.decode(errors="replace").strip().splitlines()
+            print("[vat] native build FAILED: "
+                  + (tail[-1] if tail else f"rc={res.returncode}"),
+                  file=sys.stderr)
+    except (OSError, subprocess.TimeoutExpired) as e:
+        print(f"[vat] native build FAILED: {e!r}", file=sys.stderr)
 
 
 def _load(path: str, signatures: dict):

@@ -390,7 +390,10 @@ def plan_warp(
         split_acc = os.environ.get("VAT_SPLIT_ACC", "1") != "0"
     pred_tail = os.environ.get("VAT_PRED_TAIL", "1") != "0"
     dbuf = os.environ.get("VAT_DBUF", "1") != "0"
-    dbuf_depth = max(2, int(os.environ.get("VAT_DBUF_DEPTH", "2")))
+    # Each slot is a full VMEM source window (~48 KB, doubled with mips);
+    # clamp to [2, 4] so an oversized env value fails soft instead of
+    # building a kernel that dies in Mosaic with an opaque VMEM error.
+    dbuf_depth = min(4, max(2, int(os.environ.get("VAT_DBUF_DEPTH", "2"))))
     if out_size is None:
         out_size = (out_camera.height, out_camera.width)
     crop_h, crop_w = out_size
