@@ -202,6 +202,24 @@ def main() -> None:
         ("rotation_smooth_kalman",
          dict(stabilise="smooth", smoother="kalman", **rot), "unstabilized"),
         ("rotation_fixed", dict(stabilise="fixed", **rot), "unstabilized"),
+        # Every user-visible rendering MODE gets a scored row (VERDICT r2
+        # item 7): the 4-tap interpolators, the mip prefilter, and the
+        # rolling-shutter correction ride the same trajectory math as
+        # rotation_smooth_savgol, so their rows isolate what the MODE does
+        # to residual shake (correctness vs the cv2/XLA oracles is the
+        # per-kernel tests' job; this scores end-to-end stabilization).
+        ("rotation_smooth_bicubic",
+         dict(stabilise="smooth", interp="bicubic", **rot), "unstabilized"),
+        ("rotation_smooth_lanczos",
+         dict(stabilise="smooth", interp="lanczos", **rot), "unstabilized"),
+        ("rotation_smooth_prefilter",
+         dict(stabilise="smooth", prefilter="auto", **rot), "unstabilized"),
+        # Rolling shutter: the synthetic source is global-shutter, so a
+        # correct implementation must NOT damage the result; readout 0.5
+        # frame-periods is a typical CMOS action-cam value.
+        ("rotation_smooth_rollingshutter",
+         dict(stabilise="smooth", rolling_shutter=0.5, **rot),
+         "unstabilized"),
         ("unstabilized_2d", dict(filter="similarity", stabilise="none"),
          None),
         ("similarity_smooth", dict(filter="similarity", stabilise="smooth"),

@@ -142,3 +142,117 @@ def test_warp_streams_pallas_sharded_matches_unsharded():
     want = warp_frames_pallas(frames, rots, plan, out_cam, in_cam,
                               interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-4)
+
+
+def _yuv_batch(b, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    ys = jnp.asarray(rng.uniform(0, 255, (b, h, w)).astype(np.float32))
+    us = jnp.asarray(rng.uniform(0, 255, (b, h // 2, w // 2)).astype(np.float32))
+    vs = jnp.asarray(rng.uniform(0, 255, (b, h // 2, w // 2)).astype(np.float32))
+    return ys, us, vs
+
+
+def test_warp_yuv_streams_sharded_similarity_matches_unsharded():
+    """The similarity (vidstab) family's DP shard_map path equals the
+    unsharded per-frame warp bit-for-bit — sharding the 2D families is
+    an execution detail exactly like the rotation family
+    (VERDICT r2 item 6; reference scope src/render.ts:913-989)."""
+    from video_annotator_tpu.models.similarity import warp_frame_similarity
+    from video_annotator_tpu.parallel.streams import warp_yuv_streams_sharded
+
+    b, h, w = 4, 48, 64
+    ys, us, vs = _yuv_batch(b, h, w, seed=11)
+    params = jnp.asarray(
+        np.stack([
+            [2.0, -1.5, 0.02, 0.01],
+            [-3.0, 1.0, -0.01, -0.02],
+            [0.5, 0.5, 0.0, 0.03],
+            [0.0, 0.0, 0.0, 0.0],
+        ]).astype(np.float32)
+    )
+    mesh = make_mesh(4, axis_names=("data",))
+    warp_batch = jax.vmap(warp_frame_similarity)
+    wy, wu, wv = warp_yuv_streams_sharded(
+        warp_batch, ys, us, vs, params, mesh
+    )
+    for i in range(b):
+        ry, ru, rv = warp_frame_similarity(ys[i], us[i], vs[i], params[i])
+        np.testing.assert_array_equal(np.asarray(wy[i]), np.asarray(ry))
+        np.testing.assert_array_equal(np.asarray(wu[i]), np.asarray(ru))
+        np.testing.assert_array_equal(np.asarray(wv[i]), np.asarray(rv))
+
+
+def test_warp_yuv_streams_sharded_deshake_matches_unsharded():
+    """The deshake family (translation + blurred-edge fill) under the
+    same DP shard_map wrapper, including the Gaussian background blur."""
+    from video_annotator_tpu.models.deshake import warp_frame_deshake
+    from video_annotator_tpu.parallel.streams import warp_yuv_streams_sharded
+
+    b, h, w = 4, 48, 64
+    ys, us, vs = _yuv_batch(b, h, w, seed=12)
+    offsets = jnp.asarray(
+        np.stack([[3.5, -2.25], [-6.0, 1.5], [0.0, 0.0], [10.25, 7.75]])
+        .astype(np.float32)
+    )
+    mesh = make_mesh(4, axis_names=("data",))
+    warp_batch = jax.vmap(
+        lambda y, u, v, off: warp_frame_deshake(y, u, v, off,
+                                                blur_edges=True)
+    )
+    wy, wu, wv = warp_yuv_streams_sharded(
+        warp_batch, ys, us, vs, offsets, mesh
+    )
+    for i in range(b):
+        ry, ru, rv = warp_frame_deshake(ys[i], us[i], vs[i], offsets[i],
+                                        blur_edges=True)
+        np.testing.assert_allclose(np.asarray(wy[i]), np.asarray(ry),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(wu[i]), np.asarray(ru),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(wv[i]), np.asarray(rv),
+                                   atol=1e-4)
+
+
+def test_warp_yuv_streams_sharded_similarity_pallas_kernel():
+    """The FUSED Pallas kernel of the similarity family (the TPU encode
+    hot path, SimilarityWarper) inside the DP shard_map wrapper equals
+    the unsharded batched kernel per stream."""
+    from video_annotator_tpu.models.similarity import SimilarityWarper
+    from video_annotator_tpu.ops.warp_pallas import warp_yuv_batch_pallas
+    from video_annotator_tpu.parallel.streams import warp_yuv_streams_sharded
+
+    rng = np.random.default_rng(13)
+    b, h, w = 4, 96, 128
+    corr = np.stack([
+        [4.0, -3.0, 0.02, 0.01],
+        [-5.0, 2.5, -0.015, -0.02],
+        [1.0, 0.0, 0.0, 0.02],
+        [0.0, 1.0, -0.01, 0.0],
+    ]).astype(np.float32)
+    warper = SimilarityWarper(w, h, corr)
+    ys = jnp.asarray(rng.integers(0, 255, (b, h, w), dtype=np.uint8))
+    us = jnp.asarray(rng.integers(0, 255, (b, h // 2, w // 2), dtype=np.uint8))
+    vs = jnp.asarray(rng.integers(0, 255, (b, h // 2, w // 2), dtype=np.uint8))
+    mats = jnp.asarray(SimilarityWarper.matrices(corr))
+
+    def warp_batch(y, u, v, m):
+        outs = warp_yuv_batch_pallas(
+            tuple(y), tuple(u), tuple(v), m, warper.plan_y, warper.cam,
+            warper.cam, warper.plan_c, warper.cam_c, warper.cam_c,
+            interpret=True,
+        )
+        wys, wus, wvs = zip(*outs)
+        return jnp.stack(wys), jnp.stack(wus), jnp.stack(wvs)
+
+    mesh = make_mesh(4, axis_names=("data",))
+    wy, wu, wv = warp_yuv_streams_sharded(warp_batch, ys, us, vs, mats, mesh)
+
+    ref = warp_yuv_batch_pallas(
+        tuple(ys), tuple(us), tuple(vs), mats, warper.plan_y, warper.cam,
+        warper.cam, warper.plan_c, warper.cam_c, warper.cam_c,
+        interpret=True,
+    )
+    for i in range(b):
+        np.testing.assert_array_equal(np.asarray(wy[i]), np.asarray(ref[i][0]))
+        np.testing.assert_array_equal(np.asarray(wu[i]), np.asarray(ref[i][1]))
+        np.testing.assert_array_equal(np.asarray(wv[i]), np.asarray(ref[i][2]))

@@ -134,6 +134,61 @@ def warp_streams_pallas_sharded(
     return jax.jit(fn)(frames, rotations)
 
 
+def warp_yuv_streams_sharded(
+    warp_batch,
+    ys: jax.Array,  # (B, H, W) luma, one frame per stream
+    us: jax.Array,  # (B, H/2, W/2)
+    vs: jax.Array,  # (B, H/2, W/2)
+    params: jax.Array,  # (B, ...) per-stream warp parameters
+    mesh: Mesh,
+    data_axis: str = "data",
+):
+    """Stream-parallel (DP) warp for ANY per-batch YUV warp function —
+    the 2D stabilizer families' multi-chip encode path.
+
+    The rotation family has its own sharded entry
+    (:func:`warp_streams_pallas_sharded`); the similarity/vidstab and
+    deshake families (``models/similarity.py``, ``models/deshake.py`` —
+    the reference's ``--filter vidstab``/``deshake`` pipelines,
+    ``src/render.ts:913-989``) warp with a (B, ...) parameter vector
+    instead of a rotation matrix, so this generic wrapper runs their
+    batched warp unchanged inside a ``shard_map`` DP shard. Per-stream
+    math is independent — zero collectives, and the sharded output is
+    bit-identical to the unsharded call per stream
+    (``tests/test_parallel.py::test_warp_yuv_streams_sharded_*``).
+
+    ``warp_batch(ys, us, vs, params) -> (wy, wu, wv)`` must accept the
+    local (B/n, ...) shard arrays — e.g. ``jax.vmap`` of
+    ``warp_frame_similarity`` / ``warp_frame_deshake``, or
+    ``SimilarityWarper.warp_yuv_batch`` for the fused Pallas kernel.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    nd = mesh.shape[data_axis]
+    assert ys.shape[0] % nd == 0, (ys.shape, nd)
+    p_spec = P(data_axis, *([None] * (params.ndim - 1)))
+    plane = P(data_axis, None, None)
+
+    import inspect
+
+    flag = (
+        "check_vma"
+        if "check_vma" in inspect.signature(shard_map).parameters
+        else "check_rep"
+    )
+    fn = shard_map(
+        warp_batch,
+        mesh=mesh,
+        in_specs=(plane, plane, plane, p_spec),
+        out_specs=(plane, plane, plane),
+        **{flag: False},
+    )
+    return jax.jit(fn)(ys, us, vs, params)
+
+
 def warp_frame_pallas_spatial(
     frame: jax.Array,  # (H, W) one frame, replicated to every device
     rotation: jax.Array,  # (3, 3)
