@@ -199,6 +199,18 @@ def main() -> None:
         ("rotation_smooth_scale025",
          dict(stabilise="smooth", analysis_scale=0.25, **rot),
          "unstabilized"),
+        # --analysis-mode paired: the batched TPU-first analyse (fresh
+        # corners per frame, all pairs in one launch per level) scored
+        # against the sequential tracker; the 4k_visual_full_pipeline
+        # bench runs this mode at scale 0.5, so that exact combination
+        # gets its own row.
+        ("rotation_smooth_paired",
+         dict(stabilise="smooth", analysis_mode="paired", **rot),
+         "unstabilized"),
+        ("rotation_smooth_paired_scale05",
+         dict(stabilise="smooth", analysis_mode="paired",
+              analysis_scale=0.5, **rot),
+         "unstabilized"),
         ("rotation_smooth_kalman",
          dict(stabilise="smooth", smoother="kalman", **rot), "unstabilized"),
         ("rotation_fixed", dict(stabilise="fixed", **rot), "unstabilized"),

@@ -380,6 +380,7 @@ def bench_4k_visual_full_pipeline():
     from video_annotator_tpu.pipeline.render import (
         FrameWarper,
         RenderOptions,
+        _make_pair_tracker,
         _make_tracker,
     )
     from video_annotator_tpu.smoothing.savgol import smooth_rotations
@@ -392,7 +393,11 @@ def bench_4k_visual_full_pipeline():
     w, h = (3840, 2160) if uhd else (3840, 2880)
     preset = (CameraPreset.GOPRO_H4B_WIDE169_MEASURED if uhd
               else CameraPreset.GOPRO_H4B_WIDE43_MEASURED)
-    n = 96
+    # 192 frames (~2 GB of device-resident uint8 luma): long enough that
+    # the one-off costs a 60 fps stream never sees per frame (first
+    # dispatch in flight, smooth radius fill, final sync) stay < 2% of
+    # the window; VAT_BENCH_FRAMES overrides.
+    n = int(os.environ.get("VAT_BENCH_FRAMES", "192"))
     scale = float(os.environ.get("VAT_BENCH_ANALYSIS_SCALE", "0.5"))
 
     in_cam = get_preset_camera(preset, (w, h))
@@ -411,41 +416,76 @@ def bench_4k_visual_full_pipeline():
 
     meta = VideoMeta(w, h, Fraction(60, 1))
     chunk = int(os.environ.get("VAT_BENCH_ANALYSIS_CHUNK", "16"))
+    # Analyse formulation: "paired" (default) is the batched TPU-first
+    # mode — fresh corners every frame, all adjacent pairs in one kernel
+    # launch per level (render.py::_make_pair_tracker; quality scored
+    # side by side with the sequential tracker in benchmarks/quality.py).
+    # VAT_BENCH_ANALYSIS_MODE=tracked measures the reference-faithful
+    # sequential tracker instead.
+    mode = os.environ.get("VAT_BENCH_ANALYSIS_MODE", "paired")
     opts = RenderOptions(
         preset=preset, analysis_scale=scale,
-        analysis_chunk=chunk,
+        analysis_chunk=chunk, analysis_mode=mode,
     )
-    detect_step, track_step, track_chunk = _make_tracker(meta, opts)
     # Chunked frame stacks, pre-stacked once (the analyse loop's decode
     # prefetcher stacks them on the fly; stacking is not what this
-    # config measures).
-    stacks = [
-        jnp.stack(frames8[i:i + chunk])
-        for i in range(1, n, chunk)
-    ]
-    stacks = [
-        s if s.shape[0] == chunk else jnp.concatenate(
-            [s, jnp.repeat(s[-1:], chunk - s.shape[0], axis=0)])
-        for s in stacks
-    ]
-    jax.block_until_ready(stacks)
+    # config measures). Paired chunks carry a one-frame overlap (the
+    # pair chain crosses chunk boundaries).
+    if mode == "paired":
+        pair_chunk = _make_pair_tracker(meta, opts)
+        pstacks = []
+        for i in range(1, n, chunk):
+            s = jnp.stack(frames8[i - 1:i + chunk])
+            if s.shape[0] < chunk + 1:
+                s = jnp.concatenate(
+                    [s, jnp.repeat(s[-1:], chunk + 1 - s.shape[0], axis=0)])
+            pstacks.append(s)
+        jax.block_until_ready(pstacks)
 
-    def analyse_run(sync=False):
-        pts, valid, prev_state = detect_step(frames8[0])
-        r_acc = jnp.eye(3, dtype=jnp.float32)
-        prev_delta = jnp.eye(3, dtype=jnp.float32)
-        key = jax.random.PRNGKey(7)
-        age = jnp.int32(0)
-        rs = [r_acc[None]]
-        for s in stacks:
-            (pts, valid, prev_state, prev_delta, r_acc, key, age), ras = (
-                track_chunk(pts, valid, prev_state, prev_delta, r_acc,
-                            key, age, s))
-            rs.append(ras)
-        out = jnp.concatenate(rs)[:n]
-        if sync:
-            out.block_until_ready()
-        return out
+        def analyse_run(sync=False):
+            r_base = jnp.eye(3, dtype=jnp.float32)
+            prev_delta = jnp.eye(3, dtype=jnp.float32)
+            key = jax.random.PRNGKey(7)
+            rs = [r_base[None]]
+            off = 0
+            for s in pstacks:
+                r_base, prev_delta, ras = pair_chunk(
+                    r_base, prev_delta, key, jnp.int32(off), s)
+                rs.append(ras)
+                off += s.shape[0] - 1
+            out = jnp.concatenate(rs)[:n]
+            if sync:
+                out.block_until_ready()
+            return out
+    else:
+        detect_step, track_step, track_chunk = _make_tracker(meta, opts)
+        stacks = [
+            jnp.stack(frames8[i:i + chunk])
+            for i in range(1, n, chunk)
+        ]
+        stacks = [
+            s if s.shape[0] == chunk else jnp.concatenate(
+                [s, jnp.repeat(s[-1:], chunk - s.shape[0], axis=0)])
+            for s in stacks
+        ]
+        jax.block_until_ready(stacks)
+
+        def analyse_run(sync=False):
+            pts, valid, prev_state = detect_step(frames8[0])
+            r_acc = jnp.eye(3, dtype=jnp.float32)
+            prev_delta = jnp.eye(3, dtype=jnp.float32)
+            key = jax.random.PRNGKey(7)
+            age = jnp.int32(0)
+            rs = [r_acc[None]]
+            for s in stacks:
+                (pts, valid, prev_state, prev_delta, r_acc, key, age), ras = (
+                    track_chunk(pts, valid, prev_state, prev_delta, r_acc,
+                                key, age, s))
+                rs.append(ras)
+            out = jnp.concatenate(rs)[:n]
+            if sync:
+                out.block_until_ready()
+            return out
 
     smooth = jax.jit(
         lambda m: so3.matmul(
@@ -486,6 +526,7 @@ def bench_4k_visual_full_pipeline():
         {
             "geometry": f"{w}x{h}",
             "analysis_scale": scale,
+            "analysis_mode": mode,
             "analyse_fps": round(n / dt_analyse, 2),
             "warp_fps": round(n / dt_warp, 2),
         },

@@ -15,7 +15,15 @@ only implicitly by processing whole matches (``concat.sh:221-283``).
 Prints one JSON line:
 
     {"metric": "soak_fps", "frames": N, "value": fps,
-     "fps_first_half": a, "fps_second_half": b, "peak_rss_mb": m}
+     "fps_first_half": a, "fps_second_half": b, "half_ratio": r,
+     "steady": bool, "peak_rss_mb": m, "steady_rss_mb": s,
+     "rss_ceiling_mb": c, "rss_ok": bool}
+
+An untimed warmup render populates the persistent compile cache first,
+so the timed halves measure the pipeline rather than first-compile
+latency; RSS comes from 1 Hz /proc timelines of the render children
+(peak vs post-startup plateau), with a ceiling that fails the artifact
+instead of shipping an unexplained number.
 """
 
 from __future__ import annotations
@@ -23,7 +31,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import resource
 import subprocess
 import sys
 import time
@@ -67,8 +74,50 @@ def make_input(path: str, n: int, w: int, h: int) -> None:
         sink.close()
 
 
+def _run_render(args, env) -> dict:
+    """Run one render child, sampling its RSS timeline from /proc.
+
+    Returns ``{dt, peak_mb, steady_mb}`` — ``steady_mb`` is the median
+    of the final third of samples, i.e. the plateau after imports,
+    compiles, and ring/queue fill; a large peak-vs-steady gap is
+    startup, a climbing tail is a leak."""
+    import threading
+
+    samples: list = []
+    t0 = time.time()
+    p = subprocess.Popen(args, env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+
+    def sample():
+        while p.poll() is None:
+            try:
+                with open(f"/proc/{p.pid}/status") as f:
+                    for line in f:
+                        if line.startswith("VmRSS"):
+                            samples.append(int(line.split()[1]) // 1024)
+                            break
+            except FileNotFoundError:
+                return
+            time.sleep(1.0)
+
+    th = threading.Thread(target=sample)
+    th.start()
+    out, _ = p.communicate()
+    th.join()
+    dt = time.time() - t0
+    if p.returncode != 0:
+        print(out[-3000:], file=sys.stderr)
+        raise SystemExit(f"soak render failed (rc={p.returncode})")
+    tail = samples[-max(1, len(samples) // 3):] or [0]
+    return {
+        "dt": dt,
+        "peak_mb": max(samples) if samples else 0,
+        "steady_mb": sorted(tail)[len(tail) // 2],
+    }
+
+
 def run_soak(frames: int, w: int, h: int, keep: bool = False,
-             encoder: str = "y4m") -> dict:
+             encoder: str = "y4m", max_rss_mb: float = 4096.0) -> dict:
     src = f"/tmp/soak_in_{w}x{h}_{frames}.mp4"
     # Default sink is raw y4m: the soak measures THIS framework's
     # sustained pipeline (decode -> analyse -> warp -> write), not
@@ -91,6 +140,26 @@ def run_soak(frames: int, w: int, h: int, keep: bool = False,
     # elsewhere without PYTHONPATH.
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    def render_args(start_f: int, dur_f: int):
+        a = [
+            sys.executable, "-m", "video_annotator_tpu", "render",
+            src, dst, "--stabilise", "smooth", "--stabilise-radius", "30",
+            "-s", str(start_f / 30.0), "-d", str(dur_f / 30.0),
+        ]
+        if encoder != "y4m":
+            a += ["--encoder", encoder]
+        return a
+
+    # Warmup (untimed): a short render over the clip head populates the
+    # persistent compile cache (~/.cache/vat_jax), so the timed halves
+    # measure the PIPELINE, not first-compile latency — the r2 artifact's
+    # halves differed 1.8x purely because half 1 carried the compiles.
+    warm_frames = max(16, frames // 10)
+    wres = _run_render(render_args(0, warm_frames), env)
+    print(f"# warmup {warm_frames}f in {wres['dt']:.0f}s "
+          f"(compiles cached)", file=sys.stderr)
+
     # Halves: two timed renders over the first and second half of the
     # clip via trim seeks — catches slow drift (leaks, allocator
     # fragmentation, tunnel decay) that a single average hides.
@@ -98,32 +167,34 @@ def run_soak(frames: int, w: int, h: int, keep: bool = False,
     half_frames = frames // 2
     t_all = time.time()
     for half in range(2):
-        args = [
-            sys.executable, "-m", "video_annotator_tpu", "render",
-            src, dst, "--stabilise", "smooth", "--stabilise-radius", "30",
-            "-s", str(half * half_frames / 30.0),
-            "-d", str(half_frames / 30.0),
-        ]
-        if encoder != "y4m":
-            args += ["--encoder", encoder]
-        t0 = time.time()
-        r = subprocess.run(args, env=env, capture_output=True, text=True)
-        dt = time.time() - t0
-        if r.returncode != 0:
-            print(r.stdout[-2000:], r.stderr[-2000:], file=sys.stderr)
-            raise SystemExit(f"soak render (half {half}) failed")
-        halves.append(half_frames / dt)
+        halves.append(_run_render(
+            render_args(half * half_frames, half_frames), env))
     wall = time.time() - t_all
-    ru = resource.getrusage(resource.RUSAGE_CHILDREN)
+    fps = [half_frames / r["dt"] for r in halves]
+    peak = max(r["peak_mb"] for r in halves)
+    steady = max(r["steady_mb"] for r in halves)
+    ratio = fps[1] / max(fps[0], 1e-9)
     out = {
         "metric": "soak_fps",
         "frames": frames,
         "width": w,
         "height": h,
         "value": round(frames / wall, 1),
-        "fps_first_half": round(halves[0], 1),
-        "fps_second_half": round(halves[1], 1),
-        "peak_rss_mb": round(ru.ru_maxrss / 1024.0, 1),
+        "fps_first_half": round(fps[0], 1),
+        "fps_second_half": round(fps[1], 1),
+        # Steady when the warm halves agree within 10% — the long-run
+        # stability claim this artifact exists to support.
+        "half_ratio": round(ratio, 3),
+        "steady": bool(0.9 <= ratio <= 1.1),
+        # RSS from /proc timelines of the render children: peak includes
+        # import/compile/startup transients; steady is the plateau the
+        # pipeline holds while processing (bounded rings + two in-flight
+        # warp batches + jax runtime). A ceiling violation fails the
+        # artifact rather than shipping an unexplained number.
+        "peak_rss_mb": peak,
+        "steady_rss_mb": steady,
+        "rss_ceiling_mb": max_rss_mb,
+        "rss_ok": bool(peak <= max_rss_mb),
     }
     if not keep:
         for p in (dst,):
@@ -141,12 +212,16 @@ def main(argv=None) -> int:
     ap.add_argument("--encoder", default="y4m",
                     help="y4m (raw sink, default: measures the pipeline) "
                          "or a libav encoder name (adds it to the loop)")
+    ap.add_argument("--max-rss-mb", type=float, default=4096.0,
+                    help="RSS ceiling per render child; exceeding it "
+                         "records rss_ok=false")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "soak.json"),
         help="also persist the JSON record here ('' disables)")
     args = ap.parse_args(argv)
     result = run_soak(args.frames, args.width, args.height,
-                      keep=args.keep, encoder=args.encoder)
+                      keep=args.keep, encoder=args.encoder,
+                      max_rss_mb=args.max_rss_mb)
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:

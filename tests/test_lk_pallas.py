@@ -93,3 +93,92 @@ def test_lk_pallas_tracks_last_strip():
     d = np.asarray(new_pts) - np.asarray(xy)
     np.testing.assert_allclose(d, np.tile([3.0, 2.0], (len(xy), 1)),
                                atol=0.5)
+
+
+def test_lk_pairs_matches_per_frame_packed():
+    """The batched-pairs path (tall-stack bands, one launch per level)
+    must be BIT-EXACT vs the per-frame packed path on every pair — the
+    band relocation is a pure word-row offset, so any difference means
+    windows leaked across frame bands."""
+    from video_annotator_tpu.ops.lk_pallas import (
+        lk_pack_pyramid,
+        lk_pack_pyramid_pairs,
+        pyramidal_lk_pallas_packed,
+        pyramidal_lk_pallas_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    t, h, w = 4, 480, 640
+    base = rng.normal(size=(60, 80)).astype(np.float32)
+    base = cv2.resize(base, (w, h), interpolation=cv2.INTER_CUBIC)
+    base = ((base - base.min()) / (base.max() - base.min()) * 255).astype(
+        np.float32)
+    frames = np.stack([
+        np.roll(base, (3 * i - 4, 2 * i - 3), axis=(0, 1)) for i in range(t)
+    ]).astype(np.float32)
+
+    n = 32
+    pts_list, valid_list = [], []
+    for i in range(t - 1):
+        pts, valid = detect_corners(
+            jnp.asarray(frames[i]), max_corners=n, min_distance=30
+        )
+        pts_list.append(pts)
+        valid_list.append(valid)
+    points = jnp.stack(pts_list)
+    valid = jnp.stack(valid_list)
+
+    packed_tall = lk_pack_pyramid_pairs(jnp.asarray(frames), interpret=True)
+    got_pts, got_st = pyramidal_lk_pallas_pairs(
+        packed_tall, (h, w), points, valid, interpret=True
+    )
+
+    packed = [lk_pack_pyramid(jnp.asarray(frames[i]), interpret=True)
+              for i in range(t)]
+    for i in range(t - 1):
+        want_pts, want_st = pyramidal_lk_pallas_packed(
+            packed[i], packed[i + 1], (h, w), points[i], valid[i],
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got_st[i]),
+                                      np.asarray(want_st))
+        np.testing.assert_array_equal(np.asarray(got_pts[i]),
+                                      np.asarray(want_pts),
+                                      err_msg=f"pair {i}")
+
+
+def test_lk_pairs_edge_points_fail_cleanly():
+    """Band-edge points (near a frame's top/bottom in the tall stack)
+    must gate exactly like the per-frame path — never silently read the
+    neighboring frame's band."""
+    from video_annotator_tpu.ops.lk_pallas import (
+        lk_pack_pyramid,
+        lk_pack_pyramid_pairs,
+        pyramidal_lk_pallas_packed,
+        pyramidal_lk_pallas_pairs,
+    )
+
+    rng = np.random.default_rng(6)
+    t, h, w = 3, 480, 640
+    frames = np.stack([
+        rng.uniform(0, 255, (h, w)) for _ in range(t)
+    ]).astype(np.float32)
+    ys = np.asarray([9.0, 12.0, 30.0, 60.0, 240.0, 460.0, 470.0, 474.0])
+    pts1 = np.stack([np.full_like(ys, 320.0), ys], axis=1)
+    points = jnp.asarray(np.stack([pts1] * (t - 1)), jnp.float32)
+    valid = jnp.ones((t - 1, len(ys)), bool)
+
+    packed_tall = lk_pack_pyramid_pairs(jnp.asarray(frames), interpret=True)
+    got_pts, got_st = pyramidal_lk_pallas_pairs(
+        packed_tall, (h, w), points, valid, interpret=True
+    )
+    for i in range(t - 1):
+        want_pts, want_st = pyramidal_lk_pallas_packed(
+            lk_pack_pyramid(jnp.asarray(frames[i]), interpret=True),
+            lk_pack_pyramid(jnp.asarray(frames[i + 1]), interpret=True),
+            (h, w), points[i], valid[i], interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got_st[i]),
+                                      np.asarray(want_st))
+        np.testing.assert_array_equal(np.asarray(got_pts[i]),
+                                      np.asarray(want_pts))

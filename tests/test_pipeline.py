@@ -357,3 +357,36 @@ def test_preview_sink_dumps_final_frames(tmp_path):
     assert png2.shape[:2] == (96, 128), png2.shape
     want2 = yuv420_to_bgr(*[np.asarray(p).astype(np.uint8) for p in first2])
     np.testing.assert_array_equal(png2, want2)
+
+
+def test_analyse_paired_recovers_ground_truth(traj):
+    """--analysis-mode paired (fresh corners every frame, all pairs
+    batched — _make_pair_tracker) estimates the same camera trajectory
+    as the sequential tracker to ground truth tolerance, and is
+    invariant to the chunk size (global-index RNG folding)."""
+    paired = analyse(SRC, RenderOptions(analysis_mode="paired", **OPTS))
+    assert paired.num_frames == traj.num_frames
+    cfg = SyntheticSource.from_uri(SRC).config
+    w_true = cfg.rotation_vectors()
+    R_true = np.asarray(so3.exp(jnp.asarray(w_true)))
+    R_expect = R_true.transpose(0, 2, 1) @ R_true[0]
+    R_est = paired.rotations()
+    errs = np.degrees(np.asarray([
+        np.linalg.norm(np.asarray(
+            so3.log(jnp.asarray(R_est[t] @ R_expect[t].T))))
+        for t in range(paired.num_frames)
+    ]))
+    assert errs.max() < 0.35, errs.max()
+
+    # vs the tracked mode: same trajectory to tracking noise.
+    R_seq = traj.rotations()
+    diffs = np.degrees(np.asarray([
+        np.linalg.norm(np.asarray(
+            so3.log(jnp.asarray(R_est[t] @ R_seq[t].T))))
+        for t in range(paired.num_frames)
+    ]))
+    assert diffs.max() < 0.35, diffs.max()
+
+    odd = analyse(SRC, RenderOptions(analysis_mode="paired",
+                                     analysis_chunk=7, **OPTS))
+    np.testing.assert_allclose(paired.params, odd.params, atol=1e-5)

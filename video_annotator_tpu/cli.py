@@ -201,6 +201,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="analyse-phase frames per device dispatch "
                         "(lax.scan chunk; 1 = per-frame dispatches; "
                         "identical trajectory either way)")
+    r.add_argument("--analysis-mode", default="tracked",
+                   choices=["tracked", "paired"],
+                   help="tracked = sequential point-carryover tracker "
+                        "(reference-faithful); paired = fresh corners "
+                        "every frame, all adjacent pairs batched into "
+                        "one kernel launch per pyramid level (same "
+                        "estimator and gates, ~3-4x faster analyse on "
+                        "TPU)")
     r.add_argument("--analysis-iters", type=int, default=8,
                    help="LK Newton iterations per pyramid level "
                         "(cv2's eps criteria typically terminate in "
@@ -408,6 +416,7 @@ def _render_options(args) -> "RenderOptions":
         native_io=getattr(args, "native_io", True),
         analysis_scale=getattr(args, "analysis_scale", 1.0),
         analysis_chunk=getattr(args, "analysis_chunk", 16),
+        analysis_mode=getattr(args, "analysis_mode", "tracked"),
         analysis_iters=getattr(args, "analysis_iters", 8),
         preview=getattr(args, "preview", None),
         preview_every=getattr(args, "preview_every", 30),

@@ -488,3 +488,194 @@ def pyramidal_lk_pallas(
     )
 
 
+# --------------------------------------------------------------------------
+# Batched-pairs LK: every adjacent frame pair of a chunk in ONE kernel
+# launch per level (the paired analyse mode's hot path).
+#
+# The per-frame path above launches ~3 level kernels per frame inside a
+# sequential lax.scan; at ~200 points per frame each launch runs a
+# 25-step grid — launch/pipeline overhead dominates and the chip idles
+# between frames. Tracking T pairs is the same per-point math over T
+# different images, and the kernel's only image addressing is the
+# scalar-prefetched window origin — so stacking every frame's packed
+# level along the WORD-ROW axis (each frame's band padded exactly like
+# the per-frame pack, band stride a multiple of the 8-word DMA
+# alignment) lets ONE launch with a T*N-point grid track all pairs:
+# per-point origins are computed with the per-frame clamping rules and
+# relocated into frame t's band by adding t * stride word rows. Points
+# and flows stay in per-frame coordinates throughout; the same tall
+# array serves as both prev (band t) and next (band t+1) operand.
+# --------------------------------------------------------------------------
+
+
+def lk_pack_pyramid_pairs(
+    imgs: jax.Array,  # (T, H, W) luma frames
+    levels: int = DEF_LEVELS,
+    interpret: bool = False,
+):
+    """Tall-stack packed word pyramids for a chunk of T frames.
+
+    Returns a tuple over levels: ``None`` for levels too small for the
+    kernel (the pairs tracker keeps its coarse guess there, like the
+    per-frame path), else a (wstrips, T * stride, 128) tall word array.
+    The per-frame band stride (== the word-row count the clamping rules
+    see, including the same 8 replicated slack rows
+    :func:`lk_pack_pyramid` appends; always a multiple of 8) is a static
+    shape fact — consumers recover it as ``words.shape[1] // T`` — so
+    the pytree holds only arrays and survives being returned from a jit.
+    """
+    t = imgs.shape[0]
+    pyr = jax.vmap(lambda im: tuple(build_pyramid(im, levels)))(imgs)
+    packed = []
+    for lvl in range(levels):
+        ph, pw = pyr[lvl].shape[1], pyr[lvl].shape[2]
+        if ph < 4 * DMA_WORDS + 32 or pw < WCOLS:
+            packed.append(None)
+            continue
+        # vmap extends the pack kernel's grid with the frame axis: ONE
+        # launch packs all T frames of a level (a lax.map here costs
+        # T x 3 separate kernel launches per chunk).
+        words = jax.vmap(
+            lambda f: pack_frame_words(f, ph, pw,
+                                       use_kernel=not interpret)
+        )(pyr[lvl])  # (T, wstrips, hw, 128); hw = round_up(ph, 32)/4, mult of 8
+        words = jnp.concatenate(
+            [words, jnp.repeat(words[:, :, -1:], 8, axis=2)], axis=2
+        )  # same bottom slack as lk_pack_pyramid, per band
+        stride = words.shape[2]
+        tall = jnp.transpose(words, (1, 0, 2, 3)).reshape(
+            words.shape[1], t * stride, 128
+        )
+        packed.append(tall)
+    return tuple(packed)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("words_shape", "band_stride", "iters", "interpret"),
+)
+def _lk_level_pallas_pairs(
+    words: jax.Array,  # (wstrips, T*band_stride, 128) tall packed level
+    pts: jax.Array,  # (M, 2) level coords, per-frame frame-local
+    band: jax.Array,  # (M,) int32 prev-frame band index (next = band + 1)
+    guess: jax.Array,  # (M, 2)
+    words_shape: Tuple[int, int],  # (wstrips, hwords_frame)
+    band_stride: int,
+    iters: int = DEF_ITERS,
+    interpret: bool = False,
+):
+    """:func:`_lk_level_pallas` with both windows relocated into their
+    frame's band of the tall stack. Origins use the PER-FRAME clamping
+    rules (identical ok-gates and in-band clamps to the per-frame path),
+    then shift by a multiple-of-8 word offset — the kernel is reused
+    unchanged, reading prev from band ``t`` and next from band ``t+1``
+    of the same array."""
+    wstrips, hwords = words_shape
+    n = pts.shape[0]
+    assert n % PGROUP == 0, n
+    assert band_stride % 8 == 0, band_stride
+
+    oyp, sxp, bwp, ryp, ixp, okp = _origins(pts, wstrips, hwords)
+    tgt = pts + guess
+    oyn, sxn, bwn, ryn, ixn, okn = _origins(tgt, wstrips, hwords)
+    oyp = oyp + band * band_stride
+    oyn = oyn + (band + 1) * band_stride
+
+    cols = [
+        guess[:, 0],
+        guess[:, 1],
+        bwp.astype(jnp.float32),
+        ryp,
+        ixp,
+        bwn.astype(jnp.float32),
+        ryn,
+        ixn,
+    ]
+    fpt = jnp.stack(
+        cols + [jnp.zeros((n,), jnp.float32)] * (128 - len(cols)), axis=-1
+    )
+
+    kernel = _make_lk_kernel(iters)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n // PGROUP,),
+        in_specs=[
+            pl.BlockSpec(
+                (PGROUP, 128), lambda g, *pf: (g, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (PGROUP, 128), lambda g, *pf: (g, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((PGROUP, NSTRIP, DMA_WORDS, 128), jnp.int32),
+            pltpu.VMEM((PGROUP, NSTRIP, DMA_WORDS, 128), jnp.int32),
+            pltpu.VMEM((AW, PGROUP, WCOLS), jnp.int32),
+            pltpu.VMEM((AW, PGROUP, WCOLS), jnp.int32),
+            pltpu.VMEM((WIN, PGROUP, 128), jnp.float32),
+            pltpu.VMEM((WIN, PGROUP, 128), jnp.float32),
+            pltpu.VMEM((WIN, PGROUP, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((PGROUP,)),
+            pltpu.SemaphoreType.DMA((PGROUP,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(oyp, sxp, oyn, sxn, fpt, words, words)
+    return out[:, 0], out[:, 1], (out[:, 2] > 0.5) & okp & okn
+
+
+def pyramidal_lk_pallas_pairs(
+    packed,
+    img_shape: Tuple[int, int],
+    points: jax.Array,  # (P, N, 2): pair p tracks frame p -> frame p+1
+    valid: jax.Array,  # (P, N)
+    iters: int = DEF_ITERS,
+    interpret: bool = False,
+):
+    """Track N points through each of P adjacent pairs in one launch per
+    level. ``packed`` is :func:`lk_pack_pyramid_pairs` of the chunk's
+    P + 1 frames. Identical per-point math to
+    :func:`pyramidal_lk_pallas_packed` (tested bit-exact); callers jit.
+    """
+    h, w = img_shape
+    p_, n_ = points.shape[0], points.shape[1]
+    m = p_ * n_
+    pts = points.reshape(m, 2)
+    band = jnp.repeat(jnp.arange(p_, dtype=jnp.int32), n_)
+    pad_m = _round_up(m, PGROUP) - m
+    pts_p = jnp.pad(pts, ((0, pad_m), (0, 0)), constant_values=4.0 * HALF)
+    band_p = jnp.pad(band, (0, pad_m))
+
+    flow = pts_p * 0.0
+    status = valid.reshape(m)
+    for lvl in range(len(packed) - 1, -1, -1):
+        words = packed[lvl]
+        if words is None:
+            continue  # tiny level: keep coarse guess
+        stride = words.shape[1] // (p_ + 1)  # static: T bands of `stride`
+        scale = 2.0**lvl
+        vx, vy, ok = _lk_level_pallas_pairs(
+            words, pts_p / scale, band_p, flow / scale,
+            (words.shape[0], stride), stride, iters, interpret,
+        )
+        flow = jnp.stack([vx, vy], axis=-1) * scale
+        status = status & ok[:m]
+
+    new_pts = pts + flow[:m]
+    half = float(HALF)
+    in_bounds = (
+        (pts[:, 0] >= half) & (pts[:, 0] < w - half)
+        & (pts[:, 1] >= half) & (pts[:, 1] < h - half)
+        & (new_pts[:, 0] >= half) & (new_pts[:, 0] < w - half)
+        & (new_pts[:, 1] >= half) & (new_pts[:, 1] < h - half)
+    )
+    return (
+        new_pts.reshape(p_, n_, 2),
+        (status & in_bounds).reshape(p_, n_),
+    )

@@ -172,6 +172,18 @@ class RenderOptions:
     # per-frame dispatches (the streaming path's shape). Identical
     # trajectory either way; chunking only amortizes dispatch overhead.
     analysis_chunk: int = 16
+    # Analyse formulation: "tracked" is the reference-faithful sequential
+    # tracker (point carryover + key-frame refresh); "paired" detects
+    # fresh corners every frame and tracks/estimates all adjacent pairs
+    # in batched kernel launches (same estimator math and gates; the
+    # TPU-first shape — see _make_pair_tracker). Trajectories agree to
+    # tracking noise; quality scored side by side in benchmarks/quality.py.
+    analysis_mode: str = "tracked"  # tracked | paired
+    # Paired mode only: detect corners this many pyramid levels BELOW
+    # the tracking resolution (detection cost scales with pixels; LK
+    # re-validates every patch at track resolution — see
+    # _make_pair_tracker). 0 = detect at track resolution.
+    analysis_detect_level: int = 1
     # LK Newton iterations per pyramid level. cv2's default criteria
     # (30, eps 0.01) terminates in a handful of iterations on real
     # footage; 8 fixed iterations measure identical trajectory accuracy
@@ -944,6 +956,132 @@ def _make_tracker(meta: VideoMeta, options: RenderOptions):
     return detect_step, track_step, track_chunk
 
 
+def _make_pair_tracker(meta: VideoMeta, options: RenderOptions):
+    """Jitted batched-pairs analyse chunk (``--analysis-mode paired``).
+
+    The sequential tracker above is reference-faithful (point carryover +
+    key-frame refresh, ``opencv/FrameSourceWarp.cpp:214-268``) but its
+    lax.scan serializes ~15 small kernels per frame — launch latency, not
+    compute, dominates on TPU (~1.9 ms/frame at 4K scale 0.5). This mode
+    is the TPU-first formulation of the same estimation: detect fresh
+    corners on EVERY frame (batched vmap), LK-track all adjacent pairs in
+    ONE kernel launch per pyramid level (``lk_pack_pyramid_pairs`` tall
+    stacks), RANSAC every pair concurrently, and chain the deltas with an
+    associative prefix product — the exact estimator math of the
+    reference's per-frame loop, restructured so a chunk of G frames is
+    ~10 launches total instead of ~15 G.
+
+    Identical gates to the sequential path: the 8 px/f reprojection
+    threshold, the <40-inlier fallback to the previous delta
+    (``FrameSourceWarp.cpp:432-438``; here an associative last-valid
+    scan), and LK's drift/conditioning status bits. Per-pair RNG keys are
+    folded from the GLOBAL frame index, so the trajectory is independent
+    of the chunk size (and matches the multichip pipeline's convention,
+    ``parallel/pipeline.py``).
+    """
+    in_cam_native = (
+        get_preset_camera(options.preset, (meta.width, meta.height))
+        if options.preset is not None
+        else camera_from_dfov(
+            options.input_dfov, (meta.width, meta.height), CameraModel.FISHEYE
+        )
+    )
+    level = analysis_level(options)
+    in_cam_full = mip_camera(in_cam_native, level)
+    track_w = in_cam_full.width
+    threshold = 8.0 / float(in_cam_native.fx)
+    min_distance, min_inliers, _ = tracking_gates(track_w)
+    border = tracking_border(track_w, in_cam_full.height)
+    use_pallas = jax.default_backend() != "cpu"
+    lk_iters = int(getattr(options, "analysis_iters", 8))
+    # Corner DETECTION runs one extra pyramid level down (default):
+    # response + NMS cost scale with pixels (~0.8 ms/frame at 1920x1440
+    # — the dominant paired-analyse stage when run per frame), corner
+    # POSITIONS only seed LK, whose 21x21 window and in-kernel min-eig
+    # gate re-validate the patch at track resolution. Ground truth and
+    # quality.py score the combination; --analysis-detect-level 0
+    # restores track-resolution detection.
+    detect_level = max(0, int(getattr(options, "analysis_detect_level", 1)))
+    det_md = max(1, min_distance >> detect_level)
+    det_border = max(4, -(-border // (1 << detect_level)))
+    det_scale = float(1 << detect_level)
+
+    from video_annotator_tpu.ops.lk_pallas import (
+        lk_pack_pyramid_pairs,
+        pyramidal_lk_pallas_pairs,
+    )
+
+    def _track_res(gray):
+        return box_downsample(gray, level) if level else gray
+
+    @jax.jit
+    def pair_chunk(r_base, prev_delta, key, offset, frames):
+        """(G+1, H, W) frames (element 0 = previous chunk's last frame)
+        -> (r_base', prev_delta', (G, 3, 3) accumulated rotations)."""
+        grays = jax.vmap(_track_res)(frames.astype(jnp.float32))
+        g = frames.shape[0] - 1
+        det_in = (
+            jax.vmap(lambda im: box_downsample(im, detect_level))(grays[:-1])
+            if detect_level else grays[:-1]
+        )
+        pts, valid = jax.vmap(
+            lambda im: detect_corners(
+                im, max_corners=MAX_CORNERS, min_distance=det_md,
+                border=det_border,
+            )
+        )(det_in)
+        if detect_level:
+            # box_downsample pixel centers: track coord = s*x + (s-1)/2.
+            pts = pts * det_scale + (det_scale - 1.0) * 0.5
+        if use_pallas:
+            packed = lk_pack_pyramid_pairs(grays)
+            new_pts, status = pyramidal_lk_pallas_pairs(
+                packed, (grays.shape[1], grays.shape[2]), pts, valid,
+                iters=lk_iters,
+            )
+        else:
+            new_pts, status = jax.vmap(
+                lambda a, b, p, v: pyramidal_lk(a, b, p, v, iters=lk_iters)
+            )(grays[:-1], grays[1:], pts, valid)
+        rays_p = in_cam_full.unproject_unit(pts)
+        rays_c = in_cam_full.unproject_unit(new_pts)
+        keys = jax.vmap(
+            lambda i: jax.random.fold_in(key, i)
+        )(offset + jnp.arange(g))
+        ests = jax.vmap(
+            lambda rp, rc, st, k: estimate_rotation(
+                rp, rc, st, k, threshold_rad=threshold
+            )
+        )(rays_p, rays_c, status, keys)
+
+        # Inlier-gated fallback as an associative last-valid scan: a
+        # failed pair inherits the nearest preceding good delta (seeded
+        # with the carry), exactly the sequential rotation_with_fallback
+        # chain.
+        ok = jnp.concatenate(
+            [jnp.ones((1,), bool), ests.num_inliers >= min_inliers]
+        )
+        rots = jnp.concatenate([prev_delta[None], ests.rotation])
+
+        def last_ok(a, b):
+            ok_a, r_a = a
+            ok_b, r_b = b
+            return ok_a | ok_b, jnp.where(ok_b[..., None, None], r_b, r_a)
+
+        _, deltas_all = jax.lax.associative_scan(last_ok, (ok, rots), axis=0)
+        deltas = deltas_all[1:]
+
+        # R_t = delta_t . delta_{t-1} ... delta_1 . r_base (the
+        # reference's R_t = dR . R_{t-1}), as a prefix product.
+        prods = jax.lax.associative_scan(
+            lambda a, b: so3.matmul(b, a), deltas, axis=0
+        )
+        rs = jax.vmap(so3.orthonormalize)(so3.matmul(prods, r_base))
+        return rs[-1], deltas[-1], rs
+
+    return pair_chunk
+
+
 def analyse(
     source: str,
     options: RenderOptions,
@@ -952,6 +1090,9 @@ def analyse(
     """Estimate the per-frame accumulated camera rotation trajectory."""
     prof = profiler or StageProfiler()
     reader, meta, first, last = open_trimmed(source, options)
+    if getattr(options, "analysis_mode", "tracked") == "paired":
+        return _analyse_paired(source, options, prof, reader, meta,
+                               first, last)
     detect_step, track_step, track_chunk = _make_tracker(meta, options)
 
     chunk_n = max(1, int(options.analysis_chunk))
@@ -1038,6 +1179,87 @@ def analyse(
         source=source,
         # Telemetry extraction + gravity integration are pure cost unless
         # the horizon lock consumes the result.
+        up0=_estimate_up0(source, float(first) / float(meta.fps))
+        if options.horizon_lock
+        else None,
+    )
+
+
+def _analyse_paired(source, options, prof, reader, meta, first, last):
+    """Analyse loop for ``--analysis-mode paired`` (see
+    :func:`_make_pair_tracker`): chunks of G+1 frames (one-frame overlap
+    carries the pair chain across chunks) feed one batched dispatch each.
+    Output schema is identical to the sequential path."""
+    pair_chunk = _make_pair_tracker(meta, options)
+    chunk_n = max(1, int(options.analysis_chunk))
+    r_list = []
+    r_base = jnp.eye(3, dtype=jnp.float32)
+    prev_delta = jnp.eye(3, dtype=jnp.float32)
+    key = jax.random.PRNGKey(7)
+    prev_frame = None
+    pending: list = []
+    emitted = 0
+    idx = reader.start_frame - 1
+    from video_annotator_tpu.io.prefetch import DevicePrefetcher
+
+    def flush_chunk():
+        """Pad the tail by repeating its last frame (only possible at
+        EOF); padded outputs are dropped and the polluted carry only
+        matters after EOF — the same contract as the sequential path."""
+        nonlocal prev_frame, r_base, prev_delta, emitted
+        k = len(pending)
+        if not k:
+            return
+        frames = [prev_frame] + pending + [pending[-1]] * (chunk_n - k)
+        prev_frame = pending[-1]
+        pending.clear()
+        r_base, prev_delta, rs = pair_chunk(
+            r_base, prev_delta, key, jnp.int32(emitted), jnp.stack(frames)
+        )
+        emitted += k
+        r_list.append(rs[:k])
+
+    pre = DevicePrefetcher(prof.wrap_iter("decode", iter(reader)),
+                           depth=options.prefetch_depth)
+    prog = Progress("analyse",
+                    total=(last - first) if meta.num_frames else None)
+    try:
+        for y, _, _ in pre:
+            idx += 1
+            if idx < first:
+                continue
+            if idx >= last:
+                break
+            if prev_frame is None:
+                prev_frame = y
+                r_list.append(r_base[None])
+            else:
+                with prof.stage("track"):
+                    pending.append(y)
+                    if len(pending) >= chunk_n:
+                        flush_chunk()
+            prog.tick()
+        with prof.stage("track"):
+            flush_chunk()
+    finally:
+        prog.close()
+        pre.close()
+        reader.close()
+
+    with prof.stage("collect"):
+        if r_list:
+            rs = jnp.concatenate(r_list, axis=0)
+            rotvecs = np.asarray(jax.jit(jax.vmap(so3.log))(rs), np.float64)
+        else:
+            rotvecs = np.zeros((0, 3))
+
+    return Trajectory(
+        params=rotvecs,
+        kind="so3",
+        fps=meta.fps,
+        width=meta.width,
+        height=meta.height,
+        source=source,
         up0=_estimate_up0(source, float(first) / float(meta.fps))
         if options.horizon_lock
         else None,
