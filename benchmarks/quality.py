@@ -226,9 +226,15 @@ def main() -> None:
          dict(stabilise="smooth", interp="lanczos", **rot), "unstabilized"),
         ("rotation_smooth_prefilter",
          dict(stabilise="smooth", prefilter="auto", **rot), "unstabilized"),
-        # Rolling shutter: the synthetic source is global-shutter, so a
-        # correct implementation must NOT damage the result; readout 0.5
-        # frame-periods is a typical CMOS action-cam value.
+        # Rolling shutter: the synthetic source is GLOBAL-shutter, so
+        # this row quantifies the penalty of asserting a readout the
+        # sensor does not have (--rolling-shutter 0.5 skews each
+        # scanline band by up to half the inter-frame motion —
+        # measured 10.4 dB vs 21.8 without). Per-scanline warp
+        # CORRECTNESS vs its oracle is tests/test_rolling.py's job;
+        # this row documents the knob's failure mode on mismatched
+        # footage, the number a user needs to diagnose "why did
+        # stabilization get worse when I set readout time".
         ("rotation_smooth_rollingshutter",
          dict(stabilise="smooth", rolling_shutter=0.5, **rot),
          "unstabilized"),
