@@ -21,6 +21,7 @@ device memory (at 4K: ~17 MB/frame — the default radius 90 + batch 32 is
 from __future__ import annotations
 
 import os
+import sys
 from collections import deque
 from fractions import Fraction
 from typing import Optional
@@ -63,6 +64,13 @@ def render_streaming(
             "--streaming smoothing is windowed (savgol); the Kalman RTS "
             "smoother needs the whole trajectory — use the two-phase path"
         )
+    if getattr(options, "analysis_mode", "tracked") == "paired":
+        # The lookahead loop tracks frame-by-frame as frames arrive; the
+        # paired mode's batched chunks belong to the two-phase analyse.
+        # Warn-and-fall-back rather than silently ignoring the flag.
+        print("[vat] --streaming uses the sequential tracker; "
+              "--analysis-mode paired applies to the two-phase path "
+              "(falling back to tracked)", file=sys.stderr)
 
     reader, meta, first, last = open_trimmed(source, options)
     # stabilise=none without a horizon lock needs no measured attitude at
