@@ -15,6 +15,10 @@ story is complete:
 4b. ``4k_visual_full_pipeline`` — the north-star loop with VISUAL
    tracking included: Shi-Tomasi + Pallas LK + RANSAC at analysis-scale
    0.5 (the reference demo's scale) -> SG smoothing -> fused warp.
+4c. ``e2e_decode_overlap_720p`` — decode INCLUDED: native h264 decode ->
+   prefetch -> paired analyse -> fused warp in one streaming pass, plus
+   each stage's solo rate; proves the prefetcher hides decode
+   (overlap_ratio = e2e / min(stage rates)).
 5. ``8x4k60_multistream``   — 8x 4K60 streams batched through the fused
    warp on one chip (the v5e-8 sharded path is exercised by
    ``__graft_entry__.dryrun_multichip``); reports aggregate fps and the
@@ -534,6 +538,167 @@ def bench_4k_visual_full_pipeline():
 
 
 # --------------------------------------------------------------------------
+# 4c. decode-INCLUDED end-to-end with overlap proof (720p-class)
+# --------------------------------------------------------------------------
+
+def bench_e2e_decode_overlap():
+    """Native h264 decode -> DevicePrefetcher -> paired analyse -> fused
+    warp, end to end in ONE pass (the ``--streaming`` production path),
+    at a geometry this host can feed — committed evidence that the
+    prefetcher actually hides decode behind the transfer+compute stream
+    (VERDICT r3 item 4; the reference's zero-copy feed analogue is
+    ``opencv/hw_init.cpp:54-69``).
+
+    The proof is rate arithmetic, valid on any host: measure each stage
+    ALONE (host decode drain; host->device feed through the prefetcher;
+    device-resident analyse+warp), then the full pipeline. If stages
+    serialized, e2e fps would be 1/(1/decode + 1/feed + 1/compute); a
+    pipelined loop runs at ~min(stage rates). ``overlap_ratio`` =
+    e2e / min(stage fps) >= ~0.8 demonstrates the hiding. On this dev
+    box the min stage is the ~35 MB/s tunnel FEED (decode at 720p is
+    ~4x faster — exactly the regime where overlap is provable); on a
+    PCIe host the feed is ~100x faster and the same arithmetic makes
+    compute the bottleneck.
+    """
+    import jax
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from soak import make_input
+
+    from video_annotator_tpu.io.prefetch import DevicePrefetcher
+    from video_annotator_tpu.io.video import open_reader
+    from video_annotator_tpu.pipeline.render import RenderOptions, render
+
+    w, h = 960, 720
+    n = int(os.environ.get("VAT_E2E_FRAMES", "240"))
+    src = f"/tmp/e2e_overlap_{w}x{h}_{n}.mp4"
+    if not os.path.exists(src):
+        make_input(src, n, w, h)
+
+    # Stage rate 1: host decode alone (native threaded loader drain).
+    def decode_all():
+        r = open_reader(src)
+        frames = [(y.copy(), u.copy(), v.copy()) for y, u, v in r]
+        r.close()
+        return frames
+
+    t0 = time.perf_counter()
+    host_frames = decode_all()
+    decode_fps = len(host_frames) / (time.perf_counter() - t0)
+
+    # Stage rate 2: host->device feed alone, through the same prefetcher
+    # the pipeline uses (uint8 planes, async device_put on the worker).
+    def feed_all():
+        pre = DevicePrefetcher(iter(host_frames), depth=3)
+        last = None
+        for triple in pre:
+            last = triple
+        jax.block_until_ready(last)
+
+    feed_all()  # warm the transfer path
+    dt = _best_of(feed_all, trials=2, sleep=1.0)
+    feed_fps = n / dt
+
+    # Stage rate 3: device-resident analyse+warp at the same geometry
+    # (the compute the e2e loop runs per frame), via the same jitted
+    # pieces the streaming render dispatches.
+    import jax.numpy as jnp
+
+    from video_annotator_tpu import so3
+    from video_annotator_tpu.io.video import VideoMeta
+    from video_annotator_tpu.pipeline.render import (
+        FrameWarper,
+        _make_pair_tracker,
+        build_cameras,
+    )
+    from video_annotator_tpu.smoothing.savgol import smooth_rotations
+
+    from fractions import Fraction
+
+    meta = VideoMeta(w, h, Fraction(30, 1), n)
+    opts = RenderOptions(stabilise="smooth", stabilise_radius=30,
+                         analysis_mode="paired")
+    in_cam, out_cam = build_cameras(meta, opts)
+    warper = FrameWarper(in_cam, out_cam, max_correction_deg=8.0)
+    dev_frames = [tuple(jnp.asarray(p) for p in f) for f in host_frames]
+    jax.block_until_ready(dev_frames)
+    pair_chunk = _make_pair_tracker(meta, opts)
+    chunk = opts.analysis_chunk
+    pstacks = []
+    for i in range(1, n, chunk):
+        s = jnp.stack([dev_frames[j][0] for j in range(i - 1,
+                                                       min(i + chunk, n))])
+        if s.shape[0] < chunk + 1:
+            s = jnp.concatenate(
+                [s, jnp.repeat(s[-1:], chunk + 1 - s.shape[0], axis=0)])
+        pstacks.append(s)
+    jax.block_until_ready(pstacks)
+    smooth = jax.jit(
+        lambda m: so3.matmul(
+            m, jnp.swapaxes(smooth_rotations(m, radius=30), -1, -2)
+        )
+    )
+    batch = 32
+
+    def compute_all():
+        r_base = jnp.eye(3, dtype=jnp.float32)
+        prev_delta = jnp.eye(3, dtype=jnp.float32)
+        key = jax.random.PRNGKey(7)
+        rs = [r_base[None]]
+        off = 0
+        for s in pstacks:
+            r_base, prev_delta, ras = pair_chunk(
+                r_base, prev_delta, key, jnp.int32(off), s)
+            rs.append(ras)
+            off += s.shape[0] - 1
+        corr = smooth(jnp.concatenate(rs)[:n])
+        inflight = []
+        for i in range(0, n, batch):
+            k = min(batch, n - i)
+            inflight.append(warper.warp_yuv_batch(
+                tuple(dev_frames[j][0] for j in range(i, i + k)),
+                tuple(dev_frames[j][1] for j in range(i, i + k)),
+                tuple(dev_frames[j][2] for j in range(i, i + k)),
+                corr[i:i + k],
+            ))
+            if len(inflight) > 1:
+                jax.block_until_ready(inflight.pop(0))
+        jax.block_until_ready(inflight)
+
+    compute_all()  # warmup/compile
+    dt = _best_of(compute_all, trials=2, sleep=1.0)
+    compute_fps = n / dt
+
+    # The full single-pass pipeline: decode -> prefetch -> paired analyse
+    # in the lookahead ring -> fused warp (no output sink, same as the
+    # compute stage measured above).
+    e2e_opts = RenderOptions(stabilise="smooth", stabilise_radius=30,
+                             analysis_mode="paired", streaming=True,
+                             no_output=True, max_correction_deg=8.0)
+    render(src, None, e2e_opts)  # warm (compile cache + page cache)
+    dt = _best_of(lambda: render(src, None, e2e_opts), trials=2, sleep=2.0)
+    e2e_fps = n / dt
+
+    bottleneck_fps = min(decode_fps, feed_fps, compute_fps)
+    return _result(
+        "e2e_decode_overlap_720p", e2e_fps, n, 30.0,
+        {
+            "geometry": f"{w}x{h}",
+            "decode_only_fps": round(decode_fps, 2),
+            "feed_only_fps": round(feed_fps, 2),
+            "compute_only_fps": round(compute_fps, 2),
+            "bottleneck": ("feed" if bottleneck_fps == feed_fps else
+                           "decode" if bottleneck_fps == decode_fps
+                           else "compute"),
+            # >= ~0.8: the pipeline runs at its slowest stage's rate, not
+            # the serial sum — decode (and the faster stages) are hidden.
+            "overlap_ratio": round(e2e_fps / bottleneck_fps, 3),
+        },
+    )
+
+
+# --------------------------------------------------------------------------
 # 5. 8x 4K60 multi-stream batched warp
 # --------------------------------------------------------------------------
 
@@ -633,6 +798,7 @@ CONFIGS = {
     "1080p_full_pipeline": bench_1080p_full_pipeline,
     "4k_gyro_fused": bench_4k_gyro_fused,
     "4k_visual_full_pipeline": bench_4k_visual_full_pipeline,
+    "e2e_decode_overlap_720p": bench_e2e_decode_overlap,
     "8x4k60_multistream": bench_8x4k60_multistream,
 }
 

@@ -178,7 +178,11 @@ class RenderOptions:
     # in batched kernel launches (same estimator math and gates; the
     # TPU-first shape — see _make_pair_tracker). Trajectories agree to
     # tracking noise; quality scored side by side in benchmarks/quality.py.
-    analysis_mode: str = "tracked"  # tracked | paired
+    # "auto" (the default) resolves to paired on an accelerator backend —
+    # the stock `render in.mp4 out.mp4 --stabilise smooth` invocation
+    # takes the headline TPU path — and to tracked on CPU, where the
+    # sequential scan is the right shape (resolve_analysis_mode).
+    analysis_mode: str = "auto"  # auto | tracked | paired
     # Paired mode only: detect corners this many pyramid levels BELOW
     # the tracking resolution (detection cost scales with pixels; LK
     # re-validates every patch at track resolution — see
@@ -212,6 +216,28 @@ class RenderOptions:
     # order, dewobble_test.sh:47-62); --no-cell-labels restores that.
     cell_labels: bool = True
     verbose: bool = False
+
+
+def resolve_analysis_mode(options) -> str:
+    """Concrete analyse formulation for ``--analysis-mode`` (see
+    :class:`RenderOptions`): "auto" picks the batched paired analyse on
+    an accelerator backend (the ~15-launches-per-frame sequential scan
+    is launch-latency-bound there; paired is the measured-fastest path,
+    ``benchmarks/results.json``) and the sequential tracker on CPU
+    (no launch latency to amortize; the scan shape wins). Explicit
+    "tracked"/"paired" always win. The trajectory-accuracy tradeoff of
+    the paired default is documented at ``docs/PIPELINE.md`` and scored
+    in ``benchmarks/quality.py``."""
+    mode = getattr(options, "analysis_mode", "auto")
+    if mode == "auto":
+        import jax
+
+        return "tracked" if jax.default_backend() == "cpu" else "paired"
+    if mode not in ("tracked", "paired"):
+        raise ValueError(
+            f"--analysis-mode must be auto, tracked or paired (got {mode})"
+        )
+    return mode
 
 
 def analysis_level(o) -> int:
@@ -1090,7 +1116,7 @@ def analyse(
     """Estimate the per-frame accumulated camera rotation trajectory."""
     prof = profiler or StageProfiler()
     reader, meta, first, last = open_trimmed(source, options)
-    if getattr(options, "analysis_mode", "tracked") == "paired":
+    if resolve_analysis_mode(options) == "paired":
         return _analyse_paired(source, options, prof, reader, meta,
                                first, last)
     detect_step, track_step, track_chunk = _make_tracker(meta, options)

@@ -16,6 +16,17 @@ The lookahead ring holds ``radius + warp_batch`` decoded YUV frames in
 device memory (at 4K: ~17 MB/frame — the default radius 90 + batch 32 is
 ~2 GB of a 16 GB chip), the TPU analogue of the reference's
 ``-extra_hw_frames`` VAAPI pool sizing (``src/render.ts:220-223``).
+
+``--analysis-mode paired`` (the TPU default via "auto") runs the batched
+pair analyse INSIDE the ring: arriving frames buffer into groups of
+``--analysis-chunk`` and each group's adjacent pairs track in one
+batched dispatch (``render.py:_make_pair_tracker`` — per-pair RNG keys
+fold from the GLOBAL frame index, so the trajectory is bit-identical to
+the two-phase paired analyse). The cost is up to ``analysis_chunk``
+extra frames of latency on top of the lookahead radius — frames only
+become emittable once their rotation exists. The sequential tracker
+(``tracked``; CPU default) keeps per-frame latency at exactly the
+radius, the reference's shape (``FrameSourceWarp.cpp:452-464``).
 """
 
 from __future__ import annotations
@@ -37,6 +48,7 @@ from video_annotator_tpu.pipeline.render import (
     FrameWarper,
     RenderOptions,
     _estimate_up0,
+    _make_pair_tracker,
     _make_tracker,
     open_trimmed,
     _passthrough_kwargs,
@@ -44,6 +56,7 @@ from video_annotator_tpu.pipeline.render import (
     make_window_corrections,
     max_rotation_deg,
     output_fps,
+    resolve_analysis_mode,
 )
 from video_annotator_tpu.pipeline.trajectory import Trajectory, trajectory_path
 
@@ -64,22 +77,18 @@ def render_streaming(
             "--streaming smoothing is windowed (savgol); the Kalman RTS "
             "smoother needs the whole trajectory — use the two-phase path"
         )
-    if getattr(options, "analysis_mode", "tracked") == "paired":
-        # The lookahead loop tracks frame-by-frame as frames arrive; the
-        # paired mode's batched chunks belong to the two-phase analyse.
-        # Warn-and-fall-back rather than silently ignoring the flag.
-        print("[vat] --streaming uses the sequential tracker; "
-              "--analysis-mode paired applies to the two-phase path "
-              "(falling back to tracked)", file=sys.stderr)
+    analysis_mode = resolve_analysis_mode(options)
 
     reader, meta, first, last = open_trimmed(source, options)
     # stabilise=none without a horizon lock needs no measured attitude at
     # all: skip the per-frame tracker entirely (corrections are identity).
     needs_motion = options.stabilise != "none" or options.horizon_lock
-    detect_step, track_step, _ = (
-        _make_tracker(meta, options) if needs_motion
-        else (None, None, None)
-    )
+    detect_step = track_step = pair_chunk = None
+    if needs_motion:
+        if analysis_mode == "paired":
+            pair_chunk = _make_pair_tracker(meta, options)
+        else:
+            detect_step, track_step, _ = _make_tracker(meta, options)
     in_cam, out_cam = build_cameras(meta, options)
 
     up0 = (
@@ -172,6 +181,32 @@ def render_streaming(
     prev_gray = None
     pts = valid = None
     age = 0
+    # Paired-analyse ring state: frames buffer into groups of chunk_n
+    # and each group's pairs track in ONE batched dispatch. prev_pair
+    # carries the last frame across groups (the pair chain is unbroken);
+    # the chunk dispatch is keyed by the GLOBAL pair index (len(rots)-1),
+    # so the rotations match the two-phase paired analyse bit-for-bit.
+    chunk_n = max(1, int(getattr(options, "analysis_chunk", 16)))
+    pend_pairs: list = []
+    prev_pair = None
+
+    def flush_pairs():
+        """One batched pair dispatch over the buffered group (the tail
+        pads by repeating its last frame — only reachable at EOF; padded
+        rotations are dropped)."""
+        nonlocal prev_pair, r_acc, prev_delta
+        k = len(pend_pairs)
+        if not k:
+            return
+        stack = [prev_pair] + pend_pairs + [pend_pairs[-1]] * (chunk_n - k)
+        prev_pair = pend_pairs[-1]
+        pend_pairs.clear()
+        r_acc, prev_delta, rs = pair_chunk(
+            r_acc, prev_delta, key, jnp.int32(len(rots) - 1),
+            jnp.stack(stack),
+        )
+        for i in range(k):
+            rots.append(rs[i])
 
     def emit(n: int, at_eof: bool):
         """Warp+write frames [emitted, emitted+n) (n <= batch)."""
@@ -240,7 +275,17 @@ def render_streaming(
                 continue
             if idx >= last:
                 break
-            if needs_motion:
+            frames.append((y, u, v))
+            if pair_chunk is not None:
+                with prof.stage("track"):
+                    if prev_pair is None:
+                        prev_pair = y
+                        rots.append(r_acc)
+                    else:
+                        pend_pairs.append(y)
+                        if len(pend_pairs) >= chunk_n:
+                            flush_pairs()
+            elif needs_motion:
                 with prof.stage("track"):
                     if prev_gray is None:
                         pts, valid, prev_gray = detect_step(y)
@@ -251,14 +296,19 @@ def render_streaming(
                             refresh_age=age >= KEY_FRAME_MAX_AGE,
                         )
                         age = 0 if age >= KEY_FRAME_MAX_AGE else age + 1
-            frames.append((y, u, v))
-            rots.append(r_acc)
+                    rots.append(r_acc)
+            else:
+                rots.append(r_acc)
             # Emit every frame whose full lookahead window is present.
             while len(rots) - want_radius - emitted >= batch:
                 emit(batch, at_eof=False)
         pre.close()
-        # EOF: the remaining window smooths against clamp-replicated ends
-        # (the reference's trajectory-extrapolation EOF semantics).
+        # EOF: finish the pair chain, then the remaining window smooths
+        # against clamp-replicated ends (the reference's
+        # trajectory-extrapolation EOF semantics).
+        if pair_chunk is not None:
+            with prof.stage("track"):
+                flush_pairs()
         while emitted < len(rots):
             emit(min(batch, len(rots) - emitted), at_eof=True)
     except BaseException:
