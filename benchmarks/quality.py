@@ -178,6 +178,11 @@ def main() -> None:
     base = dict(
         preset=CameraPreset.GOPRO_H4B_WIDE43_MEASURED,
         stabilise_radius=args.radius,
+        # Rows measure the formulation they NAME: pin the sequential
+        # tracker here (paired rows override) so the default-"auto"
+        # resolution (paired on an accelerator backend) cannot silently
+        # change what an unlabeled row means between hosts.
+        analysis_mode="tracked",
         # Zero extra canvas so every rotation config renders the SAME
         # output camera (the default 20% stabilise buffer would change
         # the px-per-degree scale between configs).
