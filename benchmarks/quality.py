@@ -268,7 +268,9 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as td:
         for name, opts, baseline in configs:
             dest = os.path.join(td, f"{name}.y4m")
-            render(src, dest, RenderOptions(**base, **opts))
+            # dict-merge (not **base, **opts) so a row's explicit
+            # analysis_mode overrides base's tracked pin.
+            render(src, dest, RenderOptions(**{**base, **opts}))
             shake = measure_shake(dest, args.radius)
             shakes[name] = shake
             fam = "rotation" if "output_dfov" in opts else "2d"

@@ -549,16 +549,29 @@ def bench_e2e_decode_overlap():
     (VERDICT r3 item 4; the reference's zero-copy feed analogue is
     ``opencv/hw_init.cpp:54-69``).
 
-    The proof is rate arithmetic, valid on any host: measure each stage
-    ALONE (host decode drain; host->device feed through the prefetcher;
-    device-resident analyse+warp), then the full pipeline. If stages
-    serialized, e2e fps would be 1/(1/decode + 1/feed + 1/compute); a
-    pipelined loop runs at ~min(stage rates). ``overlap_ratio`` =
-    e2e / min(stage fps) >= ~0.8 demonstrates the hiding. On this dev
-    box the min stage is the ~35 MB/s tunnel FEED (decode at 720p is
-    ~4x faster — exactly the regime where overlap is provable); on a
-    PCIe host the feed is ~100x faster and the same arithmetic makes
-    compute the bottleneck.
+    Two committed proofs:
+
+    - ``decode_hiding_ratio`` = e2e over the h264 source / e2e over a
+      RAW y4m twin of the same content (decode cost ~0, every other
+      byte and dispatch identical). >= ~0.8 means the codec work is
+      hidden behind the transfer+compute stream — the decode-included
+      vs decode-excluded comparison VERDICT r3 item 4 asks for.
+    - Solo stage rates (host decode drain; host->device feed through
+      the prefetcher, materialization forced by an on-device consumer;
+      device-resident analyse+warp). If stages serialized, e2e fps
+      would be 1/(1/decode + 1/feed + ...); a pipelined loop runs at
+      ~min(stage rates).
+
+    Dev-box caveat (measured): the chip sits behind a ~35 MB/s tunnel
+    that collapses further under bidirectional traffic, and the honest
+    ``--no-output`` sink still reads every output frame back (the
+    reference's ``-f null`` also runs its full download path), so e2e
+    here is TRANSFER-bound far below every stage's solo rate — the
+    e2e-vs-compute ratio is a tunnel artifact, not pipeline serialism.
+    The decode_hiding_ratio is transfer-independent (both runs move the
+    same bytes), which is why it is the committed acceptance number; on
+    a PCIe host (GB/s both ways) the same arithmetic makes compute the
+    bottleneck and e2e approaches ``compute_only_fps``.
     """
     import jax
     import numpy as np
@@ -588,13 +601,23 @@ def bench_e2e_decode_overlap():
     decode_fps = len(host_frames) / (time.perf_counter() - t0)
 
     # Stage rate 2: host->device feed alone, through the same prefetcher
-    # the pipeline uses (uint8 planes, async device_put on the worker).
+    # the pipeline uses. A dependent on-device reduction consumes every
+    # plane and ONE scalar fetch syncs at the end — async device_put
+    # over the tunnel otherwise reports ready before bytes move, which
+    # mismeasured this stage 30x fast.
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _consume(acc, y, u, v):
+        return (acc + y.sum(dtype=jnp.int32) + u.sum(dtype=jnp.int32)
+                + v.sum(dtype=jnp.int32))
+
     def feed_all():
         pre = DevicePrefetcher(iter(host_frames), depth=3)
-        last = None
-        for triple in pre:
-            last = triple
-        jax.block_until_ready(last)
+        acc = jnp.int32(0)
+        for y, u, v in pre:
+            acc = _consume(acc, y, u, v)
+        int(acc)
 
     feed_all()  # warm the transfer path
     dt = _best_of(feed_all, trials=2, sleep=1.0)
@@ -603,8 +626,6 @@ def bench_e2e_decode_overlap():
     # Stage rate 3: device-resident analyse+warp at the same geometry
     # (the compute the e2e loop runs per frame), via the same jitted
     # pieces the streaming render dispatches.
-    import jax.numpy as jnp
-
     from video_annotator_tpu import so3
     from video_annotator_tpu.io.video import VideoMeta
     from video_annotator_tpu.pipeline.render import (
@@ -671,14 +692,28 @@ def bench_e2e_decode_overlap():
     compute_fps = n / dt
 
     # The full single-pass pipeline: decode -> prefetch -> paired analyse
-    # in the lookahead ring -> fused warp (no output sink, same as the
-    # compute stage measured above).
+    # in the lookahead ring -> fused warp (no output sink; the honest
+    # null sink still reads every output frame back, like -f null).
     e2e_opts = RenderOptions(stabilise="smooth", stabilise_radius=30,
                              analysis_mode="paired", streaming=True,
                              no_output=True, max_correction_deg=8.0)
     render(src, None, e2e_opts)  # warm (compile cache + page cache)
     dt = _best_of(lambda: render(src, None, e2e_opts), trials=2, sleep=2.0)
     e2e_fps = n / dt
+
+    # Decode-EXCLUDED twin: identical run over a raw y4m of the same
+    # content (h264 codec work replaced by a sequential file read).
+    from video_annotator_tpu.io.video import VideoMeta as _VM, open_writer
+
+    y4m = src.replace(".mp4", ".y4m")
+    if not os.path.exists(y4m):
+        sink = open_writer(y4m, _VM(w, h, Fraction(30, 1), n))
+        for f in host_frames:
+            sink.write(f)
+        sink.close()
+    render(y4m, None, e2e_opts)  # warm
+    dt = _best_of(lambda: render(y4m, None, e2e_opts), trials=2, sleep=2.0)
+    e2e_y4m_fps = n / dt
 
     # The two-phase render of the SAME job (decodes the source twice,
     # same paired analyse dispatches): streaming >= two-phase shows the
@@ -699,13 +734,15 @@ def bench_e2e_decode_overlap():
             "decode_only_fps": round(decode_fps, 2),
             "feed_only_fps": round(feed_fps, 2),
             "compute_only_fps": round(compute_fps, 2),
+            "e2e_rawfeed_fps": round(e2e_y4m_fps, 2),
             "two_phase_fps": round(two_phase_fps, 2),
-            "bottleneck": ("feed" if bottleneck_fps == feed_fps else
-                           "decode" if bottleneck_fps == decode_fps
-                           else "compute"),
-            # >= ~0.8: the pipeline runs at its slowest stage's rate, not
-            # the serial sum — decode (and the faster stages) are hidden.
-            "overlap_ratio": round(e2e_fps / bottleneck_fps, 3),
+            "bottleneck_stage": (
+                "feed" if bottleneck_fps == feed_fps else
+                "decode" if bottleneck_fps == decode_fps else "compute"),
+            "bottleneck_fps": round(bottleneck_fps, 2),
+            # THE acceptance number: decode-included vs decode-excluded
+            # at identical bytes/dispatches; >= ~0.8 = decode is hidden.
+            "decode_hiding_ratio": round(e2e_fps / e2e_y4m_fps, 3),
         },
     )
 

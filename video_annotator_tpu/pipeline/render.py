@@ -218,6 +218,22 @@ class RenderOptions:
     verbose: bool = False
 
 
+def _use_pallas_lk() -> bool:
+    """LK backend switch for the analyse trackers: the Pallas kernels on
+    an accelerator, the XLA path on CPU. ``VAT_ANALYSIS_LK=xla`` forces
+    the XLA path on-chip; ``=pallas`` forces the Pallas path (interpret
+    mode) on CPU — diagnostic knobs for separating kernel numerics from
+    estimator behavior (docs/MIGRATION.md knob table)."""
+    import os
+
+    v = os.environ.get("VAT_ANALYSIS_LK")
+    if v == "xla":
+        return False
+    if v == "pallas":
+        return True
+    return jax.default_backend() != "cpu"
+
+
 def resolve_analysis_mode(options) -> str:
     """Concrete analyse formulation for ``--analysis-mode`` (see
     :class:`RenderOptions`): "auto" picks the batched paired analyse on
@@ -851,7 +867,7 @@ def _make_tracker(meta: VideoMeta, options: RenderOptions):
     def _track_res(gray):
         return box_downsample(gray, level) if level else gray
 
-    use_pallas = jax.default_backend() != "cpu"
+    use_pallas = _use_pallas_lk()
     lk_iters = int(getattr(options, "analysis_iters", 8))
 
     def _track_state(gray):
@@ -1018,7 +1034,7 @@ def _make_pair_tracker(meta: VideoMeta, options: RenderOptions):
     threshold = 8.0 / float(in_cam_native.fx)
     min_distance, min_inliers, _ = tracking_gates(track_w)
     border = tracking_border(track_w, in_cam_full.height)
-    use_pallas = jax.default_backend() != "cpu"
+    use_pallas = _use_pallas_lk()
     lk_iters = int(getattr(options, "analysis_iters", 8))
     # Corner DETECTION runs one extra pyramid level down (default):
     # response + NMS cost scale with pixels (~0.8 ms/frame at 1920x1440
