@@ -3,6 +3,7 @@ quantitative self-check is the calibration RMS reprojection error,
 ``opencv/camera_calibration/camera_calibration.cpp:600-606``)."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -581,3 +582,34 @@ def test_run_from_settings_writes_extrinsics(tmp_path):
     assert extr is not None and extr.shape == (8, 6), extr
     # Translations should be near the synthetic depths (z ~ 11-15).
     assert np.all(extr[:, 5] > 5.0) and np.all(extr[:, 5] < 25.0), extr[:, 5]
+
+
+def test_live_camera_input_absent_device_errors_cleanly():
+    """Numeric calibration input is the reference's live-camera branch
+    (``camera_calibration.cpp:108-113``); on a host with no such
+    capture device it must raise a clean ValueError naming the device,
+    not crash or hang."""
+    from video_annotator_tpu.calibrate import _iter_gray_frames
+
+    with pytest.raises(ValueError, match="capture device"):
+        next(_iter_gray_frames("93"))
+
+
+def test_show_undistorted_writes_views(tmp_path):
+    """``--show-undistorted`` renders sampled frames through the fitted
+    camera with this framework's own warp (the reference's
+    ``Show_UndistortedImage``, ``camera_calibration.cpp:707-720``) and
+    must work headless (PNG dump, no GUI required)."""
+    import cv2
+
+    from video_annotator_tpu.calibrate import show_undistorted
+    from video_annotator_tpu.camera import Camera
+
+    cam = Camera.make(40.0, 40.0, 47.5, 35.5, 96, 72,
+                      CameraModel.FISHEYE)
+    n = show_undistorted(cam, "synthetic://shaky?w=96&h=72&n=3",
+                         str(tmp_path), max_frames=2, interval_s=0.0)
+    assert n == 2
+    img = cv2.imread(str(tmp_path / "undistorted_000.png"),
+                     cv2.IMREAD_GRAYSCALE)
+    assert img is not None and img.size > 0

@@ -23,6 +23,7 @@ import dataclasses
 import enum
 import json
 import os
+import sys
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -337,10 +338,12 @@ def _iter_gray_frames(source: str):
 
     Mirrors the reference's input switch (``camera_calibration.cpp:96-121``):
     a ``.xml``/``.yaml``/``.yml`` path is a FileStorage string list of image
-    files (``readStringList``, ``:246-262``); anything else decodes as video
+    files (``readStringList``, ``:246-262``); a numeric string opens that
+    live capture device (``cv2.VideoCapture(int)``, the reference's
+    ``cameraID`` branch at ``:108-113``), raising a clean error when no
+    such device exists (headless boxes); anything else decodes as video
     through this framework's readers (luma plane only — detection is
-    grayscale). Live-camera input (a numeric string) needs a capture device
-    this headless environment lacks.
+    grayscale).
     """
     import cv2
 
@@ -362,10 +365,33 @@ def _iter_gray_frames(source: str):
             yield img, (img.shape[1], img.shape[0]), None
         return
     if source.isdigit():
-        raise ValueError(
-            "live-camera calibration input (a numeric camera ID) is not "
-            "supported in this headless environment; record a clip instead"
-        )
+        # Live-camera capture, exactly the reference's numeric-ID input
+        # switch (camera_calibration.cpp:96-121). The view-sampling
+        # cadence upstream (interval_s) plays the role of the
+        # reference's inter-capture delay (:340-352).
+        cap = cv2.VideoCapture(int(source))
+        if not cap.isOpened():
+            cap.release()
+            raise ValueError(
+                f"live-camera calibration input: no capture device "
+                f"/dev/video{source} is present/openable on this host; "
+                "record a clip (or an image-list .xml) instead"
+            )
+        try:
+            fps = cap.get(cv2.CAP_PROP_FPS) or 0.0
+            # Bounded, unlike the reference's interactive loop: a
+            # headless CLI must not spin forever when no board ever
+            # appears. ~5 minutes of capture at 30 fps.
+            for _ in range(9000):
+                ok, frame = cap.read()
+                if not ok:
+                    return
+                gray = (frame if frame.ndim == 2
+                        else cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY))
+                yield gray, (gray.shape[1], gray.shape[0]), (
+                    float(fps) if fps > 0 else None)
+        finally:
+            cap.release()
 
     from video_annotator_tpu.io.video import open_reader
 
@@ -667,13 +693,72 @@ def run_from_settings(settings_path: str,
     return cam, rms
 
 
+def show_undistorted(cam: Camera, source: str, directory: str,
+                     max_frames: int = 5, interval_s: float = 1.0,
+                     flip_vertical: bool = False) -> int:
+    """The reference calibrator's post-fit undistorted view
+    (``Show_UndistortedImage``, ``camera_calibration.cpp:707-720``),
+    headless-safe: sampled input frames are undistorted through the
+    FITTED camera using this framework's own warp (identity rotation →
+    pure undistortion, the same code path renders use) and written as
+    PNGs; when a GUI actually works here they are also shown in a
+    window. Returns the number of views written."""
+    import cv2
+
+    from video_annotator_tpu.camera import get_output_camera
+    from video_annotator_tpu.ops import warp_image_xla
+
+    os.makedirs(directory, exist_ok=True)
+    out_cam = get_output_camera(cam, crop_borders=False)
+    identity = so3.from_euler(0.0, 0.0, 0.0)
+    gui = False
+    try:  # optional live window, same gate as render --display
+        from video_annotator_tpu.pipeline.render import gui_available
+
+        gui = gui_available()
+    except Exception:
+        pass
+    n = 0
+    stride = None
+    for i, (gray, _wh, fps) in enumerate(_iter_gray_frames(source)):
+        if stride is None:
+            stride = (1 if fps is None
+                      else max(1, int(round(interval_s * fps))))
+        if i % stride:
+            continue
+        if flip_vertical:
+            gray = cv2.flip(gray, 0)
+        und = np.clip(np.asarray(
+            warp_image_xla(jnp.asarray(gray, jnp.float32), out_cam, cam,
+                           identity)), 0, 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(directory, f"undistorted_{n:03d}.png"), und)
+        if gui:
+            try:
+                cv2.imshow("undistorted", und)
+                if cv2.waitKey(500) & 0xFF == 27:
+                    gui = False
+                    cv2.destroyWindow("undistorted")
+            except cv2.error:
+                gui = False
+        n += 1
+        if n >= max_frames:
+            break
+    if gui:
+        try:
+            cv2.destroyWindow("undistorted")
+        except cv2.error:
+            pass
+    return n
+
+
 def calibrate_cli(points_path: str, model: str, size: str | None,
                   output: str | None, board: str = "9x6",
                   square_size: float = 1.0, max_views: int = 25,
                   interval_s: float = 0.25,
                   pattern: str = "chessboard",
                   settings: str | None = None,
-                  flip_vertical: bool = False):
+                  flip_vertical: bool = False,
+                  show_undistorted_dir: str | None = None):
     if settings:
         run_from_settings(settings, output)
         return
@@ -713,6 +798,16 @@ def calibrate_cli(points_path: str, model: str, size: str | None,
         obj, img, (w, h),
         CameraModel.FISHEYE if model == "fisheye" else CameraModel.RECTILINEAR,
     )
+    if show_undistorted_dir:
+        if detected is None:
+            print("--show-undistorted needs footage input (a .npz has no "
+                  "frames to undistort); skipped", file=sys.stderr)
+        else:
+            n_shown = show_undistorted(cam, points_path,
+                                       show_undistorted_dir,
+                                       flip_vertical=flip_vertical)
+            print(f"wrote {n_shown} undistorted view(s) to "
+                  f"{show_undistorted_dir}")
     result = {
         "model": cam.model.value,
         "fx": float(cam.fx), "fy": float(cam.fy),

@@ -226,6 +226,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "DIR while rendering (the reference demo's live "
                         "imshow view, headless — DisplayImage.cpp:60-72)")
     r.add_argument("--preview-every", type=int, default=30)
+    r.add_argument("--display", action="store_true",
+                   help="show final output frames in a live GUI window "
+                        "while rendering (the reference demo's imshow "
+                        "loop, DisplayImage.cpp:60-72); falls back to a "
+                        "warning + the --preview hint when no usable "
+                        "GUI/display is present (ESC closes the window "
+                        "without stopping the render)")
     # Inert reference-compatibility shims: existing video-annotator
     # scripts pass these (src/cli.ts:125-160); accept them with a note
     # instead of an argparse error so migration is drop-in.
@@ -335,6 +342,13 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("-o", "--output", default=None,
                    help="intrinsics output: .json, or FileStorage "
                         ".xml/.yml/.yaml (saveCameraParams schema)")
+    k.add_argument("--show-undistorted", metavar="DIR", default=None,
+                   help="after fitting, undistort sampled input frames "
+                        "through the fitted camera (this framework's own "
+                        "warp, identity rotation) into DIR as PNGs — the "
+                        "reference's Show_UndistortedImage view "
+                        "(camera_calibration.cpp:707-720); also shown in "
+                        "a window when a GUI is available")
 
     return p
 
@@ -429,6 +443,7 @@ def _render_options(args) -> "RenderOptions":
         analysis_iters=getattr(args, "analysis_iters", 8),
         preview=getattr(args, "preview", None),
         preview_every=getattr(args, "preview_every", 30),
+        display=getattr(args, "display", False),
         max_correction_deg=getattr(args, "max_correction", 8.0),
         prefilter=getattr(args, "prefilter", "off"),
         interp=getattr(args, "interp", "bilinear"),
@@ -583,7 +598,8 @@ def main(argv=None) -> int:
                           board=args.board, square_size=args.square_size,
                           max_views=args.frames, interval_s=args.interval,
                           pattern=args.pattern, settings=args.settings,
-                          flip_vertical=args.flip_vertical)
+                          flip_vertical=args.flip_vertical,
+                          show_undistorted_dir=args.show_undistorted)
         return 0
     except Exception as e:  # CLI exits 1 on pipeline errors (src/cli.ts:13-23)
         if getattr(args, "debug", False):

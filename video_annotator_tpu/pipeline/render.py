@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 from fractions import Fraction
 from typing import Optional, Sequence
 
@@ -199,6 +200,12 @@ class RenderOptions:
     # output frame as a PNG into this directory while rendering.
     preview: Optional[str] = None
     preview_every: int = 30
+    # Live window (the reference demo's actual imshow loop,
+    # opencv/DisplayImage.cpp:60-72): show final output frames in a GUI
+    # window while rendering. Requires a cv2 build with GUI support and
+    # a display; degrades to a one-line warning (pointing at --preview)
+    # when either is absent, so the flag is safe in headless runs.
+    display: bool = False
     max_correction_deg: float = 8.0
     # "auto": box-downsample minifying inputs to the matching mip level
     # before warping (antialias + smaller kernel windows). "off" keeps
@@ -712,13 +719,112 @@ class PreviewSink:
         self._sink.close()
 
 
+class DisplaySink:
+    """The reference demo's live view, for real: ``imshow`` each final
+    output frame in a GUI window as the render streams
+    (``opencv/DisplayImage.cpp:60-72``). Construct via
+    :func:`make_display_sink`, which probes for an actually-working GUI
+    first — a cv2 built without highgui, or no reachable display,
+    degrades to the headless ``--preview`` path instead of crashing the
+    render. ESC closes the window (display stops; the render
+    continues)."""
+
+    _WINDOW = "video_annotator_tpu"
+
+    def __init__(self, sink):
+        self._sink = sink
+        self._open = True
+
+    def write(self, planes):
+        self._sink.write(planes)
+        if not self._open:
+            return
+        import cv2
+
+        from video_annotator_tpu.io.video import yuv420_to_bgr
+
+        y, u, v = (np.asarray(p).astype(np.uint8) for p in planes)
+        try:
+            cv2.imshow(self._WINDOW, yuv420_to_bgr(y, u, v))
+            # The reference loop's 1 ms waitKey pump (DisplayImage.cpp:70);
+            # ESC closes the window without aborting the render.
+            if cv2.waitKey(1) & 0xFF == 27:
+                cv2.destroyWindow(self._WINDOW)
+                self._open = False
+        except cv2.error:
+            # The display went away mid-render (X server died, SSH
+            # forward dropped): stop displaying, keep rendering.
+            self._open = False
+
+    def close(self):
+        if self._open:
+            import cv2
+
+            try:
+                cv2.destroyWindow(self._WINDOW)
+            except cv2.error:
+                pass
+        self._sink.close()
+
+
+def gui_available() -> bool:
+    """True when cv2 highgui can actually open a window on this host.
+
+    Probed in a CHILD process: headless cv2 builds ``abort()`` inside
+    ``namedWindow`` (uncatchable in-process), and GUI builds without a
+    reachable display fail on the first event-loop pump. A dead child
+    of any kind means "no GUI"."""
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import cv2; cv2.namedWindow('__vat_probe__'); "
+             "cv2.waitKey(1); cv2.destroyWindow('__vat_probe__')"],
+            capture_output=True, timeout=20,
+        )
+        return probe.returncode == 0
+    except Exception:
+        return False
+
+
+def make_display_sink(sink):
+    """Wrap ``sink`` in a live :class:`DisplaySink` if a GUI actually
+    works here; otherwise warn once and return ``sink`` unchanged.
+
+    The probe opens (and immediately destroys) a real window IN A CHILD
+    PROCESS — the only reliable test: headless cv2 builds ``abort()``
+    inside ``namedWindow`` (uncatchable in-process), and GUI builds
+    without a reachable display fail on the first event-loop pump. A
+    dead child of any kind means "no GUI"; only a clean rc=0 lets the
+    render's own process touch highgui."""
+    if not gui_available():
+        print("[render] --display: no usable GUI on this host; "
+              "use --preview DIR for the headless live view",
+              file=sys.stderr)
+        return sink
+    try:
+        import cv2
+
+        cv2.namedWindow(DisplaySink._WINDOW, cv2.WINDOW_AUTOSIZE)
+        cv2.waitKey(1)
+    except Exception as e:  # display vanished between probe and open
+        print(f"[render] --display: GUI probe passed but the window "
+              f"failed to open ({e!s:.120}); continuing headless",
+              file=sys.stderr)
+        return sink
+    return DisplaySink(sink)
+
+
 def wrap_preview(sink, options):
     """Wrap the RAW file sink (innermost): writes flow through the
-    crop/HUD wrappers first, so the preview captures exactly the frame
-    the container receives."""
+    crop/HUD wrappers first, so the preview/display captures exactly the
+    frame the container receives."""
     if getattr(options, "preview", None):
-        return PreviewSink(sink, options.preview,
+        sink = PreviewSink(sink, options.preview,
                            getattr(options, "preview_every", 30))
+    if getattr(options, "display", False):
+        sink = make_display_sink(sink)
     return sink
 
 
