@@ -155,15 +155,155 @@ def run(batch: int, dispatches: int, correction_deg: float) -> dict:
     return out
 
 
+def run_families(correction_deg: float) -> dict:
+    """Per-family / per-interp fidelity rows vs each family's own oracle.
+
+    BASELINE's 45 dB clause names the flagship bilinear rotation warp
+    (measured by :func:`run`); these rows extend the committed evidence
+    to every warp family a render can take (the reference's --filter
+    set, ``src/render.ts:913-989``) and both 4-tap interp modes:
+
+    - ``rotation_bicubic``: the fused Pallas 4-tap kernel vs cv2.remap
+      INTER_CUBIC (Keys a=-0.75 — the same kernel) on float input,
+      rounded to the same uint8 grid.
+    - ``rotation_lanczos``: vs this framework's host-exact XLA
+      ``lanczos_sample`` 4x4 formulation (cv2's INTER_LANCZOS4 is an
+      8x8 window — a different resampler, not an oracle for v360's
+      ``interp=lanczos``); the row therefore measures the Pallas
+      kernel's polynomial sin-fit + schedule against exact math.
+    - ``similarity``: the shared fused kernel driven by a 3x3 pixel
+      matrix vs cv2.warpAffine INTER_LINEAR WARP_INVERSE_MAP; interior
+      crop (cv2 renormalizes border taps differently).
+    - ``deshake``: the axis-wise translation warp vs cv2.warpAffine
+      pure translation; interior crop excludes the blurred-edge fill
+      (a deliberate divergence from BORDER_CONSTANT).
+
+    Geometry: 4K for the rotation rows (the headline geometry); 1440p
+    for the 2D families, whose clip-extreme plan probing is a
+    multi-minute host-side pass at 4K (models/similarity.py).
+    """
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_annotator_tpu import so3
+    from video_annotator_tpu.camera import (
+        CameraPreset,
+        get_output_camera,
+        get_preset_camera,
+    )
+    from video_annotator_tpu.models.deshake import warp_frame_deshake
+    from video_annotator_tpu.models.similarity import SimilarityWarper
+    from video_annotator_tpu.ops.warp_xla import (
+        compute_warp_map,
+        lanczos_sample,
+    )
+    from video_annotator_tpu.pipeline.render import FrameWarper
+
+    rows = {}
+
+    # --- rotation family, 4-tap interps, 4K --------------------------------
+    w, h = 3840, 2880
+    in_cam = get_preset_camera(CameraPreset.GOPRO_H4B_WIDE43_MEASURED, (w, h))
+    out_cam = get_output_camera(in_cam, crop_borders=True)
+    axis = np.asarray([0.45, 0.65, 0.61])
+    rot = so3.exp(jnp.asarray(
+        axis / np.linalg.norm(axis) * np.radians(correction_deg), jnp.float32))
+    y = _textured(h, w, seed=1)
+
+    u_dummy = jnp.asarray(_textured(h // 2, w // 2, seed=2))
+    coords = None
+    for interp, oracle_name in (("bicubic", "cv2.remap INTER_CUBIC"),
+                                ("lanczos", "xla lanczos_sample 4x4")):
+        warper = FrameWarper(in_cam, out_cam, max_correction_deg=6.0,
+                             interp=interp)
+        if coords is None:
+            # The warper even-crops its canvas; the oracle map must use
+            # the warper's exact output size.
+            coords = np.asarray(jax.jit(
+                lambda r: compute_warp_map(
+                    out_cam, in_cam, r, (warper.out_h, warper.out_w))
+            )(rot))
+        wy, _, _ = jax.block_until_ready(
+            warper.warp_yuv(jnp.asarray(y), u_dummy, u_dummy, rot))
+        ours = np.asarray(wy)
+        if interp == "bicubic":
+            ref = cv2.remap(
+                y.astype(np.float32), coords[..., 0], coords[..., 1],
+                cv2.INTER_CUBIC, borderMode=cv2.BORDER_CONSTANT,
+            )
+        else:
+            ref = np.asarray(lanczos_sample(
+                jnp.asarray(y.astype(np.float32)), jnp.asarray(coords)))
+        ref = np.clip(np.round(ref), 0, 255).astype(np.uint8)
+        rows[f"rotation_{interp}"] = {
+            "geometry": f"{w}x{h}",
+            "psnr_luma_db": round(psnr(ours, ref), 2),
+            "oracle": oracle_name,
+        }
+
+    # --- 2D families, 1440p -------------------------------------------------
+    w2, h2 = 1920, 1440
+    y2 = _textured(h2, w2, seed=5)
+    params = np.asarray([20.0, -15.0, 0.01, 0.01], np.float32)  # dx dy ang ls
+    sim = SimilarityWarper(w2, h2, params[None, :])
+    mat = jnp.asarray(SimilarityWarper.matrices(params[None, :])[0])
+    u2 = _textured(h2 // 2, w2 // 2, seed=6)
+    sy, _, _ = jax.block_until_ready(
+        sim.warp_yuv(jnp.asarray(y2), jnp.asarray(u2), jnp.asarray(u2), mat))
+    ref = cv2.warpAffine(
+        y2.astype(np.float32), np.asarray(mat)[:2], (sim.out_w, sim.out_h),
+        flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        borderMode=cv2.BORDER_CONSTANT,
+    )
+    ref = np.clip(np.round(ref), 0, 255).astype(np.uint8)
+    crop = np.s_[64:-64, 64:-64]
+    rows["similarity"] = {
+        "geometry": f"{w2}x{h2}",
+        "psnr_luma_db": round(
+            psnr(np.asarray(sy)[crop], ref[crop]), 2),
+        "oracle": "cv2.warpAffine INTER_LINEAR WARP_INVERSE_MAP (interior)",
+    }
+
+    off = jnp.asarray([7.3, -4.6], jnp.float32)
+    dy_, _, _ = jax.block_until_ready(warp_frame_deshake(
+        jnp.asarray(y2), jnp.asarray(u2), jnp.asarray(u2), off,
+        blur_edges=True))
+    dy_ = np.clip(np.round(np.asarray(dy_)), 0, 255).astype(np.uint8)
+    m = np.float32([[1, 0, 7.3], [0, 1, -4.6]])
+    ref = cv2.warpAffine(
+        y2.astype(np.float32), m, (w2, h2),
+        flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        borderMode=cv2.BORDER_CONSTANT,
+    )
+    ref = np.clip(np.round(ref), 0, 255).astype(np.uint8)
+    rows["deshake"] = {
+        "geometry": f"{w2}x{h2}",
+        "psnr_luma_db": round(
+            psnr(np.asarray(dy_)[crop], ref[crop]), 2),
+        "oracle": "cv2.warpAffine translation (interior; edge blur "
+                  "excluded by the crop)",
+    }
+    return rows
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--dispatches", type=int, default=24)
     ap.add_argument("--correction-deg", type=float, default=3.0)
+    ap.add_argument("--no-families", dest="families", action="store_false",
+                    help="skip the per-family PSNR rows (rotation "
+                         "bicubic/lanczos, similarity, deshake)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "fidelity.json"))
     args = ap.parse_args(argv)
     result = run(args.batch, args.dispatches, args.correction_deg)
+    if args.families:
+        result["families"] = run_families(args.correction_deg)
+        result["families_psnr_ok"] = bool(all(
+            r["psnr_luma_db"] >= 45.0 for r in result["families"].values()))
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:
