@@ -166,6 +166,13 @@ def run_soak(frames: int, w: int, h: int, keep: bool = False,
             sys.executable, "-m", "video_annotator_tpu", "render",
             src, dst, "--stabilise", "smooth", "--stabilise-radius", "30",
             "-s", str(start_f / 30.0), "-d", str(dur_f / 30.0),
+            # Pin the analyse formulation: --analysis-mode auto resolves
+            # to paired on TPU but tracked on CPU, and the attribution
+            # block's whole point is that the CPU children run the SAME
+            # pipeline as the tunnel segments — otherwise paired-mode
+            # chunk buffering would be misattributed to the tunnel
+            # client. (Advisor finding, round 4.)
+            "--analysis-mode", "paired",
         ]
         if encoder != "y4m":
             a += ["--encoder", encoder]
@@ -220,6 +227,10 @@ def run_soak(frames: int, w: int, h: int, keep: bool = False,
         env_cpu.pop("PALLAS_AXON_POOL_IPS", None)
         env_cpu["JAX_PLATFORMS"] = "cpu"
         counts = sorted({min(200, frames), min(500, frames)})
+        if len(counts) < 2:
+            # --frames <= 200 collapses the two counts into one, which
+            # would make the flat-RSS claim vacuous; spread them instead.
+            counts = sorted({max(1, frames // 2), frames})
         cpu_runs = {}
         for c in counts:
             r = _run_render(render_args(0, c), env_cpu)

@@ -572,6 +572,7 @@ def test_run_from_settings_writes_extrinsics(tmp_path):
   <Calibrate_UseFisheyeModel>1</Calibrate_UseFisheyeModel>
   <Write_outputFileName>"out.xml"</Write_outputFileName>
   <Write_extrinsicParameters>1</Write_extrinsicParameters>
+  <Show_UndistortedImage>1</Show_UndistortedImage>
 </Settings>
 </opencv_storage>
 """)
@@ -582,6 +583,10 @@ def test_run_from_settings_writes_extrinsics(tmp_path):
     assert extr is not None and extr.shape == (8, 6), extr
     # Translations should be near the synthetic depths (z ~ 11-15).
     assert np.all(extr[:, 5] > 5.0) and np.all(extr[:, 5] < 25.0), extr[:, 5]
+    # Show_UndistortedImage=1 (the reference's post-fit view switch)
+    # produces the headless PNG dump next to the output FileStorage.
+    undist = tmp_path / "out.xml.undistorted"
+    assert (undist / "undistorted_000.png").exists(), list(tmp_path.iterdir())
 
 
 def test_live_camera_input_absent_device_errors_cleanly():
@@ -613,3 +618,35 @@ def test_show_undistorted_writes_views(tmp_path):
     img = cv2.imread(str(tmp_path / "undistorted_000.png"),
                      cv2.IMREAD_GRAYSCALE)
     assert img is not None and img.size > 0
+
+
+def test_live_camera_bounded_capture_ends_cleanly(monkeypatch):
+    """When the bounded live capture exhausts its frame budget (board
+    never found), iteration must END — not fall through to the video
+    file reader with the numeric ID as a filename."""
+    import video_annotator_tpu.calibrate as C
+
+    class _FakeCap:
+        def __init__(self, _id):
+            self._n = 0
+
+        def isOpened(self):
+            return True
+
+        def get(self, _prop):
+            return 30.0
+
+        def read(self):
+            self._n += 1
+            return True, np.full((24, 32, 3), 127, np.uint8)
+
+        def release(self):
+            pass
+
+    import cv2
+
+    monkeypatch.setattr(cv2, "VideoCapture", _FakeCap)
+    monkeypatch.setattr(C, "_LIVE_CAPTURE_MAX_FRAMES", 4)
+    frames = list(C._iter_gray_frames("0"))
+    assert len(frames) == 4
+    assert frames[0][0].shape == (24, 32) and frames[0][2] == 30.0

@@ -333,6 +333,11 @@ def detect_pattern(gray, pattern: Tuple[int, int],
     return pts.reshape(-1, 2).astype(np.float32)
 
 
+# Live-capture safety bound: ~5 minutes at 30 fps (the reference's
+# interactive loop has no bound; a headless CLI needs one).
+_LIVE_CAPTURE_MAX_FRAMES = 9000
+
+
 def _iter_gray_frames(source: str):
     """Yield grayscale frames + (w, h) from a video or an image-list file.
 
@@ -382,7 +387,7 @@ def _iter_gray_frames(source: str):
             # Bounded, unlike the reference's interactive loop: a
             # headless CLI must not spin forever when no board ever
             # appears. ~5 minutes of capture at 30 fps.
-            for _ in range(9000):
+            for _ in range(_LIVE_CAPTURE_MAX_FRAMES):
                 ok, frame = cap.read()
                 if not ok:
                     return
@@ -392,6 +397,9 @@ def _iter_gray_frames(source: str):
                     float(fps) if fps > 0 else None)
         finally:
             cap.release()
+        # Exhausting the bounded capture ends the input; without this
+        # return the numeric ID would fall through to the file reader.
+        return
 
     from video_annotator_tpu.io.video import open_reader
 
@@ -647,7 +655,9 @@ def write_camera_params(path: str, cam: Camera, rms: float,
 
 
 def run_from_settings(settings_path: str,
-                      output: Optional[str] = None) -> Tuple[Camera, float]:
+                      output: Optional[str] = None,
+                      show_undistorted_dir: Optional[str] = None,
+                      ) -> Tuple[Camera, float]:
     """The reference tool's whole workflow from one settings file: read
     settings, detect `nr_frames` pattern views in `Input`, calibrate with
     the configured model/flags, write the output FileStorage."""
@@ -690,6 +700,16 @@ def run_from_settings(settings_path: str,
                         object_points=obj, n_views=img.shape[0],
                         extrinsics=extr)
     print(f"calibrated {img.shape[0]} views: rms {rms:.3f} px -> {out}")
+    if show_undistorted_dir is None and s.show_undistorted:
+        # Show_UndistortedImage=1 in the settings file: the reference
+        # pops a window per view (camera_calibration.cpp:707-720); the
+        # headless analogue dumps PNGs next to the output FileStorage.
+        show_undistorted_dir = out + ".undistorted"
+    if show_undistorted_dir:
+        n = show_undistorted(cam, src, show_undistorted_dir,
+                             flip_vertical=s.flip_vertical,
+                             interval_s=max(s.delay_ms, 1) / 1000.0)
+        print(f"wrote {n} undistorted view(s) to {show_undistorted_dir}")
     return cam, rms
 
 
@@ -705,11 +725,19 @@ def show_undistorted(cam: Camera, source: str, directory: str,
     window. Returns the number of views written."""
     import cv2
 
-    from video_annotator_tpu.camera import get_output_camera
     from video_annotator_tpu.ops import warp_image_xla
 
     os.makedirs(directory, exist_ok=True)
-    out_cam = get_output_camera(cam, crop_borders=False)
+    # The reference undistorts onto the INPUT-SIZED canvas with the
+    # fitted camera matrix (initUndistortRectifyMap with the calibrated
+    # K). Deliberately NOT the render pipeline's auto-fit output camera:
+    # that unprojects the frame corners through the fitted theta
+    # polynomial, and an under-constrained fit (few views) extrapolates
+    # wildly outside the board's field — measured to size a terapixel
+    # canvas from a 3-view fit. Same K + same size is bounded for any
+    # fit and is what the reference shows.
+    out_cam = Camera.make(cam.fx, cam.fy, cam.cx, cam.cy,
+                          cam.width, cam.height, CameraModel.RECTILINEAR)
     identity = so3.from_euler(0.0, 0.0, 0.0)
     gui = False
     try:  # optional live window, same gate as render --display
@@ -760,7 +788,8 @@ def calibrate_cli(points_path: str, model: str, size: str | None,
                   flip_vertical: bool = False,
                   show_undistorted_dir: str | None = None):
     if settings:
-        run_from_settings(settings, output)
+        run_from_settings(settings, output,
+                          show_undistorted_dir=show_undistorted_dir)
         return
     pat = {
         "chessboard": PatternType.CHESSBOARD,
@@ -805,7 +834,8 @@ def calibrate_cli(points_path: str, model: str, size: str | None,
         else:
             n_shown = show_undistorted(cam, points_path,
                                        show_undistorted_dir,
-                                       flip_vertical=flip_vertical)
+                                       flip_vertical=flip_vertical,
+                                       interval_s=interval_s)
             print(f"wrote {n_shown} undistorted view(s) to "
                   f"{show_undistorted_dir}")
     result = {
