@@ -147,6 +147,11 @@ def main() -> None:
             results.append(row)
             print(json.dumps(row), flush=True)
 
+    from provenance import stamp
+
+    for row in results:
+        # Host-only benchmark: decode/feed runs never touch jax.
+        stamp(row, backend="host")
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
         f.write("\n")

@@ -297,6 +297,10 @@ def main() -> None:
             results.append(row)
             print(json.dumps(row), flush=True)
 
+    from provenance import stamp
+
+    for row in results:
+        stamp(row)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
         f.write("\n")

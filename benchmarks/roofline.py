@@ -263,6 +263,9 @@ def main():
                  / out["ns_per_tile_measured"]), 1)
     out["headroom_if_dma_hidden_pct"] = round(
         100.0 * (1.0 - vector_floor / out["ns_per_tile_steady_state"]), 1)
+    from provenance import stamp
+
+    stamp(out)
     print(json.dumps(out, indent=2))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "roofline.json")

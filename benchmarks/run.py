@@ -861,7 +861,9 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     if args.one:
-        print(json.dumps(CONFIGS[args.one]()))
+        from provenance import stamp
+
+        print(json.dumps(stamp(CONFIGS[args.one]())))
         return 0
 
     results = []

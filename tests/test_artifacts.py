@@ -1,0 +1,146 @@
+"""README quoted figures must match the committed benchmark artifacts.
+
+The reference's Profiler prints numbers and loses them
+(``opencv/Profiler.cpp:25-34``); this framework commits every benchmark
+as a JSON artifact instead — and this test closes the remaining drift
+channel by parsing the figures README quotes and checking them against
+the artifacts they claim to quote (VERDICT r4 item 7, the
+``test_v1_surface`` pattern applied to numbers). Artifacts carry
+``{git_sha, captured_at_utc, backend}`` provenance stamps from
+``benchmarks/provenance.py``; README text is matched by labeled
+regexes, so a re-captured artifact fails this test until README's
+quotes are updated with it.
+"""
+
+import json
+import os
+import re
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _artifact(name):
+    path = os.path.join(ROOT, "benchmarks", name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not committed")
+    with open(path) as f:
+        return json.load(f)
+
+
+def _readme():
+    with open(os.path.join(ROOT, "README.md")) as f:
+        return f.read()
+
+
+def _quoted(pattern, text=None):
+    """First float captured by `pattern` in README (group 1)."""
+    m = re.search(pattern, text if text is not None else _readme(),
+                  re.IGNORECASE | re.DOTALL)
+    assert m, f"README no longer quotes: /{pattern}/"
+    return float(m.group(1))
+
+
+def test_readme_baseline_rows_match_results_json():
+    """Every fps figure in the BASELINE table is results.json verbatim."""
+    rows = {r["config"]: r for r in _artifact("results.json")
+            if "value" in r}
+    readme = _readme()
+    for config, label in [
+        ("720p_undistort_cpu", r"720p undistort[^|]*\|\s*([\d.]+)"),
+        ("1080p_sparse_flow", r"1080p sparse-flow[^|]*\|\s*([\d.]+)"),
+        ("1080p_full_pipeline", r"1080p full pipeline[^|]*\|\s*([\d.]+)"),
+        ("4k_gyro_fused", r"4K gyro-fused[^|]*\|\s*([\d.]+)"),
+        ("4k_visual_full_pipeline",
+         r"4K visual full pipeline[^|]*\|\s*\**([\d.]+)"),
+        ("8x4k60_multistream", r"8.4K60 multistream[^|]*\|\s*([\d.]+)"),
+    ]:
+        assert config in rows, f"results.json lost config {config}"
+        quoted = _quoted(label, readme)
+        actual = rows[config]["value"]
+        assert quoted == pytest.approx(actual, abs=0.05 + actual * 5e-3), (
+            f"README quotes {quoted} for {config}; "
+            f"results.json says {actual}")
+
+
+def test_readme_fidelity_figures_match_artifact():
+    fid = _artifact("fidelity.json")
+    fam = fid.get("families", {})
+    readme = _readme()
+    checks = [
+        (fid["psnr_luma_db"], r"bilinear\s+([\d.]+)\s*dB"),
+        (fam["rotation_bicubic"]["psnr_luma_db"], r"bicubic\s+([\d.]+)"),
+        (fam["rotation_lanczos"]["psnr_luma_db"], r"lanczos\s+([\d.]+)"),
+        (fam["similarity"]["psnr_luma_db"], r"similarity\s+([\d.]+)"),
+        (fam["deshake"]["psnr_luma_db"], r"deshake\s+([\d.]+)"),
+        (fid["p50_warp_ms_per_frame"], r"p50\s+([\d.]+)\s*ms/frame"),
+    ]
+    for actual, pattern in checks:
+        quoted = _quoted(pattern, readme)
+        assert quoted == pytest.approx(actual, abs=0.06), (
+            f"README quotes {quoted} for /{pattern}/; "
+            f"fidelity.json says {actual}")
+
+
+def test_readme_quality_rows_match_artifact():
+    rows = {r["config"]: r for r in _artifact("quality.json")}
+    readme = _readme()
+    table = [
+        ("rotation_smooth_savgol",
+         r"`--stabilise smooth` \(savgol[^|]*\|[^|]*\|[^|]*\|\s*([\d.]+)"),
+        ("rotation_smooth_kalman",
+         r"`--smoother kalman`[^|]*\|[^|]*\|[^|]*\|\s*([\d.]+)"),
+        ("rotation_fixed",
+         r"`--stabilise fixed`[^|]*\|[^|]*\|[^|]*\|\s*([\d.]+)"),
+        ("similarity_smooth",
+         r"similarity \(vidstab\) smooth[^|]*\|[^|]*\|[^|]*\|\s*([\d.]+)"),
+        ("deshake_smooth",
+         r"deshake \(phase correlation\) smooth"
+         r"[^|]*\|[^|]*\|[^|]*\|\s*([\d.]+)"),
+    ]
+    for config, pattern in table:
+        assert config in rows, f"quality.json lost config {config}"
+        quoted = _quoted(pattern, readme)
+        actual = rows[config]["reduction_db"]
+        assert quoted == pytest.approx(actual, abs=0.3), (
+            f"README quotes {quoted} dB for {config}; "
+            f"quality.json says {actual}")
+    # The headline tradeoff figures (paired-vs-tracked trajectory RMS).
+    for config, pattern in [
+        ("rotation_smooth_paired_scale05",
+         r"paired's trajectory RMS vs ground truth is\s+([\d.]+)"),
+        ("rotation_smooth_scale05", r"vs tracked's\s+([\d.]+)"),
+    ]:
+        quoted = _quoted(pattern, readme)
+        actual = rows[config]["traj_rms_deg"]
+        assert quoted == pytest.approx(actual, abs=5e-4), (
+            f"README quotes {quoted}° for {config}; "
+            f"quality.json says {actual}")
+
+
+def test_readme_roofline_figures_match_artifact():
+    roof = _artifact("roofline.json")
+    quoted = _quoted(r"reads\s+~?([\d.]+)\s*ns/tile steady state")
+    actual = roof["ns_per_tile_steady_state"]
+    assert quoted == pytest.approx(actual, abs=6.0), (
+        f"README quotes {quoted} ns/tile; roofline.json says {actual}")
+    floor = _quoted(r"([\d.]+)\s*ns\s+DMA-latency\s+floor")
+    assert floor == roof["dma_latency_ns_per_tile"]
+
+
+def test_artifacts_carry_provenance_stamps():
+    """Every re-captured artifact is stamped; old captures grandfathered
+    only until their next refresh (the stamp fields are added by
+    benchmarks/provenance.py at emit time)."""
+    for name in ("results.json", "fidelity.json", "roofline.json",
+                 "quality.json", "soak.json", "host_feed.json"):
+        path = os.path.join(ROOT, "benchmarks", name)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            data = json.load(f)
+        records = data if isinstance(data, list) else [data]
+        for rec in records:
+            if "git_sha" in rec:
+                assert rec.get("captured_at_utc") and rec.get("backend")

@@ -728,14 +728,17 @@ def show_undistorted(cam: Camera, source: str, directory: str,
     from video_annotator_tpu.ops import warp_image_xla
 
     os.makedirs(directory, exist_ok=True)
-    # The reference undistorts onto the INPUT-SIZED canvas with the
-    # fitted camera matrix (initUndistortRectifyMap with the calibrated
-    # K). Deliberately NOT the render pipeline's auto-fit output camera:
-    # that unprojects the frame corners through the fitted theta
-    # polynomial, and an under-constrained fit (few views) extrapolates
-    # wildly outside the board's field — measured to size a terapixel
-    # canvas from a 3-view fit. Same K + same size is bounded for any
-    # fit and is what the reference shows.
+    # Output intrinsics DELIBERATELY diverge from the reference here.
+    # Its fisheye path (camera_calibration.cpp:417-427) undistorts
+    # through estimateNewCameraMatrixForUndistortRectify(balance=1) — a
+    # Knew rescaled to preserve the full captured FOV. That Knew
+    # unprojects through the fitted theta polynomial, and an
+    # under-constrained fit (few views) extrapolates wildly outside the
+    # board's field — the render pipeline's equivalent auto-fit was
+    # measured to size a terapixel canvas from a 3-view fit. Re-using
+    # the fitted K on the input-sized canvas is bounded for ANY fit;
+    # the price is a tighter view than the reference's balance=1 output
+    # (edges crop instead of shrink). See docs/MIGRATION.md.
     out_cam = Camera.make(cam.fx, cam.fy, cam.cx, cam.cy,
                           cam.width, cam.height, CameraModel.RECTILINEAR)
     identity = so3.from_euler(0.0, 0.0, 0.0)
