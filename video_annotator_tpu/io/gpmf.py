@@ -74,11 +74,18 @@ def parse_sensor_packet(
     """
     packets: List[GyroPacket] = []
 
-    def walk(start, end):
+    # Real GPMF nests <= ~4 deep (DEVC > STRM > ...); a corrupt file
+    # whose bytes encode a container-per-8-bytes chain must degrade to
+    # "no packets", not blow the Python recursion limit.
+    max_depth = 16
+
+    def walk(start, end, depth=0):
+        if depth >= max_depth:
+            return
         scal: Optional[np.ndarray] = None
         for key, typ, size, repeat, ps, pe in iter_klv(payload, start, end):
             if typ == 0:  # nested container (DEVC / STRM)
-                walk(ps, pe)
+                walk(ps, pe, depth + 1)
             elif key == b"SCAL":
                 scal = _decode_array(payload, typ, size, repeat, ps)
             elif key == fourcc:
