@@ -216,8 +216,29 @@ def main() -> None:
          dict(stabilise="smooth", analysis_mode="paired",
               analysis_scale=0.5, **rot),
          "unstabilized"),
+        # --analysis-detect-level 0 (track-resolution corner detection):
+        # the documented remedy for paired's trajectory-RMS regression at
+        # scale 0.5; these rows close the remedy loop with data (VERDICT
+        # r4 item 3) — does detect0 recover tracked's traj RMS, and at
+        # what analyse cost (fps side: benchmarks/results.json
+        # 4k_visual_full_pipeline_detect0 row).
+        ("rotation_smooth_paired_detect0",
+         dict(stabilise="smooth", analysis_mode="paired",
+              analysis_detect_level=0, **rot),
+         "unstabilized"),
+        ("rotation_smooth_paired_scale05_detect0",
+         dict(stabilise="smooth", analysis_mode="paired",
+              analysis_scale=0.5, analysis_detect_level=0, **rot),
+         "unstabilized"),
         ("rotation_smooth_kalman",
          dict(stabilise="smooth", smoother="kalman", **rot), "unstabilized"),
+        # --streaming --smoother kalman: the fixed-lag window form
+        # (filter burn-in over the ring's past radius, RTS back from its
+        # future radius). Its dB vs the two-phase global RTS row above
+        # IS the committed truncation cost (VERDICT r4 item 6).
+        ("rotation_smooth_kalman_streaming",
+         dict(stabilise="smooth", smoother="kalman", streaming=True, **rot),
+         "unstabilized"),
         ("rotation_fixed", dict(stabilise="fixed", **rot), "unstabilized"),
         # Every user-visible rendering MODE gets a scored row (VERDICT r2
         # item 7): the 4-tap interpolators, the mip prefilter, and the

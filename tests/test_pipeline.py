@@ -390,3 +390,51 @@ def test_analyse_paired_recovers_ground_truth(traj):
     odd = analyse(SRC, RenderOptions(analysis_mode="paired",
                                      analysis_chunk=7, **OPTS))
     np.testing.assert_allclose(paired.params, odd.params, atol=1e-5)
+
+
+def test_resolve_analysis_scale_auto_policy():
+    """--analysis-scale auto: full resolution through ~1440p, 0.5 at
+    4K-class (the reference demo's own scale, DisplayImage.cpp:42-57),
+    0.25 at 8K; explicit scales win; junk rejected."""
+    from fractions import Fraction
+
+    from video_annotator_tpu.io.video import VideoMeta
+    from video_annotator_tpu.pipeline.render import (
+        RenderOptions,
+        analysis_level,
+        resolve_analysis_scale,
+    )
+
+    def meta(w, h):
+        return VideoMeta(w, h, Fraction(30, 1), 10)
+
+    auto = RenderOptions()
+    assert resolve_analysis_scale(auto, meta(640, 480)) == 1.0
+    assert resolve_analysis_scale(auto, meta(1920, 1440)) == 1.0
+    assert resolve_analysis_scale(auto, meta(2704, 2028)) == 0.5
+    assert resolve_analysis_scale(auto, meta(3840, 2880)) == 0.5
+    assert resolve_analysis_scale(auto, meta(7680, 4320)) == 0.25
+    assert resolve_analysis_scale(auto, None) == 1.0  # unknowable input
+    pinned = RenderOptions(analysis_scale=1.0)
+    assert resolve_analysis_scale(pinned, meta(3840, 2880)) == 1.0
+    assert analysis_level(RenderOptions(analysis_scale=0.25)) == 2
+    assert analysis_level(auto, meta(3840, 2880)) == 1
+    with pytest.raises(ValueError, match="analysis-scale"):
+        resolve_analysis_scale(RenderOptions(analysis_scale=0.3), None)
+
+
+def test_cli_analysis_scale_parsing():
+    from video_annotator_tpu.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["render", "in.mp4", "out.mp4"])
+    assert a.analysis_scale == "auto"
+    a = p.parse_args(["render", "in.mp4", "out.mp4",
+                      "--analysis-scale", "0.5"])
+    assert a.analysis_scale == 0.5
+    a = p.parse_args(["render", "in.mp4", "out.mp4",
+                      "--analysis-scale", "auto"])
+    assert a.analysis_scale == "auto"
+    with pytest.raises(SystemExit):
+        p.parse_args(["render", "in.mp4", "out.mp4",
+                      "--analysis-scale", "0.3"])

@@ -122,17 +122,83 @@ def test_max_rotation_deg():
     assert max_rotation_deg(np.zeros((0, 3, 3))) == 0.0
 
 
-def test_streaming_rejects_global_smoothers_and_phases(tmp_path):
+def test_streaming_rejects_phases_and_2d(tmp_path):
     out = str(tmp_path / "o.y4m")
-    with pytest.raises(ValueError, match="savgol"):
-        render(SRC, out, RenderOptions(stabilise="smooth", smoother="kalman",
-                                       streaming=True, **OPTS))
     with pytest.raises(ValueError, match="single-pass"):
         render(SRC, out, RenderOptions(stabilise="smooth", streaming=True,
                                        analyse_only=True, **OPTS))
     with pytest.raises(ValueError, match="rotation family"):
         render(SRC, out, RenderOptions(filter="vidstab", stabilise="smooth",
                                        streaming=True, **OPTS))
+    with pytest.raises(ValueError, match="smoother"):
+        render(SRC, out, RenderOptions(stabilise="smooth", smoother="nope",
+                                       streaming=True, **OPTS))
+
+
+def test_streaming_kalman_fixed_lag():
+    """--streaming --smoother kalman is the fixed-lag window form: away
+    from clip edges it matches the two-phase global RTS to well under the
+    filter's own noise floor once the lag exceeds the filter's ~10-frame
+    memory (the VERDICT r4 item 6 divergence pin). Trajectory-level test
+    (the exact window emulation streaming's emit() performs) so the
+    bound is on degrees, not post-warp pixels."""
+    import jax.numpy as jnp
+
+    from video_annotator_tpu import so3
+    from video_annotator_tpu.pipeline.render import (
+        compute_corrections,
+        make_window_corrections,
+    )
+    from video_annotator_tpu.pipeline.trajectory import Trajectory
+
+    rng = np.random.default_rng(3)
+    T, radius, batch = 260, 60, 16
+    rates = rng.normal(0, 0.01, (T, 3))
+    rates[:, 1] += 0.002  # drift, so virtual != identity
+    w = np.cumsum(rates, 0)
+    R = np.stack([np.asarray(so3.exp(jnp.asarray(wi, jnp.float32)))
+                  for wi in w])
+    opts = RenderOptions(stabilise="smooth", smoother="kalman",
+                         stabilise_radius=radius)
+
+    traj = Trajectory(params=w, kind="so3", fps=30, width=64, height=48,
+                      source="test")
+    # compute_corrections re-exps from the checkpoint's rotvecs; feed the
+    # same float32 matrices both ways.
+    glob = compute_corrections(traj, opts)
+
+    window_corr = make_window_corrections(radius, opts, None)
+    Rj = jnp.asarray(R)
+    outs = np.zeros_like(glob)
+    for t0 in range(0, T, batch):
+        idx = np.asarray([min(max(k, 0), T - 1)
+                          for k in range(t0 - radius, t0 + batch + radius)])
+        n = min(batch, T - t0)
+        outs[t0:t0 + n] = np.asarray(window_corr(Rj[idx]))[:n]
+
+    rel = np.einsum("tij,tkj->tik", glob, outs)
+    tr = np.clip((np.trace(rel, axis1=1, axis2=2) - 1) / 2, -1, 1)
+    deg = np.degrees(np.arccos(tr))
+    assert deg[radius:-radius].max() < 0.06, deg[radius:-radius].max()
+    # Clip edges: the window form burns in on replicate-padding while the
+    # global RTS starts uncertain — a bounded, documented divergence.
+    assert deg.max() < 2.5, deg.max()
+
+
+def test_streaming_kalman_end_to_end(tmp_path):
+    """Full streaming render with --smoother kalman: same frame count and
+    identical MEASURED trajectory as the two-phase kalman render (the
+    smoothed corrections differ only within the fixed-lag bound above)."""
+    opts = dict(stabilise="smooth", smoother="kalman", stabilise_radius=8,
+                **OPTS)
+    two = str(tmp_path / "two.y4m")
+    one = str(tmp_path / "one.y4m")
+    render(SRC, two, RenderOptions(**opts))
+    render(SRC, one, RenderOptions(streaming=True, **opts))
+    assert len(_frames(one)) == len(_frames(two))
+    t_two = Trajectory.load(trajectory_path(two))
+    t_one = Trajectory.load(trajectory_path(one))
+    np.testing.assert_allclose(t_one.params, t_two.params, atol=1e-5)
 
 
 def test_streaming_horizon_lock_matches_two_phase(tmp_path):
@@ -142,3 +208,21 @@ def test_streaming_horizon_lock_matches_two_phase(tmp_path):
     render(SRC, two, RenderOptions(**o, **OPTS))
     render(SRC, one, RenderOptions(streaming=True, **o, **OPTS))
     _assert_same_video(two, one)
+
+
+def test_streaming_device_sink_smoke():
+    """The benchmark-internal readback-free sink (device_sink=True)
+    consumes the full streaming pipeline without a writer thread or
+    host transfers (VERDICT r4 item 2's overlap-proof consumer)."""
+    from video_annotator_tpu.io.prefetch import DeviceReduceSink
+    import jax.numpy as jnp
+
+    render(SRC, None, RenderOptions(
+        stabilise="smooth", stabilise_radius=8, no_output=True,
+        device_sink=True, streaming=True, **OPTS))
+    # The sink's checksum is a real data dependency on the warp output.
+    s = DeviceReduceSink()
+    s.write((jnp.ones((4, 4), jnp.uint8), jnp.ones((2, 2), jnp.uint8),
+             jnp.zeros((2, 2), jnp.uint8)))
+    s.close()
+    assert s.checksum == 20

@@ -38,6 +38,17 @@ def _parse_time(value):
     return float(value)
 
 
+def _analysis_scale(value):
+    """'auto' or one of the supported scales (1, 0.5, 0.25)."""
+    if value == "auto":
+        return "auto"
+    try:
+        return float(value)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected auto, 1, 0.5 or 0.25 (got {value!r})")
+
+
 class _CompatAction(argparse.Action):
     """Accept a reference-CLI flag that has no TPU meaning, note the
     TPU-native equivalent once on stderr, and otherwise do nothing —
@@ -193,10 +204,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--no-native-io", dest="native_io", action="store_false",
                    help="use cv2/pure-python IO instead of the C++ "
                         "libav decoder/encoder")
-    r.add_argument("--analysis-scale", type=float, default=1.0,
-                   choices=[1.0, 0.5, 0.25],
-                   help="track motion on a downsampled pyramid level "
-                        "(the reference demo tracks at 0.5)")
+    r.add_argument("--analysis-scale", type=_analysis_scale, default="auto",
+                   choices=["auto", 1.0, 0.5, 0.25],
+                   help="track motion on a downsampled pyramid level; "
+                        "auto (default) = full resolution through "
+                        "~1440p inputs, 0.5 for 4K-class (the reference "
+                        "demo's own tracking scale), 0.25 for 8K")
     r.add_argument("--analysis-chunk", type=int, default=16,
                    help="analyse-phase frames per device dispatch "
                         "(lax.scan chunk; 1 = per-frame dispatches; "
@@ -436,7 +449,7 @@ def _render_options(args) -> "RenderOptions":
         warp_batch=getattr(args, "warp_batch", None),
         prefetch_depth=getattr(args, "prefetch_depth", 3),
         native_io=getattr(args, "native_io", True),
-        analysis_scale=getattr(args, "analysis_scale", 1.0),
+        analysis_scale=getattr(args, "analysis_scale", "auto"),
         analysis_chunk=getattr(args, "analysis_chunk", 16),
         analysis_mode=getattr(args, "analysis_mode", "auto"),
         analysis_detect_level=getattr(args, "analysis_detect_level", 1),

@@ -37,7 +37,7 @@ def analyse_deshake(
     # (translations scale back by 2^level at collect time).
     from video_annotator_tpu.pipeline.render import analysis_level
 
-    level = analysis_level(options)
+    level = analysis_level(options, meta)
     from video_annotator_tpu.ops.warp_pallas import box_downsample
 
     # Measurement-quality gate: normalized confidence below 1.5 means

@@ -52,7 +52,7 @@ def analyse_similarity(
     # unchanged), applied once at collect time.
     from video_annotator_tpu.pipeline.render import analysis_level
 
-    level = analysis_level(options)
+    level = analysis_level(options, meta)
     track_w = meta.width >> level
     min_distance, min_inliers, min_refresh = tracking_gates(track_w)
     border = tracking_border(track_w, meta.height >> level)

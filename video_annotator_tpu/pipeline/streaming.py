@@ -72,11 +72,17 @@ def render_streaming(
     prof = profiler or StageProfiler()
     if options.analyse_only or options.encode_only:
         raise ValueError("--streaming is single-pass; drop -a/-c")
-    if options.stabilise == "smooth" and options.smoother != "savgol":
+    if options.stabilise == "smooth" and options.smoother not in (
+            "savgol", "kalman"):
         raise ValueError(
-            "--streaming smoothing is windowed (savgol); the Kalman RTS "
-            "smoother needs the whole trajectory — use the two-phase path"
+            f"unknown smoother {options.smoother!r} for --streaming"
         )
+    # --smoother kalman streams as a FIXED-LAG smoother: the window form
+    # of make_window_corrections runs the filter forward over the ring's
+    # `radius` past frames (burn-in) and RTS backward from its `radius`
+    # future frames, so latency stays = stabilise-radius. Divergence vs
+    # the two-phase global RTS is bounded by the filter's ~10-frame
+    # memory (tests/test_streaming.py::test_streaming_kalman_fixed_lag).
     analysis_mode = resolve_analysis_mode(options)
 
     reader, meta, first, last = open_trimmed(source, options)
@@ -128,32 +134,42 @@ def render_streaming(
         fps=output_fps(options, meta),
         num_frames=n_expect,
     )
-    from video_annotator_tpu.io.prefetch import AsyncFrameWriter, DevicePrefetcher
+    from video_annotator_tpu.io.prefetch import (
+        AsyncFrameWriter,
+        DevicePrefetcher,
+        DeviceReduceSink,
+    )
 
     from video_annotator_tpu.pipeline.render import CropSink, apply_crop_rect
 
     write_meta, crop_r = apply_crop_rect(out_meta, options)
     from video_annotator_tpu.pipeline.render import wrap_preview
 
-    sink = wrap_preview(
-        open_writer(None if options.no_output else dest, write_meta,
-                    encoder=options.encoder,
-                    **_passthrough_kwargs(source, meta, options)),
-        options,
-    )
     overlay = None
-    if options.debug:
-        # Single-pass mode discovers corrections per batch, so the HUD is
-        # text-only (no whole-trajectory curves to plot up front).
-        from video_annotator_tpu.pipeline.debug import DebugOverlayWriter
+    if getattr(options, "device_sink", False):
+        # Benchmark-internal readback-free consumer (see DeviceReduceSink):
+        # outputs fold into an on-device checksum; no host transfer, no
+        # writer thread, no host-frame wrappers.
+        writer = DeviceReduceSink()
+    else:
+        sink = wrap_preview(
+            open_writer(None if options.no_output else dest, write_meta,
+                        encoder=options.encoder,
+                        **_passthrough_kwargs(source, meta, options)),
+            options,
+        )
+        if options.debug:
+            # Single-pass mode discovers corrections per batch, so the HUD
+            # is text-only (no whole-trajectory curves to plot up front).
+            from video_annotator_tpu.pipeline.debug import DebugOverlayWriter
 
-        overlay = DebugOverlayWriter(sink)
-        sink = overlay
-    if crop_r:
-        # Crop before the overlay draws (outermost wrapper) so the HUD
-        # stays on the cropped output (see pipeline/render.py:encode).
-        sink = CropSink(sink, crop_r)
-    writer = AsyncFrameWriter(sink)
+            overlay = DebugOverlayWriter(sink)
+            sink = overlay
+        if crop_r:
+            # Crop before the overlay draws (outermost wrapper) so the HUD
+            # stays on the cropped output (see pipeline/render.py:encode).
+            sink = CropSink(sink, crop_r)
+        writer = AsyncFrameWriter(sink)
 
     batch = options.warp_batch or max(
         1, int(os.environ.get("VAT_WARP_BATCH", "32")))
