@@ -47,6 +47,7 @@ import os
 import subprocess
 import sys
 import time
+import functools
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -352,13 +353,16 @@ def bench_4k_gyro_fused():
 #     INCLUDED: Shi-Tomasi + Pallas LK + RANSAC -> SG -> fused warp)
 # --------------------------------------------------------------------------
 
-def bench_4k_visual_full_pipeline():
+def bench_4k_visual_full_pipeline(detect_level=None, tag=""):
     """The reference's per-frame loop (``FrameSourceWarp.cpp:397-446``) at
-    4K with the motion analysis measured IN: corner tracking at
-    ``--analysis-scale 0.5`` — the reference demo's own tracking scale
-    (``DisplayImage.cpp:48``, quality delta recorded in
-    ``benchmarks/quality.py``) — RANSAC rotation estimation, SG smoothing
-    (radius 30), and the fused warp+stabilize kernel on full-res YUV.
+    4K with the motion analysis measured IN: corner tracking at the stock
+    ``--analysis-scale auto`` resolution (0.5 at 4K — the reference
+    demo's own tracking scale, ``DisplayImage.cpp:48``; quality delta
+    recorded in ``benchmarks/quality.py``) — RANSAC rotation estimation,
+    SG smoothing (radius 30), and the fused warp+stabilize kernel on
+    full-res YUV. ``detect_level=0`` is the ``4k_visual_detect0`` config:
+    the measured fps cost of track-resolution corner detection (the
+    trajectory-accuracy remedy; quality side in quality.json).
 
     Frames are synthetic shaken footage rendered once on device (this
     config measures the compute loop, not decode; config #5 and
@@ -402,7 +406,11 @@ def bench_4k_visual_full_pipeline():
     # dispatch in flight, smooth radius fill, final sync) stay < 2% of
     # the window; VAT_BENCH_FRAMES overrides.
     n = int(os.environ.get("VAT_BENCH_FRAMES", "192"))
-    scale = float(os.environ.get("VAT_BENCH_ANALYSIS_SCALE", "0.5"))
+    # Default is the CLI's stock resolution of --analysis-scale auto at
+    # this geometry (resolve_analysis_scale: 0.5 for 4K-class inputs),
+    # so this row measures the path a flagless render takes.
+    scale_env = os.environ.get("VAT_BENCH_ANALYSIS_SCALE", "auto")
+    scale = None if scale_env == "auto" else float(scale_env)
 
     in_cam = get_preset_camera(preset, (w, h))
     out_cam = get_output_camera(in_cam, crop_borders=True)
@@ -427,10 +435,16 @@ def bench_4k_visual_full_pipeline():
     # VAT_BENCH_ANALYSIS_MODE=tracked measures the reference-faithful
     # sequential tracker instead.
     mode = os.environ.get("VAT_BENCH_ANALYSIS_MODE", "paired")
+    if detect_level is None:
+        detect_level = int(os.environ.get("VAT_BENCH_DETECT_LEVEL", "1"))
     opts = RenderOptions(
-        preset=preset, analysis_scale=scale,
+        preset=preset, analysis_scale="auto" if scale is None else scale,
         analysis_chunk=chunk, analysis_mode=mode,
+        analysis_detect_level=detect_level,
     )
+    from video_annotator_tpu.pipeline.render import resolve_analysis_scale
+
+    scale = resolve_analysis_scale(opts, VideoMeta(w, h, Fraction(60, 1)))
     # Chunked frame stacks, pre-stacked once (the analyse loop's decode
     # prefetcher stacks them on the fly; stacking is not what this
     # config measures). Paired chunks carry a one-frame overlap (the
@@ -526,11 +540,13 @@ def bench_4k_visual_full_pipeline():
     dt_warp = _best_of(lambda: warp_run(corr), trials=2, sleep=1.0)
 
     return _result(
-        "4k_visual_full_pipeline" + ("_uhd" if uhd else ""), n / dt, n, 60.0,
+        "4k_visual_full_pipeline" + ("_uhd" if uhd else "") + tag,
+        n / dt, n, 60.0,
         {
             "geometry": f"{w}x{h}",
             "analysis_scale": scale,
             "analysis_mode": mode,
+            "analysis_detect_level": detect_level,
             "analyse_fps": round(n / dt_analyse, 2),
             "warp_fps": round(n / dt_warp, 2),
         },
@@ -549,29 +565,32 @@ def bench_e2e_decode_overlap():
     (VERDICT r3 item 4; the reference's zero-copy feed analogue is
     ``opencv/hw_init.cpp:54-69``).
 
-    Two committed proofs:
+    THE committed overlap proof (VERDICT r4 item 2) is readback-free:
+    the same streaming pipeline with a DEVICE-RESIDENT consumer
+    (``DeviceReduceSink``: outputs fold into an on-device checksum; 8
+    bytes fetched at close), so the tunnel carries uploads only and the
+    host->device feed is the true wall. Then
 
+    - ``upload_overlap_ratio`` = e2e_device_fps / feed_only_fps. A
+      pipeline that serializes decode+feed+compute would score
+      1/(1/decode + 1/feed + 1/compute) / feed ~= 0.5 here; >= 0.8
+      means decode AND compute hide behind the feed — an overlap number
+      a serial loop FAILS (``upload_overlap_ok``).
     - ``decode_hiding_ratio`` = e2e over the h264 source / e2e over a
-      RAW y4m twin of the same content (decode cost ~0, every other
-      byte and dispatch identical). >= ~0.8 means the codec work is
-      hidden behind the transfer+compute stream — the decode-included
-      vs decode-excluded comparison VERDICT r3 item 4 asks for.
-    - Solo stage rates (host decode drain; host->device feed through
-      the prefetcher, materialization forced by an on-device consumer;
-      device-resident analyse+warp). If stages serialized, e2e fps
-      would be 1/(1/decode + 1/feed + ...); a pipelined loop runs at
-      ~min(stage rates).
+      RAW y4m twin (decode cost ~0, every other byte and dispatch
+      identical) stays as the decode-specific check, now over >= 5
+      trials with the spread committed (``*_fps_spread``: max/min of
+      per-trial fps — the tunnel-weather error bar).
 
     Dev-box caveat (measured): the chip sits behind a ~35 MB/s tunnel
     that collapses further under bidirectional traffic, and the honest
     ``--no-output`` sink still reads every output frame back (the
-    reference's ``-f null`` also runs its full download path), so e2e
-    here is TRANSFER-bound far below every stage's solo rate — the
-    e2e-vs-compute ratio is a tunnel artifact, not pipeline serialism.
-    The decode_hiding_ratio is transfer-independent (both runs move the
-    same bytes), which is why it is the committed acceptance number; on
-    a PCIe host (GB/s both ways) the same arithmetic makes compute the
-    bottleneck and e2e approaches ``compute_only_fps``.
+    reference's ``-f null`` also runs its full download path), so the
+    READBACK e2e is transfer-bound far below every stage's solo rate —
+    that number stays for context; the device-sink variant is the
+    acceptance row. On a PCIe host (GB/s both ways) the same arithmetic
+    makes compute the bottleneck and e2e approaches
+    ``compute_only_fps``.
     """
     import jax
     import numpy as np
@@ -691,18 +710,43 @@ def bench_e2e_decode_overlap():
     dt = _best_of(compute_all, trials=2, sleep=1.0)
     compute_fps = n / dt
 
-    # The full single-pass pipeline: decode -> prefetch -> paired analyse
-    # in the lookahead ring -> fused warp (no output sink; the honest
-    # null sink still reads every output frame back, like -f null).
+    def _trial_fps(fn, trials, sleep=2.0):
+        """Per-trial fps list (best AND spread are committed)."""
+        out = []
+        for t in range(trials):
+            t0 = time.perf_counter()
+            fn()
+            out.append(n / (time.perf_counter() - t0))
+            if t < trials - 1:
+                time.sleep(sleep)
+        return out
+
+    trials = int(os.environ.get("VAT_E2E_TRIALS", "5"))
+
+    # THE acceptance row: the full single-pass pipeline with the
+    # readback-free device sink — decode -> prefetch -> paired analyse
+    # in the lookahead ring -> fused warp -> on-device checksum. The
+    # tunnel carries uploads only; the feed is the wall a serialized
+    # pipeline would fall well under.
+    dev_opts = RenderOptions(stabilise="smooth", stabilise_radius=30,
+                             analysis_mode="paired", streaming=True,
+                             no_output=True, device_sink=True,
+                             max_correction_deg=8.0)
+    render(src, None, dev_opts)  # warm (compile cache + page cache)
+    dev_fps = _trial_fps(lambda: render(src, None, dev_opts), trials)
+    e2e_device_fps = max(dev_fps)
+
+    # Context row: the honest --no-output null sink (reads every output
+    # frame back, like -f null) — transfer-bound on this tunnel.
     e2e_opts = RenderOptions(stabilise="smooth", stabilise_radius=30,
                              analysis_mode="paired", streaming=True,
                              no_output=True, max_correction_deg=8.0)
-    render(src, None, e2e_opts)  # warm (compile cache + page cache)
-    dt = _best_of(lambda: render(src, None, e2e_opts), trials=2, sleep=2.0)
-    e2e_fps = n / dt
+    render(src, None, e2e_opts)  # warm
+    rb_fps = _trial_fps(lambda: render(src, None, e2e_opts), trials)
+    e2e_fps = max(rb_fps)
 
-    # Decode-EXCLUDED twin: identical run over a raw y4m of the same
-    # content (h264 codec work replaced by a sequential file read).
+    # Decode-EXCLUDED twin: identical readback run over a raw y4m of the
+    # same content (h264 codec work replaced by a sequential file read).
     from video_annotator_tpu.io.video import VideoMeta as _VM, open_writer
 
     y4m = src.replace(".mp4", ".y4m")
@@ -712,8 +756,11 @@ def bench_e2e_decode_overlap():
             sink.write(f)
         sink.close()
     render(y4m, None, e2e_opts)  # warm
-    dt = _best_of(lambda: render(y4m, None, e2e_opts), trials=2, sleep=2.0)
-    e2e_y4m_fps = n / dt
+    y4m_fps = _trial_fps(lambda: render(y4m, None, e2e_opts), trials)
+    e2e_y4m_fps = max(y4m_fps)
+    # Per-trial ratio spread: hiding is judged against same-weather
+    # trials, so the committed ratio carries its own error bar.
+    ratios = sorted(a / b for a, b in zip(sorted(rb_fps), sorted(y4m_fps)))
 
     # The two-phase render of the SAME job (decodes the source twice,
     # same paired analyse dispatches): streaming >= two-phase shows the
@@ -727,22 +774,49 @@ def bench_e2e_decode_overlap():
     two_phase_fps = n / dt
 
     bottleneck_fps = min(decode_fps, feed_fps, compute_fps)
+    # What a fully SERIALIZED decode->feed->compute loop would run at:
+    # the null model the overlap gate must beat (on this box feed
+    # dominates so heavily that serial still reaches ~0.8x feed — hence
+    # the two-sided gate below).
+    serial_model_fps = 1.0 / (1.0 / decode_fps + 1.0 / feed_fps
+                              + 1.0 / compute_fps)
+    upload_overlap_ratio = e2e_device_fps / feed_fps
+    upload_overlap_ok = bool(
+        upload_overlap_ratio >= 0.8
+        and e2e_device_fps > 1.05 * serial_model_fps)
     return _result(
-        "e2e_decode_overlap_720p", e2e_fps, n, 30.0,
+        "e2e_decode_overlap_720p", e2e_device_fps, n, 30.0,
         {
             "geometry": f"{w}x{h}",
+            "trials": trials,
             "decode_only_fps": round(decode_fps, 2),
             "feed_only_fps": round(feed_fps, 2),
             "compute_only_fps": round(compute_fps, 2),
+            # THE acceptance numbers (readback-free, uploads only):
+            "e2e_device_sink_fps": round(e2e_device_fps, 2),
+            "e2e_device_sink_fps_spread": round(
+                max(dev_fps) / min(dev_fps), 3),
+            "serial_model_fps": round(serial_model_fps, 2),
+            "upload_overlap_ratio": round(upload_overlap_ratio, 3),
+            "upload_overlap_ok": upload_overlap_ok,
+            # Context: readback-bound variants (tunnel-limited here).
+            "e2e_readback_fps": round(e2e_fps, 2),
+            "e2e_readback_fps_spread": round(max(rb_fps) / min(rb_fps), 3),
             "e2e_rawfeed_fps": round(e2e_y4m_fps, 2),
+            "e2e_rawfeed_fps_spread": round(
+                max(y4m_fps) / min(y4m_fps), 3),
             "two_phase_fps": round(two_phase_fps, 2),
             "bottleneck_stage": (
                 "feed" if bottleneck_fps == feed_fps else
                 "decode" if bottleneck_fps == decode_fps else "compute"),
             "bottleneck_fps": round(bottleneck_fps, 2),
-            # THE acceptance number: decode-included vs decode-excluded
-            # at identical bytes/dispatches; >= ~0.8 = decode is hidden.
-            "decode_hiding_ratio": round(e2e_fps / e2e_y4m_fps, 3),
+            # Decode-specific check: decode-included vs decode-excluded
+            # at identical bytes/dispatches, median of per-trial ratios
+            # (rank-paired); ~1 = the codec work is hidden or negligible.
+            "decode_hiding_ratio": round(
+                ratios[len(ratios) // 2], 3),
+            "decode_hiding_ratio_range": [
+                round(ratios[0], 3), round(ratios[-1], 3)],
         },
     )
 
@@ -847,6 +921,8 @@ CONFIGS = {
     "1080p_full_pipeline": bench_1080p_full_pipeline,
     "4k_gyro_fused": bench_4k_gyro_fused,
     "4k_visual_full_pipeline": bench_4k_visual_full_pipeline,
+    "4k_visual_full_pipeline_detect0": functools.partial(
+        bench_4k_visual_full_pipeline, detect_level=0, tag="_detect0"),
     "e2e_decode_overlap_720p": bench_e2e_decode_overlap,
     "8x4k60_multistream": bench_8x4k60_multistream,
 }
