@@ -167,6 +167,15 @@ def main(argv=None) -> int:
         ns2 = capture_ns()
         t_ns2 = time.time() - t_start
         ns_mid = 0.5 * (ns + ns2)
+        # Two floor-normalized bounds. Optimistic: the whole frame time
+        # (luma + chroma + pack/origin/dispatch residue) inflates with
+        # the session rate, so at the floor everything deflates by
+        # ns/450 — right if contention time-slices the core
+        # proportionally. Conservative: ONLY the measured luma kernel
+        # deflates; the residue (t_frame - tiles*ns) stays as-is.
+        t_frame = 1.0 / fps
+        t_luma = tiles * ns_mid * 1e-9
+        fps_cons = 1.0 / (t_frame - tiles * (ns_mid - 450.0) * 1e-9)
         pairs.append({
             "ns_per_tile_before": round(ns, 1),
             "t_before_s": round(t_ns, 1),
@@ -174,7 +183,11 @@ def main(argv=None) -> int:
             "t_fps_s": round(t_fps, 1),
             "ns_per_tile_after": round(ns2, 1),
             "t_after_s": round(t_ns2, 1),
+            "t_frame_ms": round(t_frame * 1e3, 3),
+            "t_luma_ms": round(t_luma * 1e3, 3),
+            "t_residue_ms": round((t_frame - t_luma) * 1e3, 3),
             "fps_at_450_floor": round(fps * ns_mid / 450.0, 1),
+            "fps_at_450_floor_luma_only": round(fps_cons, 1),
         })
         print(json.dumps(pairs[-1]), file=sys.stderr, flush=True)
 
@@ -191,9 +204,21 @@ def main(argv=None) -> int:
         # kernel-rate-bound and the session's rate IS the fps. The
         # floor-normalized fps should then be ~constant across pairs.
         "fps_at_450_floor": [p["fps_at_450_floor"] for p in pairs],
+        "fps_at_450_floor_luma_only": [
+            p["fps_at_450_floor_luma_only"] for p in pairs],
         "fps_at_450_floor_spread": round(
             max(p["fps_at_450_floor"] for p in pairs)
             / min(p["fps_at_450_floor"] for p in pairs), 3),
+        # ns/tile a session must deliver for 480 fps aggregate, under
+        # each scaling model (optimistic: whole-frame; conservative:
+        # luma-only) — compare against the observed session range.
+        "ns_needed_for_480_optimistic": round(
+            450.0 * float(np.mean([p["fps_at_450_floor"]
+                                   for p in pairs])) / 480.0, 1),
+        "ns_needed_for_480_luma_only": round(float(np.mean([
+            (1.0 / 480.0 - 1.0 / p["multistream_fps"]) * 1e9 / tiles
+            + 0.5 * (p["ns_per_tile_before"] + p["ns_per_tile_after"])
+            for p in pairs])), 1),
         "corr_inv_fps_vs_ns": round(float(np.corrcoef(
             1.0 / np.asarray(fpss), np.asarray(ns_mids))[0, 1]), 3)
         if len(pairs) >= 3 else None,
