@@ -109,7 +109,7 @@ def test_readme_quality_rows_match_artifact():
     # The headline tradeoff figures (paired-vs-tracked trajectory RMS).
     for config, pattern in [
         ("rotation_smooth_paired_scale05",
-         r"paired's trajectory RMS vs ground truth is\s+([\d.]+)"),
+         r"paired's trajectory RMS vs\s+ground truth is\s+([\d.]+)"),
         ("rotation_smooth_scale05", r"vs tracked's\s+([\d.]+)"),
     ]:
         quoted = _quoted(pattern, readme)
