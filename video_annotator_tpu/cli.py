@@ -227,9 +227,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="paired mode: detect corners this many pyramid "
                         "levels below the tracking resolution (LK "
                         "re-validates every patch at track resolution; "
-                        "0 = detect at track resolution — slower, "
-                        "~2x lower trajectory RMS at --analysis-scale "
-                        "0.5, identical output shake reduction)")
+                        "0 = detect at track resolution — measured: "
+                        "slower with no trajectory-RMS recovery, "
+                        "benchmarks/quality.json; for trajectory "
+                        "accuracy use --analysis-mode tracked)")
     r.add_argument("--analysis-iters", type=int, default=8,
                    help="LK Newton iterations per pyramid level "
                         "(cv2's eps criteria typically terminate in "
