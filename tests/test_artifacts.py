@@ -91,6 +91,8 @@ def test_readme_quality_rows_match_artifact():
          r"`--stabilise smooth` \(savgol[^|]*\|[^|]*\|[^|]*\|\s*([\d.]+)"),
         ("rotation_smooth_kalman",
          r"`--smoother kalman`[^|]*\|[^|]*\|[^|]*\|\s*([\d.]+)"),
+        ("rotation_smooth_kalman_streaming",
+         r"`--smoother kalman --streaming`[^|]*\|[^|]*\|[^|]*\|\s*([\d.]+)"),
         ("rotation_fixed",
          r"`--stabilise fixed`[^|]*\|[^|]*\|[^|]*\|\s*([\d.]+)"),
         ("similarity_smooth",
