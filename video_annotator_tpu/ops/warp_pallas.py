@@ -143,6 +143,14 @@ class WarpPlan:
     # Keys — it IS a cubic; fitted to ~1e-6 for lanczos, whose sinc
     # window Mosaic cannot evaluate directly).
     interp: str = "bilinear"
+    # DIAGNOSTIC ONLY (env VAT_WARP_DIAG, never a product path): "no_dma"
+    # compiles the kernel WITHOUT the window copies (gathers read stale
+    # VMEM — wrong pixels, pure vector+loop timing), "no_walk" skips the
+    # schedule walk (borders only — DMA+map+output timing). Together
+    # they decompose the measured ns/tile into its DMA-exposure and
+    # vector components on the real chip (docs/KERNEL.md round-5
+    # decomposition).
+    diag: str = ""
 
     @property
     def taps(self) -> int:
@@ -394,6 +402,7 @@ def plan_warp(
     # clamp to [2, 4] so an oversized env value fails soft instead of
     # building a kernel that dies in Mosaic with an opaque VMEM error.
     dbuf_depth = min(4, max(2, int(os.environ.get("VAT_DBUF_DEPTH", "2"))))
+    diag = os.environ.get("VAT_WARP_DIAG", "")
     if out_size is None:
         out_size = (out_camera.height, out_camera.width)
     crop_h, crop_w = out_size
@@ -572,6 +581,7 @@ def plan_warp(
         pred_tail=pred_tail,
         dbuf=dbuf,
         dbuf_depth=dbuf_depth,
+        diag=diag,
         mip_max=mip_max,
         levels_blob=levels_blob,
         interp=interp,
@@ -1053,7 +1063,12 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
                 ))
             return out
 
-        if plan.dbuf:
+        if plan.diag == "no_dma":
+            # Diagnostic: no window copies at all — gathers read stale
+            # VMEM (wrong pixels); times the pure vector+loop path.
+            win_view = win.at[0] if plan.dbuf else win
+            copies = []
+        elif plan.dbuf:
             # Double-buffered window pipeline: tile g's window was
             # started at step g-1; start g+1's into the other slot, then
             # wait for g's. Hides the DMA latency (~450 ns/tile, over
@@ -1399,7 +1414,11 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
 
         zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         init = tuple(zero for _ in range(ntap * nplanes * n_pairs))
-        if group > 1 and plan.pred_tail:
+        if plan.diag == "no_walk":
+            # Diagnostic: skip the schedule walk entirely — times the
+            # DMA + map-math + output path (output is all borders).
+            accs = init
+        elif group > 1 and plan.pred_tail:
             # FULL groups in the loop; the up-to-(group-1) leftover
             # entries run under scalar lax.cond guards. A not-taken
             # guard costs a scalar branch; a DEAD pad entry would cost
