@@ -2,11 +2,16 @@
 
 Every benchmark emitter (`run.py`, `roofline.py`, `soak.py`,
 `fidelity.py`, `quality.py`, `host_feed.py`) stamps its JSON with the
-git SHA it was captured at, the capture time, and the jax backend, so
-a committed figure can never silently drift from the code that
-produced it — the failure mode of the reference's print-and-lose
-Profiler (``opencv/Profiler.cpp:25-34``). `tests/test_artifacts.py`
-checks README's quoted figures against the committed artifacts.
+nearest git SHA at capture time (usually ``<sha>-dirty`` — artifacts
+are necessarily captured BEFORE the commit that lands them, so the
+stamp identifies the capture session and its base tree, not a
+bit-reproducible checkout), the capture timestamp, and the jax
+backend. The actual no-silent-drift guarantee is
+`tests/test_artifacts.py`, which pins README's quoted figures to the
+committed artifact values; the stamp answers "when/on what backend/
+around which commit was this measured" — the questions the
+reference's print-and-lose Profiler (``opencv/Profiler.cpp:25-34``)
+could never answer.
 """
 
 from __future__ import annotations

@@ -133,6 +133,12 @@ def test_streaming_rejects_phases_and_2d(tmp_path):
     with pytest.raises(ValueError, match="smoother"):
         render(SRC, out, RenderOptions(stabilise="smooth", smoother="nope",
                                        streaming=True, **OPTS))
+    # Fixed-lag kalman below the filter's memory would seam at batch
+    # boundaries — rejected, not rendered wrong.
+    with pytest.raises(ValueError, match="stabilise-radius"):
+        render(SRC, out, RenderOptions(stabilise="smooth", smoother="kalman",
+                                       stabilise_radius=4, streaming=True,
+                                       **OPTS))
 
 
 def test_streaming_kalman_fixed_lag():
@@ -189,7 +195,7 @@ def test_streaming_kalman_end_to_end(tmp_path):
     """Full streaming render with --smoother kalman: same frame count and
     identical MEASURED trajectory as the two-phase kalman render (the
     smoothed corrections differ only within the fixed-lag bound above)."""
-    opts = dict(stabilise="smooth", smoother="kalman", stabilise_radius=8,
+    opts = dict(stabilise="smooth", smoother="kalman", stabilise_radius=12,
                 **OPTS)
     two = str(tmp_path / "two.y4m")
     one = str(tmp_path / "one.y4m")

@@ -392,6 +392,7 @@ def plan_warp(
     serves affine warps (``models/similarity.py``).
     """
     import os
+    import sys
     if trip_group is None:
         trip_group = int(os.environ.get("VAT_TRIP_GROUP", "4"))
     if split_acc is None:
@@ -403,6 +404,21 @@ def plan_warp(
     # building a kernel that dies in Mosaic with an opaque VMEM error.
     dbuf_depth = min(4, max(2, int(os.environ.get("VAT_DBUF_DEPTH", "2"))))
     diag = os.environ.get("VAT_WARP_DIAG", "")
+    if diag not in ("", "no_dma", "no_walk"):
+        # A typo'd diagnostic must not silently measure the normal
+        # kernel while the user believes the diag ran.
+        raise ValueError(
+            f"VAT_WARP_DIAG={diag!r}: expected no_dma or no_walk")
+    if diag:
+        # Loud, once per plan: a leftover export in the shell would
+        # otherwise corrupt every product render without a trace
+        # (no_dma gathers read stale VMEM; no_walk outputs borders).
+        print(
+            f"WARNING: VAT_WARP_DIAG={diag} builds a DIAGNOSTIC warp "
+            f"kernel — output pixels are garbage; timing only "
+            f"(docs/KERNEL.md). Unset it for real renders.",
+            file=sys.stderr,
+        )
     if out_size is None:
         out_size = (out_camera.height, out_camera.width)
     crop_h, crop_w = out_size

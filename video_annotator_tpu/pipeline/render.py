@@ -1626,6 +1626,11 @@ def make_window_corrections(radius: int, options: RenderOptions,
     """
     if options.stabilise not in ("none", "fixed", "smooth"):
         raise ValueError(f"unknown stabilise mode {options.stabilise!r}")
+    if getattr(options, "smoother", "savgol") not in ("savgol", "kalman"):
+        # Validated here (not just argparse choices) so programmatic
+        # callers fail like the streaming path instead of silently
+        # smoothing with savgol.
+        raise ValueError(f"unknown smoother {options.smoother!r}")
     from video_annotator_tpu.smoothing.kalman import smooth_rotations_kalman
     from video_annotator_tpu.smoothing.savgol import savgol_weights, sg_conv
 

@@ -82,7 +82,21 @@ def render_streaming(
     # `radius` past frames (burn-in) and RTS backward from its `radius`
     # future frames, so latency stays = stabilise-radius. Divergence vs
     # the two-phase global RTS is bounded by the filter's ~10-frame
-    # memory (tests/test_streaming.py::test_streaming_kalman_fixed_lag).
+    # memory (tests/test_streaming.py::test_streaming_kalman_fixed_lag)
+    # — PROVIDED the lag covers that memory. Below it, each emitted
+    # batch filters nearly independently and the output would seam at
+    # warp-batch boundaries (and change with the performance-only
+    # --warp-batch knob), so short radii are rejected rather than
+    # rendered wrong.
+    if (options.stabilise == "smooth" and options.smoother == "kalman"
+            and options.stabilise_radius < 10):
+        raise ValueError(
+            "--streaming --smoother kalman needs --stabilise-radius >= 10 "
+            "(the fixed-lag window must cover the constant-velocity "
+            "filter's ~10-frame memory; below it the smoother would seam "
+            "at batch boundaries) — use --smoother savgol for shorter "
+            "lookahead or the two-phase path for the global RTS"
+        )
     analysis_mode = resolve_analysis_mode(options)
 
     reader, meta, first, last = open_trimmed(source, options)
