@@ -146,3 +146,17 @@ def test_artifacts_carry_provenance_stamps():
         for rec in records:
             if "git_sha" in rec:
                 assert rec.get("captured_at_utc") and rec.get("backend")
+
+
+def test_provenance_stamp_fields():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "provenance", os.path.join(ROOT, "benchmarks", "provenance.py"))
+    prov = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(prov)
+    rec = prov.stamp({"value": 1}, backend="host")
+    assert rec["backend"] == "host"
+    assert re.fullmatch(r"[0-9a-f]{7,}(-dirty)?|unknown", rec["git_sha"])
+    assert re.fullmatch(
+        r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z", rec["captured_at_utc"])
