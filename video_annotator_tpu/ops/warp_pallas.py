@@ -404,11 +404,12 @@ def plan_warp(
     # building a kernel that dies in Mosaic with an opaque VMEM error.
     dbuf_depth = min(4, max(2, int(os.environ.get("VAT_DBUF_DEPTH", "2"))))
     diag = os.environ.get("VAT_WARP_DIAG", "")
-    if diag not in ("", "no_dma", "no_walk"):
+    if diag and set(diag.split(",")) - {"no_dma", "no_walk"}:
         # A typo'd diagnostic must not silently measure the normal
         # kernel while the user believes the diag ran.
         raise ValueError(
-            f"VAT_WARP_DIAG={diag!r}: expected no_dma or no_walk")
+            f"VAT_WARP_DIAG={diag!r}: expected no_dma, no_walk, or "
+            f"no_dma,no_walk")
     if diag:
         # Loud, once per plan: a leftover export in the shell would
         # otherwise corrupt every product render without a trace
@@ -1079,7 +1080,7 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
                 ))
             return out
 
-        if plan.diag == "no_dma":
+        if "no_dma" in plan.diag:
             # Diagnostic: no window copies at all — gathers read stale
             # VMEM (wrong pixels); times the pure vector+loop path.
             win_view = win.at[0] if plan.dbuf else win
@@ -1430,7 +1431,7 @@ def _make_kernel(plan: WarpPlan, out_camera: Camera, in_camera: Camera,
 
         zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         init = tuple(zero for _ in range(ntap * nplanes * n_pairs))
-        if plan.diag == "no_walk":
+        if "no_walk" in plan.diag:
             # Diagnostic: skip the schedule walk entirely — times the
             # DMA + map-math + output path (output is all borders).
             accs = init
